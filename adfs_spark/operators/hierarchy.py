@@ -1,0 +1,210 @@
+"""Hierarchical / recursive queries H1-H6 — the distinctive workload.
+
+The reference stores the namespace as an adjacency list
+(file.parentId → file.id, File.java:30-58) and resolves paths with a
+per-component indexed-lookup loop (StateManager.findFilesByPath
+:681-694), descendants with recursive scans
+(findFileDescendantByFileInternal :731-755).
+
+Spark has no recursive CTE, so these are bounded driver loops over
+joins — but crucially the *data* never visits the driver: each
+iteration is a distributed join producing the next frontier DataFrame.
+Depth is small (path depth ≤ ~16), so the loop count is tiny and each
+step is a broadcast join of a shrinking frontier against the namespace
+table — the namespace (the 100 TB side) is never shuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROOT_ID = 0  # File.java:33-34
+
+
+def split_path(path: str) -> list[str]:
+    """F1: path → components (Utilities.getNamesInPath :1031)."""
+    return [p for p in path.split("/") if p]
+
+
+def resolve_path(ns: DataFrame, path: str, id_col: str = "id", parent_col: str = "parentId", name_col: str = "name") -> DataFrame:
+    """H1: resolve '/a/b/c' to the row chain — returns the rows of every
+    component, with a ``depth`` column (0 = first component).
+
+    k-step iterative join (J4), k = path depth.  Each step is a point
+    filter on (parentId, name), pushed down to the scan.
+    """
+    parts = split_path(path)
+    spark = ns.sparkSession
+    if not parts:
+        return ns.filter(F.col(id_col) == ROOT_ID).withColumn("depth", F.lit(-1))
+    current_parent = ROOT_ID
+    out: DataFrame | None = None
+    for depth, part in enumerate(parts):
+        row = ns.filter((F.col(parent_col) == current_parent) & (F.col(name_col) == part)).limit(1)
+        got = row.take(1)
+        if not got:
+            empty = ns.withColumn("depth", F.lit(0)).limit(0)
+            return empty if out is None else out
+        current_parent = got[0][id_col]
+        step = spark.createDataFrame([got[0]], schema=ns.schema).withColumn("depth", F.lit(depth))
+        out = step if out is None else out.unionByName(step)
+    assert out is not None
+    return out
+
+
+def resolve_paths_batch(
+    ns: DataFrame,
+    paths: DataFrame,
+    path_col: str = "path",
+    id_col: str = "id",
+    parent_col: str = "parentId",
+    name_col: str = "name",
+    max_depth: int = 32,
+) -> DataFrame:
+    """H1 batch form: resolve a whole DataFrame of paths at once.
+
+    Iterative join to fixpoint: at step d, the frontier holds
+    (path, resolved-id-so-far); join component d against (parentId,
+    name).  All paths resolve in max(path-depth) ≤ ``max_depth`` rounds
+    of distributed joins — this is the scale path (no per-path driver
+    round-trips).  Returns (path, id) for fully resolved paths.
+    """
+    parts = paths.select(
+        F.col(path_col).alias("_path"),
+        F.split(F.regexp_replace(F.col(path_col), "^/|/$", ""), "/").alias("_parts"),
+    ).withColumn("_n", F.size("_parts"))
+    frontier = parts.withColumn("_cur", F.lit(ROOT_ID).cast("long")).withColumn(
+        "_d", F.lit(0)
+    )
+    resolved = frontier.filter(F.col("_n") == 0).select("_path", F.col("_cur").alias(id_col))
+    ns_small = ns.select(
+        F.col(id_col).alias("_nid"), F.col(parent_col).alias("_npid"), F.col(name_col).alias("_nname")
+    )
+    for d in range(max_depth):
+        frontier = frontier.filter(F.col("_d") < F.col("_n"))
+        if not frontier.take(1):
+            break
+        step = frontier.join(
+            ns_small,
+            (F.col("_npid") == F.col("_cur"))
+            & (F.col("_nname") == F.element_at(F.col("_parts"), F.col("_d") + 1)),
+            "inner",
+        ).select(
+            "_path", "_parts", "_n", F.col("_nid").alias("_cur"), (F.col("_d") + 1).alias("_d")
+        )
+        frontier = step.persist()
+        done = frontier.filter(F.col("_d") == F.col("_n")).select(
+            "_path", F.col("_cur").alias(id_col)
+        )
+        resolved = resolved.unionByName(done)
+    return resolved.withColumnRenamed("_path", path_col)
+
+
+def children(ns: DataFrame, dir_id: int, parent_col: str = "parentId") -> DataFrame:
+    """H3: directory listing (findFileChildrenByPath :701-720)."""
+    return ns.filter(F.col(parent_col) == dir_id)
+
+
+def descendants(
+    ns: DataFrame,
+    root_ids: Sequence[int],
+    id_col: str = "id",
+    parent_col: str = "parentId",
+    include_self: bool = False,
+    exclude_dirs: bool = False,
+    dir_predicate=None,
+    max_depth: int = 64,
+) -> DataFrame:
+    """H4: recursive descendant set (findFileDescendantByFileInternal
+    :731-755) as a BFS frontier loop.
+
+    Each round joins the (small, shrinking) frontier's id set against
+    the namespace on parentId — broadcast the frontier keys, never
+    shuffle the namespace.  Results accumulate with a ``level`` column.
+    """
+    spark = ns.sparkSession
+    frontier_keys = spark.createDataFrame([(int(i),) for i in root_ids], f"{id_col}: long")
+    out: DataFrame | None = None
+    if include_self:
+        out = ns.join(F.broadcast(frontier_keys), id_col, "left_semi").withColumn(
+            "level", F.lit(0)
+        )
+    for level in range(1, max_depth + 1):
+        nxt = ns.join(
+            F.broadcast(frontier_keys.withColumnRenamed(id_col, parent_col)),
+            parent_col,
+            "left_semi",
+        )
+        nxt = nxt.persist()
+        if not nxt.take(1):
+            break
+        leveled = nxt.withColumn("level", F.lit(level))
+        out = leveled if out is None else out.unionByName(leveled)
+        frontier_keys = nxt.select(id_col)
+    if out is None:
+        return ns.withColumn("level", F.lit(0)).limit(0)
+    if exclude_dirs and dir_predicate is not None:
+        out = out.filter(~dir_predicate)
+    return out
+
+
+def path_column(
+    ns: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parentId",
+    name_col: str = "name",
+    out_col: str = "path",
+    max_depth: int = 64,
+) -> DataFrame:
+    """H2 batch form: materialize the full path string for every row by
+    iterated parent-pointer doubling-style joins toward the root,
+    prepending one ancestor name per round (concat_ws accumulate).
+
+    Rounds = tree depth; each round joins on the (small) parent-id set.
+    For repeated path queries at scale, persist the result — it is the
+    reference's computed ``File.path`` field (File.java:58) done
+    set-at-a-time.
+    """
+    acc = ns.select(
+        F.col(id_col).alias("_tid"),
+        F.col(parent_col).alias("_walk"),
+        F.col(name_col).alias("_acc"),
+    )
+    parents = ns.select(
+        F.col(id_col).alias("_pid"), F.col(parent_col).alias("_ppid"), F.col(name_col).alias("_pname")
+    )
+    for _ in range(max_depth):
+        pending = acc.filter(F.col("_walk") != ROOT_ID)
+        if not pending.take(1):
+            break
+        done = acc.filter(F.col("_walk") == ROOT_ID)
+        stepped = pending.join(parents, pending["_walk"] == parents["_pid"], "inner").select(
+            "_tid",
+            F.col("_ppid").alias("_walk"),
+            F.concat_ws("/", "_pname", "_acc").alias("_acc"),
+        )
+        acc = done.unionByName(stepped).persist()
+    paths = acc.select(
+        F.col("_tid").alias(id_col), F.concat(F.lit("/"), F.col("_acc")).alias(out_col)
+    )
+    return ns.join(paths, id_col, "left")
+
+
+def recursive_delete_set(
+    ns: DataFrame,
+    target_id: int,
+    recursive: bool,
+    id_col: str = "id",
+    parent_col: str = "parentId",
+) -> DataFrame:
+    """H5: compute the id set a recursive delete must tombstone.
+    Non-recursive delete of a non-empty dir raises (guarded delete,
+    FileRepository.deleteInternal :288-305)."""
+    kids = children(ns, target_id, parent_col)
+    if not recursive and kids.take(1):
+        raise ValueError(f"directory {target_id} is not empty; recursive=False")
+    desc = descendants(ns, [target_id], id_col=id_col, parent_col=parent_col, include_self=True)
+    return desc.select(id_col)

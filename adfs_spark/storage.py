@@ -1,0 +1,259 @@
+"""Versioned table storage — upsert / masked update / tombstone / delta.
+
+Re-expresses the reference's write path (U1-U5) and CDC/replication
+surface (D1-D3) on plain parquet:
+
+- every row carries a ``version`` long; ``abs(version)`` is unique and
+  monotonically increasing per table (DistributedDataVersion.java:26-51);
+- deletes are tombstones: the row is kept with negated version
+  (deleteInternal, DistributedDataRepositoryBaseOnTable.java:316-330);
+- the live view strips ``version < 0`` (removeDeletedRows :481-488);
+- every write also appends to a **change log** directory (the
+  DistributedOperationQueue D1 analog, DistributedOperationQueue.java:21-103),
+  partitioned by a version bucket so version-range delta extraction
+  (D2, getDataIncrement :221-249) prunes partitions instead of scanning
+  history.
+
+Concurrency stance: the reference serializes writers with a per-key
+lock manager (U6, DistributedLocker.java) because many RPC threads
+mutate one MySQL instance.  In this engine a table has a single logical
+writer (Spark job); replication (D3/D4) is subsumed by the shared,
+durable file system, so "full restore" is a parquet copy and
+"incremental restore" is a delta read + idempotent merge.
+
+Scale notes: the current-state rewrite is full-snapshot
+(read-modify-write).  At 100 TB you partition the table (``partition_by``)
+so a MERGE rewrites only touched partitions, and you fall back to
+log-only appends + periodic compaction for high-churn tables; both
+knobs exist below (``partition_by``, ``compact``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from adfs_spark.schema import VERSION_COL, TableSpec
+
+OP_COL = "_op"  # INSERT / UPDATE / DELETE, DistributedOperation op types
+VBUCKET_COL = "_vbucket"
+VBUCKET_SIZE = 1_000_000
+
+
+def _latest_by_abs_version(df: DataFrame, pk: Sequence[str]) -> DataFrame:
+    """Last-writer-wins by abs(version) per primary key (U4 semantics,
+    insert/update/deleteDirectly :420-470)."""
+    w = Window.partitionBy(*pk).orderBy(F.abs(F.col(VERSION_COL)).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+@dataclass
+class VersionedTable:
+    """A parquet-backed table with version/tombstone semantics.
+
+    Layout::
+
+        <root>/current/           current state (one row per pk, incl. tombstones)
+        <root>/changelog/         append-only ops, partitioned by _vbucket
+    """
+
+    spark: SparkSession
+    spec: TableSpec
+    root: str
+    partition_by: tuple[str, ...] = ()
+
+    @property
+    def current_path(self) -> str:
+        return os.path.join(self.root, "current")
+
+    @property
+    def changelog_path(self) -> str:
+        return os.path.join(self.root, "changelog")
+
+    # -- bootstrap ---------------------------------------------------------
+
+    def init(self, rows: DataFrame | None = None, start_version: int = 1) -> None:
+        """Create the table, optionally seeding initial rows (stamped
+        with consecutive versions starting at ``start_version``)."""
+        schema = self.spec.struct_type()
+        if rows is None:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            base = F.lit(start_version - 1)
+            df = rows.withColumn(
+                VERSION_COL,
+                (base + F.row_number().over(Window.orderBy(*self.spec.primary_key))).cast("long"),
+            )
+        self._write_current(df)
+        ops = df.withColumn(OP_COL, F.lit("INSERT"))
+        self._append_changelog(ops)
+
+    # -- reads -------------------------------------------------------------
+
+    def snapshot(self) -> DataFrame:
+        """All current rows including tombstones."""
+        return self.spark.read.schema(self.spec.struct_type()).parquet(self.current_path)
+
+    def live(self) -> DataFrame:
+        """P5: the live view — tombstones stripped."""
+        return self.snapshot().filter(F.col(VERSION_COL) >= 0)
+
+    def max_version(self) -> int:
+        """A7: the version counter (max abs(version)); parquet column
+        stats make this near-free."""
+        row = self.snapshot().agg(F.max(F.abs(F.col(VERSION_COL)))).first()
+        return int(row[0] or 0)
+
+    def count(self) -> int:
+        """S9/A1: live row count. The reference memoizes this in an
+        AtomicLong (DatabaseExecutor.count :139-155); parquet footers
+        make recount cheap enough."""
+        return self.live().count()
+
+    # -- writes (U1-U4) ----------------------------------------------------
+
+    def upsert(self, rows: DataFrame, overwrite: bool = True) -> int:
+        """U1: insert-with-overwrite-flag (insertInternal :281-296).
+
+        ``overwrite=False`` raises if any incoming pk already exists
+        live (exists & !overwrite → error); otherwise existing rows are
+        replaced.  Returns the new max version.
+        """
+        pk = list(self.spec.primary_key)
+        cur = self.snapshot()
+        if not overwrite:
+            clash = rows.join(cur.filter(F.col(VERSION_COL) >= 0), pk, "left_semi")
+            if clash.take(1):
+                raise ValueError("upsert(overwrite=False): key already exists")
+        base = self.max_version()
+        stamped = rows.withColumn(
+            VERSION_COL,
+            (F.lit(base) + F.row_number().over(Window.orderBy(*pk))).cast("long"),
+        ).select(*self.spec.column_names())
+        merged = _latest_by_abs_version(
+            cur.unionByName(stamped), pk
+        )
+        self._append_changelog(stamped.withColumn(OP_COL, F.lit("UPSERT")))
+        self._write_current(merged)
+        return base + 1
+
+    def update_where(self, predicate, assignments: dict[str, object]) -> int:
+        """U2: field-masked update — read-modify-write of matching rows,
+        version bumped (updateInternal :298-314; the bitmask of
+        File.update :118-134 becomes the ``assignments`` dict)."""
+        pk = list(self.spec.primary_key)
+        cur = self.snapshot()
+        live = cur.filter(F.col(VERSION_COL) >= 0)
+        hit = live.filter(predicate)
+        base = self.max_version()
+        upd = hit
+        for col, val in assignments.items():
+            upd = upd.withColumn(col, val if hasattr(val, "_jc") else F.lit(val))
+        upd = upd.withColumn(
+            VERSION_COL,
+            (F.lit(base) + F.row_number().over(Window.orderBy(*pk))).cast("long"),
+        ).select(*self.spec.column_names())
+        merged = _latest_by_abs_version(cur.unionByName(upd), pk)
+        self._append_changelog(upd.withColumn(OP_COL, F.lit("UPDATE")))
+        self._write_current(merged)
+        return base + 1
+
+    def delete_where(self, predicate) -> int:
+        """U3: tombstone delete — matching live rows get version =
+        −(next version) and stay (deleteInternal :316-330)."""
+        pk = list(self.spec.primary_key)
+        cur = self.snapshot()
+        hit = cur.filter(F.col(VERSION_COL) >= 0).filter(predicate)
+        base = self.max_version()
+        tomb = hit.withColumn(
+            VERSION_COL,
+            (-(F.lit(base) + F.row_number().over(Window.orderBy(*pk)))).cast("long"),
+        ).select(*self.spec.column_names())
+        merged = _latest_by_abs_version(cur.unionByName(tomb), pk)
+        self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
+        self._write_current(merged)
+        return base + 1
+
+    def apply_directly(self, ops: DataFrame) -> None:
+        """U4: idempotent replay — apply incoming rows only where
+        |incoming version| ≥ |stored version| (last-writer-wins;
+        insert/update/deleteDirectly :420-470).  ``ops`` must carry the
+        full row schema including signed ``version``."""
+        pk = list(self.spec.primary_key)
+        cur = self.snapshot()
+        merged = _latest_by_abs_version(
+            cur.unionByName(ops.select(*self.spec.column_names())), pk
+        )
+        self._append_changelog(ops.select(*self.spec.column_names()).withColumn(OP_COL, F.lit("APPLY")))
+        self._write_current(merged)
+
+    # -- CDC / delta (D1-D3) ----------------------------------------------
+
+    def changelog(self) -> DataFrame:
+        return self.spark.read.parquet(self.changelog_path)
+
+    def delta(self, from_version: int, to_version: int) -> DataFrame:
+        """D2: version-range delta extraction (getDataIncrement
+        :221-249): change-log rows with abs(version) ∈ [from, to].
+        The _vbucket partitioning prunes history directories."""
+        lo_b, hi_b = from_version // VBUCKET_SIZE, to_version // VBUCKET_SIZE
+        log = self.changelog().filter(
+            (F.col(VBUCKET_COL) >= lo_b) & (F.col(VBUCKET_COL) <= hi_b)
+        )
+        return log.filter(F.abs(F.col(VERSION_COL)).between(from_version, to_version)).drop(
+            VBUCKET_COL
+        )
+
+    def sync_from(self, other: "VersionedTable") -> None:
+        """D2/D3 orchestration (restoreIncrementFromMasterServerInternal
+        :677-716): catch this replica up to ``other``.  Small gap →
+        incremental delta + idempotent merge; no local state → full
+        snapshot copy."""
+        try:
+            my_v = self.max_version()
+        except Exception:
+            my_v = 0
+        if my_v == 0:
+            self.init()
+            self.apply_directly(other.snapshot())
+            return
+        delta = other.delta(my_v + 1, other.max_version()).drop(OP_COL)
+        self.apply_directly(delta)
+
+    def compact(self) -> None:
+        """Rewrite current state sorted by pk (restores the 'index'
+        layout: parquet min/max stats on pk columns make point finds
+        prune row groups)."""
+        self._write_current(self.snapshot())
+
+    # -- internals ---------------------------------------------------------
+
+    def _write_current(self, df: DataFrame) -> None:
+        # Two-phase: materialize to a tmp dir first because ``df`` may be
+        # derived from a read of current_path (overwrite-while-reading is
+        # undefined).  On a real deployment this layer is a transactional
+        # table format; plain parquet + tmp-swap keeps the semantics.
+        tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
+        out = df.sortWithinPartitions(*self.spec.primary_key)
+        writer = out.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        final = self.spark.read.schema(self.spec.struct_type()).parquet(tmp)
+        w2 = final.write.mode("overwrite")
+        if self.partition_by:
+            w2 = w2.partitionBy(*self.partition_by)
+        w2.parquet(self.current_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _append_changelog(self, ops: DataFrame) -> None:
+        out = ops.withColumn(
+            VBUCKET_COL, (F.abs(F.col(VERSION_COL)) / VBUCKET_SIZE).cast("long")
+        )
+        out.write.mode("append").partitionBy(VBUCKET_COL).parquet(self.changelog_path)

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from adfs_spark.session import get_spark
+
+    s = get_spark("adfs-spark-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    from adfs_spark.catalog import register_views
+
+    return register_views(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

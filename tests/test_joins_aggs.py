@@ -1,0 +1,144 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adfs_spark.operators.aggregates import (
+    cluster_statistics,
+    content_summary,
+    group_argmax,
+    max_version,
+    sum_lengths_per_parent,
+    under_replicated,
+)
+from adfs_spark.operators.joins import anti_join, chain_join, fk_join, report_diff, semi_join
+from adfs_spark.operators.windows import last_by_ordinal, pick_one_per_group, priority_bucket, top_k
+
+
+def test_fk_join_counts(tables):
+    j = fk_join(tables["lineitem"], tables["orders"], "l_orderkey", "o_orderkey")
+    assert j.count() == tables["lineitem"].count()
+
+
+def test_broadcast_dim_join_plan(tables):
+    j = fk_join(tables["customer"], tables["nation"], "c_nationkey", "n_nationkey", broadcast_parent=True)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert j.count() == tables["customer"].count()
+
+
+def test_semi_anti_partition(tables):
+    ev, orders = tables["events"], tables["orders"]
+    on = ev["event_id"] == orders["o_orderkey"]
+    n_semi = semi_join(ev, orders, on).count()
+    n_anti = anti_join(ev, orders, on).count()
+    assert n_semi + n_anti == ev.count()
+
+
+def test_report_diff(spark):
+    stored = spark.createDataFrame([(1,), (2,), (3,)], "id: long")
+    reported = spark.createDataFrame([(2,), (3,), (4,)], "id: long")
+    add, rm, match = report_diff(reported, stored, ["id"])
+    assert [r["id"] for r in add.collect()] == [4]
+    assert [r["id"] for r in rm.collect()] == [1]
+    assert match.count() == 2
+
+
+def test_chain_join(tables):
+    j = chain_join(
+        [tables["region"], tables["nation"], tables["customer"]],
+        [("n_regionkey", "r_regionkey"), ("c_nationkey", "n_nationkey")],
+    )
+    assert j.count() == tables["customer"].count()
+
+
+def test_group_argmax_primary_replica(tables):
+    li = tables["lineitem"]
+    got = group_argmax(li, ["l_orderkey"], ["l_shipdate", "l_linenumber"])
+    assert got.count() == li.select("l_orderkey").distinct().count()
+    one = got.filter(F.col("l_orderkey") == 1).collect()[0]
+    expect = (
+        li.filter(F.col("l_orderkey") == 1)
+        .orderBy(F.desc("l_shipdate"), F.desc("l_linenumber"))
+        .first()
+    )
+    assert one["l_linenumber"] == expect["l_linenumber"]
+
+
+def test_last_by_ordinal(tables):
+    got = last_by_ordinal(tables["lineitem"], "l_orderkey", "l_linenumber")
+    mx = (
+        tables["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max("l_linenumber").alias("m"))
+    )
+    j = got.join(mx, "l_orderkey").filter(F.col("l_linenumber") != F.col("m"))
+    assert j.count() == 0
+
+
+def test_sum_per_parent(tables):
+    got = sum_lengths_per_parent(tables["lineitem"], "l_orderkey", "l_quantity", min_value=None)
+    row = got.filter(F.col("l_orderkey") == 1).first()
+    expect = tables["lineitem"].filter(F.col("l_orderkey") == 1).agg(F.sum("l_quantity")).first()[0]
+    assert row["sum_l_quantity"] == expect
+
+
+def test_content_summary(spark):
+    ns = spark.createDataFrame(
+        [(1, -1), (2, 100), (3, 50), (4, -1)], "id: long, length: long"
+    )
+    row = content_summary(ns).first()
+    assert row["total_length"] == 150 and row["file_count"] == 2 and row["dir_count"] == 2
+
+
+def test_cluster_statistics(tables):
+    got = cluster_statistics(
+        tables["supplier"], F.col("s_acctbal") > 0, ["s_acctbal"]
+    ).first()
+    assert got["alive_count"] == tables["supplier"].filter("s_acctbal > 0").count()
+
+
+def test_under_replicated(tables):
+    counts = under_replicated(
+        tables["lineitem"],
+        tables["orders"].withColumn("expected", F.lit(3)),
+        "l_orderkey",
+        "o_orderkey",
+        "expected",
+    )
+    direct = (
+        tables["lineitem"].groupBy("l_orderkey").count().filter(F.col("count") < 3).count()
+    )
+    assert counts.count() == direct
+
+
+def test_max_version(tables):
+    df = tables["orders"].withColumn(
+        "version",
+        F.when(F.col("o_orderkey") % 7 == 0, -(F.col("o_orderkey") + 1)).otherwise(
+            F.col("o_orderkey") + 1
+        ),
+    )
+    assert max_version(df).first()["max_version"] == 1500
+
+
+def test_priority_bucket_topk(tables):
+    b = priority_bucket(
+        tables["orders"],
+        [
+            (F.col("o_orderpriority") == "1-URGENT", 0),
+            (F.col("o_orderpriority") == "2-HIGH", 1),
+        ],
+        default=2,
+    )
+    got = top_k(b, [F.col("priority"), F.col("o_orderkey")], 10).collect()
+    assert all(r["priority"] == 0 for r in got) or len(got) == 10
+
+
+def test_pick_one_per_group(tables):
+    got = pick_one_per_group(
+        tables["customer"], "c_nationkey", order_by=[F.col("c_custkey")]
+    )
+    assert got.count() == tables["customer"].select("c_nationkey").distinct().count()
+    first = got.filter(F.col("c_nationkey") == 0).first()
+    expect = tables["customer"].filter(F.col("c_nationkey") == 0).agg(F.min("c_custkey")).first()[0]
+    assert first["c_custkey"] == expect

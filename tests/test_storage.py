@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adfs_spark.operators.delta import changelog_of, merge_last_writer_wins, version_range
+from adfs_spark.schema import ColumnSpec, TableSpec
+from adfs_spark.storage import VersionedTable
+
+SPEC = TableSpec(
+    name="kv",
+    columns=(ColumnSpec("k", "long"), ColumnSpec("v", "string")),
+    primary_key=("k",),
+    versioned=True,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, SPEC, str(tmp_path / "kv"))
+    rows = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k: long, v: string")
+    t.init(rows)
+    return t
+
+
+def test_init_and_live(table):
+    assert table.count() == 3
+    assert table.max_version() == 3
+
+
+def test_upsert_replace_and_insert(table, spark):
+    table.upsert(spark.createDataFrame([(2, "B"), (4, "d")], "k: long, v: string"))
+    live = {r["k"]: r["v"] for r in table.live().collect()}
+    assert live == {1: "a", 2: "B", 3: "c", 4: "d"}
+    assert table.max_version() == 5
+
+
+def test_upsert_no_overwrite_raises(table, spark):
+    with pytest.raises(ValueError):
+        table.upsert(
+            spark.createDataFrame([(1, "clash")], "k: long, v: string"), overwrite=False
+        )
+
+
+def test_update_where(table):
+    table.update_where(F.col("k") >= 2, {"v": F.upper(F.col("v"))})
+    live = {r["k"]: r["v"] for r in table.live().collect()}
+    assert live == {1: "a", 2: "B", 3: "C"}
+
+
+def test_delete_tombstone(table):
+    table.delete_where(F.col("k") == 2)
+    assert table.count() == 2
+    snap = {r["k"]: r["version"] for r in table.snapshot().collect()}
+    assert snap[2] < 0  # tombstone kept
+
+
+def test_delta_and_lww_merge(table, spark):
+    table.upsert(spark.createDataFrame([(2, "B2")], "k: long, v: string"))
+    table.delete_where(F.col("k") == 1)
+    d = table.delta(4, 5)
+    assert d.count() == 2
+    # replica catch-up: start from the v3 snapshot, merge the delta
+    base = table.changelog().filter(F.abs(F.col("version")) <= 3).drop("_op", "_vbucket")
+    merged = merge_last_writer_wins(base, d.drop("_op"), ["k"])
+    live = {r["k"]: r["v"] for r in merged.filter(F.col("version") >= 0).collect()}
+    assert live == {2: "B2", 3: "c"}
+
+
+def test_sync_from(table, spark, tmp_path):
+    table.upsert(spark.createDataFrame([(5, "e")], "k: long, v: string"))
+    replica = VersionedTable(spark, SPEC, str(tmp_path / "replica"))
+    replica.sync_from(table)
+    assert {r["k"] for r in replica.live().collect()} == {1, 2, 3, 5}
+
+
+def test_apply_directly_idempotent(table, spark):
+    ops = spark.createDataFrame([(1, "old", 1)], "k: long, v: string, version: long")
+    table.apply_directly(ops)  # version 1 ≤ stored version → no change
+    assert {r["v"] for r in table.live().filter("k=1").collect()} == {"a"}
+
+
+def test_changelog_classification(spark):
+    log = spark.createDataFrame(
+        [(1, "a", 1), (1, "a2", 3), (2, "b", 2), (2, None, -4)],
+        "k: long, v: string, version: long",
+    )
+    ops = {(r["k"], r["version"]): r["_op"] for r in changelog_of(log, ["k"]).collect()}
+    assert ops[(1, 1)] == "INSERT" and ops[(1, 3)] == "UPDATE" and ops[(2, -4)] == "DELETE"
+
+
+def test_version_range(spark):
+    log = spark.createDataFrame(
+        [(1, 1), (2, -2), (3, 3), (4, 4)], "k: long, version: long"
+    )
+    got = sorted(r["k"] for r in version_range(log, 2, 3).collect())
+    assert got == [2, 3]
