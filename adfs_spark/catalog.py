@@ -27,14 +27,16 @@ TPCH_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; convert to a proper
-        # timestamp (microsecond truncation is semantically safe for the
-        # second-granularity thresholds the queries use).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+        # ts is TIMESTAMP(NANOS) in the file, which the Spark reader
+        # rejects unless surfaced as long nanos; set the (runtime-settable)
+        # legacy conf here so externally-created sessions work too, then
+        # convert to a proper timestamp (microsecond truncation is safe
+        # for the second-granularity thresholds the queries use).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_all(

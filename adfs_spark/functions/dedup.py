@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the whole point of these implementations):
+
+- **Exact**: one hash-groupBy on a 128-bit content fingerprint — a
+  single shuffle keyed by md5(text); at 100 TB group keys are tiny
+  (16 bytes) regardless of document size, so shuffle volume is
+  |docs| × 16B, not the corpus.
+- **N-gram Jaccard**: explode → self-join on shingle. Quadratic in the
+  worst case, so it is the *verify* stage, applied to candidate pairs
+  produced by LSH, never the whole corpus (the ``candidates``
+  parameter).
+- **MinHash+LSH**: shingle → xxhash64 → k permutations ((a·h+b) mod p)
+  → band signatures → groupBy band-hash. Only documents sharing a band
+  bucket ever meet, so the join is |buckets| sized. This is the scale
+  path for near-dedup.
+- **SimHash**: 64-bit signature per doc via bit-majority over token
+  hashes; hamming-ball lookup by banding the 64 bits into chunks.
+
+Everything is built-in expressions (explode/groupBy/bit ops); no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adfs_spark.functions.text import whitespace_tokens
+
+# Mersenne prime 2^31-1: universal-hash modulus.  Kept at 31 bits so
+# a·h+b (a,h < P) stays below 2^63 — ANSI mode (Spark 4 default)
+# raises on long overflow rather than wrapping.
+_P = (1 << 31) - 1
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """n-token shingles (distinct), as strings."""
+    toks = whitespace_tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep groups with >1 member.
+    Returns (fingerprint, n_dups, keeper) — keeper = min id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per distinct content."""
+    w_keep = (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_keep, id_col, "left_semi")
+
+
+# -- n-gram Jaccard (exact near-dup verify) ------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    Without ``candidates``: all pairs sharing ≥1 shingle (use only on
+    bounded inputs).  With ``candidates`` (columns id_a, id_b): verify
+    just those pairs — the LSH-then-verify pattern.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# -- MinHash + LSH -------------------------------------------------------
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i·x + b_i) mod P — seeded, reproducible across runs."""
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: array<long> of length
+    ``num_hashes``.  Shingle → xxhash64 (non-negative) → min over
+    (a·h+b) mod P per hash function.  One narrow pass, no shuffle."""
+    params = _hash_params(num_hashes, seed)
+    base = F.transform(
+        shingles(F.col(text_col), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
+            )
+            for a, b in params
+        ]
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs per bucket.
+
+    Shuffle key = (band index, band hash): only same-bucket documents
+    join. Buckets are tiny with high probability, so the per-bucket
+    self-join is cheap; skewed mega-buckets (degenerate content) are
+    capped by AQE skew-join splitting.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    bands = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ),
+        )
+    )
+    banded = signatures.select(F.col("_id"), bands.alias("band", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dedup pipeline: MinHash → LSH buckets → exact Jaccard
+    verify of candidates.  Returns (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band)
+    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands)
+
+
+# -- SimHash -------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: for each bit, majority vote of
+    token-hash bits.  Explode tokens → per-(doc,bit) sum of ±1 →
+    reassemble.  Two shuffles bounded by |docs|·64 longs."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bits = toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.call_function("shiftrightunsigned", F.col("_h"), i).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1),
+            )
+        ).alias("_bit", "_vote"),
+    )
+    votes = bits.groupBy("_id", "_bit").agg(F.sum("_vote").alias("_v"))
+    sig = votes.groupBy("_id").agg(
+        F.sum(
+            F.when(
+                F.col("_v") > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), F.col("_bit")),
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+    return sig
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split 64 bits into ``num_chunks`` chunks; any
+    pair within distance < num_chunks shares at least one exact chunk,
+    so candidate generation is an equi-join on (chunk index, chunk
+    value) — never a cross join.  Verify with bit_count(xor).
+    """
+    sigs = simhash(df, id_col, text_col)
+    width = 64 // num_chunks
+    chunks = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_chunks - 1)),
+            lambda c: F.call_function(
+                "shiftrightunsigned", F.col("simhash"), c * width
+            ).bitwiseAND(F.lit((1 << width) - 1)),
+        )
+    )
+    banded = sigs.select("_id", F.col("simhash"), chunks.alias("chunk", "value"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

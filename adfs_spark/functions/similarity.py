@@ -1,0 +1,245 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``brute_force_topk`` — exact cosine top-k. All-JVM expression
+  (zip_with dot product), TakeOrderedAndProject for the top-k — the
+  correctness baseline and fine for ≤ millions of rows per query.
+- ``RandomHyperplaneLSH`` / ``ivf_topk`` — the scale path: bucket
+  vectors so each query probes a small fraction of the corpus. At
+  100 TB the bucketed table is partitioned by bucket id; a query reads
+  only its probe buckets (partition pruning), turning ANN into a
+  handful of partition scans.
+
+Embedding-cosine near-dup for dedup pipelines reuses the same LSH:
+pairs sharing a signature bucket get exact-verified.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float arrays (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Null on zero-norm input (try_divide) rather than an ANSI
+    divide-by-zero error."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is inlined as a literal array → broadcast to every
+    task; the scan stays embarrassingly parallel and the global top-k
+    is a per-partition heap + driver merge (TakeOrderedAndProject).
+    Output: (id, sim) ordered by sim desc, id asc (deterministic ties).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("sim"),
+    )
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(*[int(i) for i in exclude_ids]))
+    return out.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join (every left row → its k nearest right rows).
+    Cross-join shaped — use only with a broadcast-sized right side, or
+    go through the LSH path below."""
+    r = F.broadcast(
+        right.select(F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rvec"))
+    )
+    l = left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec"))
+    joined = l.crossJoin(r).select(
+        "_lid", "_rid", cosine(F.col("_lvec"), F.col("_rvec")).alias("sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_lid").orderBy(F.desc("sim"), F.col("_rid"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_lid").alias("query_id"), F.col("_rid").alias("neighbor_id"), "sim")
+    )
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection LSH: ``num_bits`` random hyperplanes →
+    one integer signature per vector; hamming(sig) approximates angle.
+
+    Deterministic by seed.  ``signatures`` is one narrow projection
+    (no shuffle); bucketing groups by signature prefix.
+    """
+
+    def __init__(self, dim: int, num_bits: int = 16, seed: int = 42) -> None:
+        rnd = random.Random(seed)
+        self.dim = dim
+        self.num_bits = num_bits
+        # Gaussian hyperplanes, inlined as literals (tiny: bits × dim)
+        self.planes = [
+            [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_bits)
+        ]
+
+    def signature(self, vec: Column) -> Column:
+        bits = []
+        for i, plane in enumerate(self.planes):
+            p = F.array(*[F.lit(x) for x in plane])
+            bits.append(
+                F.when(dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        return sig
+
+    def bucketize(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        return df.withColumn("bucket", self.signature(F.col(vec_col)))
+
+    def topk(
+        self,
+        bucketed: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_hamming: int = 1,
+    ) -> DataFrame:
+        """ANN top-k: probe only buckets within ``max_hamming`` of the
+        query signature (multi-probe LSH); exact cosine inside."""
+        qsig = 0
+        for i, plane in enumerate(self.planes):
+            if sum(p * float(v) for p, v in zip(plane, query_vec)) >= 0:
+                qsig |= 1 << i
+        probes = [qsig]
+        if max_hamming >= 1:
+            probes += [qsig ^ (1 << i) for i in range(self.num_bits)]
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            bucketed.filter(F.col("bucket").isin(probes))
+            .select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+            .orderBy(F.desc("sim"), F.col(id_col))
+            .limit(k)
+        )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    num_bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket then exact-verify pairs in
+    the same bucket. Returns (id_a, id_b, sim ≥ threshold)."""
+    lsh = RandomHyperplaneLSH(dim, num_bits, seed)
+    b = lsh.bucketize(df, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "bucket"
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        cosine(F.col("a._vec"), F.col("b._vec")).alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= threshold)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (argmin L2). Centroids are literals (broadcast by value);
+    at scale, write the output partitioned by ``ivf_cell`` so queries
+    prune to probed cells."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda a_, b_: (a_.cast("double") - b_) * (a_.cast("double") - b_),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids
+        ]
+    )
+    best = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn("ivf_cell", best.cast("int"))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` nearest cells, exact cosine
+    within them."""
+    q = [float(x) for x in query_vec]
+    d2 = [
+        sum((float(a) - b) * (float(a) - b) for a, b in zip(cent, q))
+        for cent in centroids
+    ]
+    cells = [i for i, _ in sorted(enumerate(d2), key=lambda t: t[1])[:n_probe]]
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        assigned.filter(F.col("ivf_cell").isin(cells))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,151 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (split/filter/
+aggregate/regexp) — no Python UDFs — so they stay inside whole-stage
+codegen and scale linearly with executors.  These operators extend the
+reference's surface (it has no text processing); they are first-class
+citizens of this engine per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenization: word pieces, numbers, or single
+# non-space symbols (the GPT-2 pre-tokenizer family, simplified to a
+# regex Spark can run JVM-side).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be",
+)
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings stripped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def regex_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization (JVM-side regexp_extract_all)."""
+    return F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)").alias("tokens")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = whitespace_tokens(F.lower(text))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = whitespace_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic ∈ [0,1]: length band + stopword
+    presence + low punctuation + sane word lengths.  The standard
+    Gopher/C4-style rule family expressed as one JVM-side expression.
+    """
+    n_tok = F.size(whitespace_tokens(text))
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    sw = stopword_ratio(text)
+    mwl = mean_word_length(text)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(sw > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(text) < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((mwl >= 2) & (mwl <= 12), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+# -- language identification (character n-gram heuristic) ----------------
+
+# Tiny per-language marker profiles: highly characteristic character
+# sequences / stopwords. This is the classic n-gram-profile langid
+# reduced to a JVM-expressible score; swap profiles freely.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "ing", "tion"),
+    "de": ("der", "und", "sch", "ein", "ich"),
+    "fr": ("les", "des", "ent", "que", "tion"),
+    "es": ("los", "las", "cion", "que", "del"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def langid_scores(text: Column) -> Column:
+    """Per-language marker-hit scores as a map<string,int>."""
+    low = F.lower(text)
+    entries = []
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            hits = F.size(F.split(low, F.lit(m), -1)) - 1
+            score = hits if score is None else score + hits
+        entries.extend([F.lit(lang), score])
+    return F.create_map(*entries)
+
+
+def langid(text: Column) -> Column:
+    """Argmax language over the marker profiles ('und' if no hits)."""
+    m = langid_scores(text)
+    entries = F.map_entries(m)
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("und").alias("key"), F.lit(0).alias("value")),
+        lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+    )
+    return best["key"]
+
+
+# -- fingerprinting ------------------------------------------------------
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Exact-content fingerprint (hex md5) — stable across engines,
+    used as the exact-dedup key."""
+    return F.md5(text)
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min of xxhash64 over
+    ``window``-token shingles — robust to small edits, one 64-bit value
+    per document. (xxhash64 is Spark-side; for cross-engine comparison
+    use md5_fingerprint.)"""
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.array_min(hashes)
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full feature set."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("stopword_ratio", stopword_ratio(t))
+        .withColumn("punct_ratio", punct_ratio(t))
+        .withColumn("mean_word_len", mean_word_length(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_pred", langid(t))
+        .withColumn("fingerprint", md5_fingerprint(t))
+    )

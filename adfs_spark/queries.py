@@ -1,0 +1,1092 @@
+"""Declared query suite — every SURVEY §2 operator (plus the pipeline
+extensions) bound to the driver's fixture tables, each with a DuckDB
+oracle SQL string for differential correctness.
+
+Registry model: ``QUERIES`` maps name → (fn, oracle_sql | None).
+``fn(spark, sf_dir) -> DataFrame``.  Queries without an oracle are
+genuinely non-SQL-expressible (or engine-specific approximations like
+LSH bucketing); the driver records a rows-only check for those.
+
+Determinism conventions (SURVEY §7 hard-part c):
+- every LIMIT/OFFSET query orders by a unique key first;
+- money aggregates go through DECIMAL(18,2) (exact, order-insensitive)
+  and are cast back to DOUBLE for the comparator;
+- dates/timestamps in outputs are formatted to strings;
+- float similarity scores are computed in double precision with a
+  deterministic left-to-right fold in both engines, rounded to 5dp.
+
+Column-role binding onto the TPC-H-ish fixtures follows FIXTURES.md §6
+(e.g. block.fileId→file.id ≡ lineitem.l_orderkey→orders.o_orderkey).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adfs_spark.catalog import load_table
+from adfs_spark.functions import similarity as sim
+from adfs_spark.functions import text as textf
+from adfs_spark.functions.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from adfs_spark.operators.aggregates import group_argmax, max_version, under_replicated
+from adfs_spark.operators.delta import changelog_of, merge_last_writer_wins, version_range
+from adfs_spark.operators.find import Comparator, indexed_find, live_view, paginate
+from adfs_spark.operators.hierarchy import descendants, path_column
+from adfs_spark.operators.joins import anti_join, chain_join, fk_join, semi_join
+from adfs_spark.operators.windows import argmax_rows, priority_bucket, top_k
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def _dec4(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,4)")
+
+
+def _dsum(c: str | Column, alias: str) -> Column:
+    return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+def _day(c: str) -> Column:
+    return F.date_format(F.col(c), "yyyy-MM-dd")
+
+
+def _version_col() -> Column:
+    """Deterministic derived version for the tombstone/delta fixtures:
+    abs(version) = o_orderkey + 1, negative for every 97th key."""
+    v = (F.col("o_orderkey") + 1).cast("long")
+    return F.when(F.col("o_orderkey") % 97 == 0, -v).otherwise(v)
+
+_VERSION_SQL = "CASE WHEN o_orderkey % 97 = 0 THEN -(o_orderkey + 1) ELSE o_orderkey + 1 END"
+
+
+# =========================================================================
+# §2.1/2.2 — scans, indexed find, predicates (S1-S5, P1-P8)
+# =========================================================================
+
+
+@q(
+    "s1_point_lookup",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority
+       FROM orders WHERE o_orderkey = 500""",
+)
+def s1_point_lookup(spark, sf_dir):
+    """S1 EQ point read on the pk index (findByKeys :472-479)."""
+    o = load_table(spark, sf_dir, "orders")
+    return indexed_find(o, ["o_orderkey"], [500]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        _day("o_orderdate").alias("o_orderdate_s"), "o_orderpriority",
+    )
+
+
+@q(
+    "s1_range_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 100
+       ORDER BY o_orderkey LIMIT 50 OFFSET 20""",
+)
+def s1_range_limit_offset(spark, sf_dir):
+    """S1 GE range scan with LIMIT offset,n (DatabaseExecutorForMysqlClient :98)."""
+    o = load_table(spark, sf_dir, "orders")
+    return indexed_find(
+        o, ["o_orderkey"], [100], cmp=Comparator.GE, limit=50, offset=20
+    ).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "s1_composite_prefix",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey = 42",
+)
+def s1_composite_prefix(spark, sf_dir):
+    """P2: 1-key prefix probe of the composite (l_orderkey, l_linenumber)
+    'index' (FileRepository.findByParentId :73-78)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return indexed_find(li, ["l_orderkey", "l_linenumber"], [42]).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@q(
+    "s1_composite_point",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_orderkey = 42 AND l_linenumber = 3""",
+)
+def s1_composite_point(spark, sf_dir):
+    """P2: full composite-key point read (findByParentIdAndName :67-71)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return indexed_find(li, ["l_orderkey", "l_linenumber"], [42, 3]).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@q(
+    "p4_in_filter",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+       WHERE o_orderstatus IN ('P', 'F') AND o_totalprice >= 400000""",
+)
+def p4_in_filter(spark, sf_dir):
+    """P4: IN comparator (TDHSCommon.FindFlag :51-64) + conjunct."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        indexed_find(o, ["o_orderstatus"], [["P", "F"]], cmp=Comparator.IN)
+        .filter(F.col("o_totalprice") >= 400000)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@q(
+    "p5_tombstone_filter",
+    f"""SELECT o_orderkey, version FROM
+        (SELECT o_orderkey, {_VERSION_SQL} AS version FROM orders)
+        WHERE version >= 0""",
+)
+def p5_tombstone_filter(spark, sf_dir):
+    """P5: live view strips version<0 (removeDeletedRows :481-488)."""
+    o = load_table(spark, sf_dir, "orders").withColumn("version", _version_col())
+    return live_view(o).select("o_orderkey", "version")
+
+
+@q("s9_count", "SELECT count(*) AS cnt FROM lineitem")
+def s9_count(spark, sf_dir):
+    """S9/A1: COUNT(*) (DatabaseExecutor.count :139-155)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count("*").alias("cnt"))
+
+
+@q(
+    "s6_pagination_keyset",
+    """SELECT n_nationkey, n_name FROM nation WHERE n_name > 'NATION_10'
+       ORDER BY n_name LIMIT 5""",
+)
+def s6_pagination_keyset(spark, sf_dir):
+    """§2.6: proper keyset listing pagination (the fork drops its
+    startAfter parameter, FSNamesystem.getListing :1658-1661)."""
+    n = load_table(spark, sf_dir, "nation")
+    return paginate(n, ["n_name"], start_after="NATION_10", limit=5).select(
+        "n_nationkey", "n_name"
+    )
+
+
+# =========================================================================
+# §2.3 — joins (J1-J8)
+# =========================================================================
+
+
+@q(
+    "j1_fact_join",
+    """SELECT l_orderkey, l_linenumber, o_custkey, l_quantity
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderstatus = 'F'""",
+)
+def j1_fact_join(spark, sf_dir):
+    """J1: file⋈block ≡ orders⋈lineitem 1→N equi join
+    (findBlockByFilePath :800-808)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return fk_join(li, o, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "o_custkey", "l_quantity"
+    )
+
+
+@q(
+    "j2_dim_broadcast",
+    """SELECT c_custkey, n_name, r_name FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey""",
+)
+def j2_dim_broadcast(spark, sf_dir):
+    """J2: block⋈datanode ≡ fact⋈broadcast dims (in-memory map analog
+    O12, reloadDatanodeDescriptorMaps :336-373)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    out = fk_join(c, n, "c_nationkey", "n_nationkey", broadcast_parent=True)
+    out = fk_join(out, r, "n_regionkey", "r_regionkey", broadcast_parent=True)
+    return out.select("c_custkey", "n_name", "r_name")
+
+
+@q(
+    "j3_semi_join",
+    """SELECT o_orderkey FROM orders o WHERE EXISTS
+       (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+)
+def j3_semi_join(spark, sf_dir):
+    """J3: loop-of-lookups driver ≡ semi join (findBlockByFiles :810-818)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return semi_join(o, li, o["o_orderkey"] == li["l_orderkey"]).select("o_orderkey")
+
+
+@q(
+    "j5_anti_reported",
+    """SELECT event_id FROM events e WHERE NOT EXISTS
+       (SELECT 1 FROM orders o WHERE o.o_orderkey = e.event_id)""",
+)
+def j5_anti_reported(spark, sf_dir):
+    """J5 direction 1: reported ∖ stored (processReport toInvalidate
+    :2488-2493)."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(e, o, e["event_id"] == o["o_orderkey"]).select("event_id")
+
+
+@q(
+    "j5_anti_stored",
+    """SELECT o_orderkey FROM orders o WHERE NOT EXISTS
+       (SELECT 1 FROM events e WHERE e.event_id = o.o_orderkey)""",
+)
+def j5_anti_stored(spark, sf_dir):
+    """J5 direction 2: stored ∖ reported (toRemove leftover scan
+    :2562-2577)."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(o, e, e["event_id"] == o["o_orderkey"]).select("o_orderkey")
+
+
+@q(
+    "j6_secondary_index_join",
+    "SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey",
+)
+def j6_secondary_index_join(spark, sf_dir):
+    """J6: lease⋈file-on-leaseHolder ≡ N→1 join on a secondary index
+    (LeaseMonitor.run :893-914)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return fk_join(s, n, "s_nationkey", "n_nationkey", broadcast_parent=True).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+# =========================================================================
+# §2.4/2.5 — aggregations + windows (A1-A7, W1-W4)
+# =========================================================================
+
+
+@q(
+    "a2_group_argmax",
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS last_shipdate
+       FROM (SELECT l_orderkey, l_linenumber, l_shipdate, row_number() OVER
+               (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+             FROM lineitem) WHERE rn = 1""",
+)
+def a2_group_argmax(spark, sf_dir):
+    """A2/W1: BlockEntry primary-replica argmax(generationStamp, version)
+    ≡ argmax(l_shipdate, l_linenumber) per order (BlockEntry.java:42-63)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    win = group_argmax(li, ["l_orderkey"], ["l_shipdate", "l_linenumber"])
+    return win.select(
+        "l_orderkey", "l_linenumber", _day("l_shipdate").alias("last_shipdate")
+    )
+
+
+@q(
+    "a3_sum_per_parent",
+    """SELECT l_orderkey,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              count(*) AS n_items
+       FROM lineitem GROUP BY l_orderkey""",
+)
+def a3_sum_per_parent(spark, sf_dir):
+    """A3: SUM(block length) per file ≡ SUM per order
+    (BlockEntry.getTotalLength :158-164)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        _dsum("l_extendedprice", "sum_price"), F.count("*").alias("n_items")
+    )
+
+
+@q(
+    "a4_status_summary",
+    """SELECT o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+       FROM orders GROUP BY o_orderstatus""",
+)
+def a4_status_summary(spark, sf_dir):
+    """A4: content-summary-style count/sum buckets
+    (FSNamesystem.getContentSummary :1462-1473)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice", "sum_price"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+    )
+
+
+@q(
+    "a5_global_stats",
+    """SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price
+       FROM lineitem""",
+)
+def a5_global_stats(spark, sf_dir):
+    """A5: cluster statistics SUM/COUNT battery
+    (updateClusterStatistics :478-512)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        _dsum("l_quantity", "sum_qty"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 2
+        ).alias("avg_price"),
+    )
+
+
+@q(
+    "a6_having_under_threshold",
+    """SELECT o_orderkey, count(*) AS n_items FROM orders
+       JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_orderkey HAVING count(*) < 2""",
+)
+def a6_having_under_threshold(spark, sf_dir):
+    """A6: blocks with live replicas < replication factor ≡ orders with
+    fewer items than a threshold (checkReplicationFactor :1140-1150)."""
+    o = load_table(spark, sf_dir, "orders").withColumn("expected", F.lit(2))
+    li = load_table(spark, sf_dir, "lineitem")
+    return under_replicated(li, o, "l_orderkey", "o_orderkey", "expected").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("live_count").alias("n_items")
+    )
+
+
+@q(
+    "a7_max_version",
+    f"SELECT max(abs(version)) AS max_version FROM (SELECT {_VERSION_SQL} AS version FROM orders)",
+)
+def a7_max_version(spark, sf_dir):
+    """A7: version-counter discovery (findVersionFromData :168-189)."""
+    o = load_table(spark, sf_dir, "orders").withColumn("version", _version_col())
+    return max_version(o)
+
+
+@q(
+    "w1_argmax_window",
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+       FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             FROM lineitem) WHERE rn = 1""",
+)
+def w1_argmax_window(spark, sf_dir):
+    """W1 window form: best row per supplier (row_number()==1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return argmax_rows(
+        li,
+        ["l_suppkey"],
+        [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@q(
+    "w2_topk_per_group",
+    """SELECT l_orderkey, l_linenumber, rn AS rank FROM
+       (SELECT l_orderkey, l_linenumber, row_number() OVER
+          (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 2""",
+)
+def w2_topk_per_group(spark, sf_dir):
+    """W2 generalization: top-k rows per group (ordinal ordering of
+    blocks within a file, BlockEntry.compareTo :119-122)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"), "l_linenumber")
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("l_orderkey", "l_linenumber", "rank")
+    )
+
+
+@q(
+    "w3_priority_topk",
+    """SELECT o_orderkey, priority FROM
+       (SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+                                WHEN o_orderpriority = '2-HIGH' THEN 1
+                                ELSE 2 END AS priority FROM orders)
+       ORDER BY priority, o_orderkey LIMIT 100""",
+)
+def w3_priority_topk(spark, sf_dir):
+    """W3: priority-bucketed queue, top-100
+    (UnderReplicatedBlocks.getPriority :70-107)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = priority_bucket(
+        o,
+        [
+            (F.col("o_orderpriority") == "1-URGENT", 0),
+            (F.col("o_orderpriority") == "2-HIGH", 1),
+        ],
+        default=2,
+    )
+    return top_k(b, [F.col("priority"), F.col("o_orderkey")], 100).select(
+        "o_orderkey", "priority"
+    )
+
+
+@q(
+    "w4_pick_one_per_group",
+    """SELECT c_nationkey, c_custkey, c_name FROM
+       (SELECT c_nationkey, c_custkey, c_name, row_number() OVER
+          (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn FROM customer)
+       WHERE rn = 1""",
+)
+def w4_pick_one_per_group(spark, sf_dir):
+    """W4: one datanode per ip ≡ one customer per nation, deterministic
+    order (getDatanodeDescriptorByDatanodeIp :307-318)."""
+    c = load_table(spark, sf_dir, "customer")
+    return argmax_rows(c, ["c_nationkey"], [F.col("c_custkey")]).select(
+        "c_nationkey", "c_custkey", "c_name"
+    )
+
+
+@q(
+    "sort_topk_global",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def sort_topk_global(spark, sf_dir):
+    """§2.6: global top-k (TakeOrderedAndProject — per-partition heaps,
+    no full sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(o, [F.desc("o_totalprice"), F.col("o_orderkey")], 10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# =========================================================================
+# §2.7 — time-threshold scans (T1, T2)
+# =========================================================================
+
+
+@q(
+    "t1_expired_threshold",
+    "SELECT event_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'",
+)
+def t1_expired_threshold(spark, sf_dir):
+    """T1: expired leases — time < now − hardLimit
+    (LeaseRepository.findByTimeLessThan :48-52)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
+        "event_id"
+    )
+
+
+@q(
+    "t2_stale_relative",
+    """SELECT event_id FROM events
+       WHERE ts < (SELECT max(ts) - INTERVAL 7 DAY FROM events)""",
+)
+def t2_stale_relative(spark, sf_dir):
+    """T2: dead datanodes — lastUpdated < now − expireInterval, with
+    'now' = max heartbeat (isDatanodeDead :1784-1786).  The scalar
+    aggregate is broadcast-joined, not collected."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("_cutoff"))
+    return e.join(F.broadcast(cutoff)).filter(F.col("ts") < F.col("_cutoff")).select(
+        "event_id"
+    )
+
+
+# =========================================================================
+# §2.8 — hierarchy (H1-H6) on the region→nation→customer chain
+# =========================================================================
+
+_NS_SQL = """
+    SELECT 1 + r_regionkey AS id, 0 AS parentId, r_name AS name FROM region
+    UNION ALL
+    SELECT 100 + n_nationkey, 1 + n_regionkey, n_name FROM nation
+    UNION ALL
+    SELECT 10000 + c_custkey, 100 + c_nationkey, c_name FROM customer
+"""
+
+
+def _namespace(spark, sf_dir) -> DataFrame:
+    """Synthetic namespace tree: root(0) → regions → nations → customers,
+    with disjoint id ranges (FIXTURES.md §6 hierarchy binding)."""
+    r = load_table(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + 1).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("parentId"),
+        F.col("r_name").alias("name"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("id"),
+        (F.col("n_regionkey") + 1).cast("long").alias("parentId"),
+        F.col("n_name").alias("name"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 10000).cast("long").alias("id"),
+        (F.col("c_nationkey") + 100).cast("long").alias("parentId"),
+        F.col("c_name").alias("name"),
+    )
+    return r.unionByName(n).unionByName(c)
+
+
+@q(
+    "h1_chain_resolution",
+    """SELECT c_custkey, concat('/', r_name, '/', n_name, '/', c_name) AS path
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey""",
+)
+def h1_chain_resolution(spark, sf_dir):
+    """H1/J4: bounded-depth path chain — every customer's full path
+    (findFilesByPath :681-694, batch form)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    chained = chain_join(
+        [r, n, c], [("n_regionkey", "r_regionkey"), ("c_nationkey", "n_nationkey")]
+    )
+    return chained.select(
+        "c_custkey",
+        F.concat(
+            F.lit("/"), F.col("r_name"), F.lit("/"), F.col("n_name"), F.lit("/"), F.col("c_name")
+        ).alias("path"),
+    )
+
+
+@q(
+    "h3_listing_children",
+    """SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 5
+       AND c_name > 'Customer#000000100' ORDER BY c_name LIMIT 20""",
+)
+def h3_listing_children(spark, sf_dir):
+    """H3 + keyset pagination: directory listing of one nation's
+    customers (findFileChildrenByPath :701-720)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 5)
+    return paginate(c, ["c_name"], start_after="Customer#000000100", limit=20).select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "h4_descendants",
+    f"""WITH ns AS ({_NS_SQL})
+        SELECT a.id, a.name, 1 AS level FROM ns a WHERE a.parentId = 1
+        UNION ALL
+        SELECT b.id, b.name, 2 AS level FROM ns b
+        WHERE b.parentId IN (SELECT id FROM ns WHERE parentId = 1)""",
+)
+def h4_descendants(spark, sf_dir):
+    """H4: BFS descendant set of region node 1 (= 'AFRICA')
+    (findFileDescendantByFileInternal :731-755)."""
+    ns = _namespace(spark, sf_dir)
+    return descendants(ns, [1]).select("id", "name", "level")
+
+
+@q(
+    "h2_path_column",
+    f"""WITH ns AS ({_NS_SQL})
+        SELECT n1.id, concat('/', coalesce(n3.name || '/', ''),
+                             coalesce(n2.name || '/', ''), n1.name) AS path
+        FROM ns n1
+        LEFT JOIN ns n2 ON n1.parentId = n2.id
+        LEFT JOIN ns n3 ON n2.parentId = n3.id""",
+)
+def h2_path_column(spark, sf_dir):
+    """H2: reverse path reconstruction for every node, batch
+    (findFileById :647-659 done set-at-a-time)."""
+    ns = _namespace(spark, sf_dir)
+    return path_column(ns).select("id", "path")
+
+
+# =========================================================================
+# §2.9/2.10 — write-path & delta (U1-U4, D1-D2) in pure query form
+# =========================================================================
+
+
+@q(
+    "d2_delta_range",
+    f"""SELECT o_orderkey, version FROM
+        (SELECT o_orderkey, {_VERSION_SQL} AS version FROM orders)
+        WHERE abs(version) BETWEEN 5000 AND 10000""",
+)
+def d2_delta_range(spark, sf_dir):
+    """D2: version-range delta extraction (getDataIncrement :221-249)."""
+    o = load_table(spark, sf_dir, "orders").withColumn("version", _version_col())
+    return version_range(o, 5000, 10000).select("o_orderkey", "version")
+
+
+@q(
+    "u4_lww_merge",
+    f"""WITH base AS (SELECT o_orderkey, {_VERSION_SQL} AS version,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+         upd AS (SELECT o_orderkey, o_orderkey + 1000001 AS version,
+                        CAST(o_totalprice + 1000 AS DECIMAL(18,2)) AS price
+                 FROM orders WHERE o_orderkey % 5 = 0),
+         unioned AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+         SELECT o_orderkey, version, CAST(price AS DOUBLE) AS price FROM
+           (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY abs(version) DESC) AS rn FROM unioned)
+         WHERE rn = 1""",
+)
+def u4_lww_merge(spark, sf_dir):
+    """U4: idempotent last-writer-wins merge by |version|
+    (insert/update/deleteDirectly :420-470)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", _version_col().alias("version"), _dec("o_totalprice").alias("price")
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderkey") + 1000001).cast("long").alias("version"),
+        _dec(F.col("o_totalprice") + 1000).alias("price"),
+    )
+    merged = merge_last_writer_wins(base, upd, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "version", F.col("price").cast("double").alias("price")
+    )
+
+
+@q(
+    "d1_changelog_classify",
+    f"""WITH log AS (
+          SELECT o_orderkey, {_VERSION_SQL} AS version FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderkey + 1000001 FROM orders WHERE o_orderkey % 5 = 0)
+        SELECT o_orderkey, version,
+               CASE WHEN version < 0 THEN 'DELETE'
+                    WHEN row_number() OVER (PARTITION BY o_orderkey
+                         ORDER BY abs(version)) = 1 THEN 'INSERT'
+                    ELSE 'UPDATE' END AS op
+        FROM log""",
+)
+def d1_changelog_classify(spark, sf_dir):
+    """D1: op classification of a change log
+    (DistributedOperationQueue.java:21-103)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", _version_col().alias("version"))
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("o_orderkey") + 1000001).cast("long").alias("version")
+    )
+    log = base.unionByName(upd)
+    return changelog_of(log, ["o_orderkey"], op_col="op")
+
+
+# =========================================================================
+# §2.11 — scalar functions (F1-F7)
+# =========================================================================
+
+
+@q(
+    "f2_ip_pack_roundtrip",
+    """SELECT event_id, user_id,
+              user_id * 4294967296 + event_id AS packed,
+              (user_id * 4294967296 + event_id) // 4294967296 AS ip_back,
+              (user_id * 4294967296 + event_id) % 4294967296 AS port_back
+       FROM events WHERE event_id < 1000""",
+)
+def f2_ip_pack_roundtrip(spark, sf_dir):
+    """F2: (ip,port)↔long packing (Datanode.getIp/getPort :166-172).
+    Expressed with *arithmetic* (not bit ops) so the oracle SQL is
+    engine-portable; the library's pack_ip_port uses shifts."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    packed = (F.col("user_id") * F.lit(4294967296).cast("long") + F.col("event_id")).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        packed.alias("packed"),
+        F.floor(packed / 4294967296).cast("long").alias("ip_back"),
+        F.pmod(packed, F.lit(4294967296)).cast("long").alias("port_back"),
+    )
+
+
+# =========================================================================
+# Pipeline extensions: text analysis
+# =========================================================================
+
+
+@q(
+    "text_token_count",
+    """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+       FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textf.token_count(F.col("text")).alias("n_tokens"))
+
+
+@q(
+    "text_quality_ratios",
+    """SELECT doc_id,
+          round(CAST(len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be')))
+                AS DOUBLE) / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1), 5)
+            AS stopword_ratio,
+          round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1), 5) AS punct_ratio
+       FROM documents""",
+)
+def text_quality_ratios(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textf.stopword_ratio(F.col("text")), 5).alias("stopword_ratio"),
+        F.round(textf.punct_ratio(F.col("text")), 5).alias("punct_ratio"),
+    )
+
+
+@q(
+    "text_lang_distribution",
+    "SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang",
+)
+def text_lang_distribution(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@q("text_langid_heuristic", None)  # heuristic scores: engine-side only
+def text_langid_heuristic(spark, sf_dir):
+    """N-gram/marker language-ID heuristic (no SQL oracle — the marker
+    aggregation argmax is engine-specific)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textf.langid(F.col("text")).alias("lang_pred"))
+
+
+@q("text_fingerprint_md5", "SELECT doc_id, md5(text) AS fingerprint FROM documents")
+def text_fingerprint_md5(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textf.md5_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# =========================================================================
+# Pipeline extensions: deduplication
+# =========================================================================
+
+
+@q(
+    "dedup_exact_groups",
+    """SELECT fingerprint, n_dups, keeper FROM
+       (SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keeper
+        FROM documents GROUP BY 1) WHERE n_dups > 1""",
+)
+def dedup_exact_groups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(d, "doc_id", "text")
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(len(t)-2, 1)+1)) AS r(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c*1.0/(sa.sz + sb.sz - c), 5) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.8."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+@q("dedup_minhash_lsh", None)  # LSH bucketing: engine-specific hashing
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (xxhash64-based signatures have no
+    cross-engine oracle; exactness is asserted against dedup_ngram_jaccard
+    in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    got = minhash_near_duplicates(
+        d, "doc_id", "text", num_hashes=64, num_bands=16, threshold=0.8
+    )
+    return got.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+@q("dedup_simhash", None)  # engine-specific hashing
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates at hamming ≤ 12 of 64 bits."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=12, num_chunks=16)
+
+
+# =========================================================================
+# Pipeline extensions: similarity search
+# =========================================================================
+
+_COS_SQL = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+           / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                    list_transform(embedding, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM embeddings, q)
+SELECT vec_id, round(sim, 5) AS sim FROM scored
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@q("sim_topk_bruteforce", _COS_SQL)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 neighbors of vec_id 0 (brute force)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    got = sim.brute_force_topk(e, qv, k=10)
+    return got.select("vec_id", F.round("sim", 5).alias("sim"))
+
+
+@q("sim_topk_lsh", None)  # approximate by design
+def sim_topk_lsh(spark, sf_dir):
+    """ANN top-10 via random-hyperplane LSH with multi-probe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    lsh = sim.RandomHyperplaneLSH(dim=64, num_bits=10, seed=7)
+    bucketed = lsh.bucketize(e)
+    got = lsh.topk(bucketed, qv, k=10, max_hamming=1)
+    return got.select("vec_id", F.round("sim", 5).alias("sim"))
+
+
+_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 5) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+"""
+
+
+@q("sim_embedding_neardup_exact", _NEARDUP_SQL)
+def sim_embedding_neardup_exact(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (sim ≥ 0.9) — the verify
+    stage of embedding dedup, run exhaustively for the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(F.col("vec_id"), F.col("embedding"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= 0.9).select(
+        "id_a", "id_b", F.round("sim", 5).alias("sim")
+    )
+
+
+@q("sim_embedding_neardup_lsh", None)  # LSH-bucketed: approximate recall
+def sim_embedding_neardup_lsh(spark, sf_dir):
+    """Scale path for the same query: LSH-bucket then exact-verify."""
+    e = load_table(spark, sf_dir, "embeddings")
+    got = sim.embedding_near_duplicates(e, dim=64, threshold=0.9, num_bits=8)
+    return got.select("id_a", "id_b", F.round("sim", 5).alias("sim"))
+
+
+# =========================================================================
+# Pipeline extensions: multimodal plumbing
+# =========================================================================
+
+
+@q(
+    "mm_payload_size",
+    "SELECT doc_id AS media_id, strlen(text) AS payload_size FROM documents",
+)
+def mm_payload_size(spark, sf_dir):
+    """Binary payload ingestion: byte sizes of the encoded payload
+    column (metadata plumbing; decode itself is stubbed)."""
+    from adfs_spark.functions.multimodal import from_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    media = from_documents(d)
+    return media.select("media_id", F.octet_length("payload").alias("payload_size"))
+
+
+@q("mm_feature_extract", None)  # mapInPandas + stub decode: engine-side
+def mm_feature_extract(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads
+    (deterministic stub decode)."""
+    from adfs_spark.functions.multimodal import extract_features, from_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    media = from_documents(d)
+    feats = extract_features(media, dim=8)
+    return feats.select("media_id", "payload_size", "content_hash")
+
+
+# =========================================================================
+# Event-time windows (the idiomatic-Spark extension; §2.10 note)
+# =========================================================================
+
+
+@q(
+    "events_hourly_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def events_hourly_window(spark, sf_dir):
+    """Tumbling event-time window aggregate (batch form of the D6/D7
+    streaming loops; watermarked streaming twin in adfs_spark.streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), _dsum("value", "sum_value"))
+
+
+@q(
+    "events_latest_per_user",
+    """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM
+       (SELECT user_id, event_id, ts, row_number() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       WHERE rn = 1""",
+)
+def events_latest_per_user(spark, sf_dir):
+    """D6 heartbeat-upsert semantics in batch: latest event per user."""
+    e = load_table(spark, sf_dir, "events")
+    win = group_argmax(e, ["user_id"], ["ts", "event_id"])
+    return win.select(
+        "user_id", "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+    )
+
+
+# =========================================================================
+# Headline analytics (bench queries; TPC-H-style shapes)
+# =========================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped pricing summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_unshipped_revenue",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+             AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def q3_unshipped_revenue(spark, sf_dir):
+    """TPC-H Q3-shaped: top unshipped orders by revenue."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    j = fk_join(o, c, "o_custkey", "c_custkey", broadcast_parent=True)
+    j = li.join(j, li["l_orderkey"] == j["o_orderkey"])
+    out = (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+    return out.select("o_orderkey", _day("o_orderdate").alias("o_orderdate_s"), "revenue")
+
+
+@q(
+    "q5_nation_revenue",
+    """SELECT n_name,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name IN ('ASIA', 'AFRICA')
+       GROUP BY n_name""",
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped: local-supplier revenue by nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AFRICA"))
+    # lineitem⋈orders is fact-fact → shuffle (AQE handles skew);
+    # customer/supplier/nation/region are dimensions → broadcast.
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adfs_spark.functions.dedup import (
+    exact_duplicates,
+    drop_exact_duplicates,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+from adfs_spark.functions.text import add_text_features, langid, token_count
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("hello world foo",), ("one",)], "text: string")
+    got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    assert got == [3, 1]
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("der hund und ich gehen schnell",),
+            ("我 是 的 了 在",),
+        ],
+        "text: string",
+    )
+    got = [r[0] for r in df.select(langid(F.col("text"))).collect()]
+    assert got == ["en", "de", "zh"]
+
+
+def test_text_features_on_fixture(tables):
+    feats = add_text_features(tables["documents"])
+    row = feats.first()
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["n_tokens"] > 0
+    assert len(row["fingerprint"]) == 32
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id: long, text: string"
+    )
+    dups = exact_duplicates(df, "id", "text").collect()
+    assert len(dups) == 1 and dups[0]["n_dups"] == 2 and dups[0]["keeper"] == 1
+    kept = drop_exact_duplicates(df, "id", "text")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+
+
+def test_jaccard_pairs(spark):
+    a = "the quick brown fox jumps over the lazy dog every single day"
+    b = "the quick brown fox jumps over the lazy dog every single night"
+    c = "completely different words appear here nothing shared at all whatsoever indeed"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id: long, text: string")
+    got = jaccard_pairs(df, "id", "text", n=3, threshold=0.5).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+    assert 0.5 <= got[0]["jaccard"] < 1.0
+
+
+def test_minhash_pipeline(spark):
+    a = " ".join(f"w{i}" for i in range(50))
+    b = " ".join(f"w{i}" for i in range(49)) + " zz"
+    c = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id: long, text: string")
+    sigs = minhash_signatures(df, "id", "text", num_hashes=32)
+    assert len(sigs.first()["signature"]) == 32
+    got = minhash_near_duplicates(
+        df, "id", "text", num_hashes=32, num_bands=8, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(1, 2)}
+
+
+def test_simhash(spark):
+    a = " ".join(f"w{i}" for i in range(60))
+    b = " ".join(f"w{i}" for i in range(59)) + " zz"
+    c = " ".join(f"y{i}" for i in range(60))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id: long, text: string")
+    sigs = {r["_id"]: r["simhash"] for r in simhash(df, "id", "text").collect()}
+    assert len(sigs) == 3
+    ham_ab = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_ac = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_ab < ham_ac
+    # num_chunks must exceed max_hamming for the pigeonhole guarantee
+    got = simhash_near_duplicates(df, "id", "text", max_hamming=15, num_chunks=16).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
