@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from adfs_spark.functions.text import whitespace_tokens
+from adfs_spark.functions.util import spread
 
 # Mersenne prime 2^31-1: universal-hash modulus.  Kept at 31 bits so
 # a·h+b (a,h < P) stays below 2^63 — ANSI mode (Spark 4 default)
@@ -78,27 +79,55 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
     Without ``candidates``: all pairs sharing ≥1 shingle (use only on
     bounded inputs).  With ``candidates`` (columns id_a, id_b): verify
-    just those pairs — the LSH-then-verify pattern.
+    just those pairs — the LSH-then-verify pattern.  ``shingle_df``
+    (columns _id, _sh) lets callers reuse an already-exploded shingle
+    table (minhash_near_duplicates shares one across stages).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_sh")
-    )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("_common"))
-    )
+    sh = shingle_df
+    if sh is None:
+        sh = spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+        )
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Candidate-driven: explode only candidate members and join the
+        # pair list first — work is O(|candidates| · shingles/doc), not
+        # O(all-pairs-sharing-a-shingle).  This is what makes
+        # LSH-then-verify linear at corpus scale.
+        docs = candidates.select(F.col("id_a").alias("_id")).union(
+            candidates.select(F.col("id_b").alias("_id"))
+        ).distinct()
+        sh_c = sh.join(docs, "_id", "left_semi").persist()
+        sizes = sh_c.groupBy("_id").agg(F.count("*").alias("_sz"))
+        sa_sh = sh_c.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+        sb_sh = sh_c.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb"))
+        common = (
+            candidates.join(sa_sh, "id_a")
+            .join(
+                sb_sh,
+                (F.col("id_b") == F.col("_idb")) & (F.col("_sha") == F.col("_shb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_common"))
+        )
+    else:
+        sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(
+                b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id"))
+            )
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count("*").alias("_common"))
+        )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
     out = (
@@ -133,24 +162,35 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 128,
     seed: int = 42,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length
     ``num_hashes``.  Shingle → xxhash64 (non-negative) → min over
-    (a·h+b) mod P per hash function.  One narrow pass, no shuffle."""
+    (a·h+b) mod P per hash function.
+
+    Shape: explode shingles once, hash once, then ``num_hashes`` cheap
+    arithmetic MIN aggregates with map-side partial combine — the
+    shuffle carries one row of ``num_hashes`` longs per document
+    partial, never the shingles.  (A transform-per-hash-function array
+    expression recomputes the shingle array k times — measured 20×
+    slower.)"""
     params = _hash_params(num_hashes, seed)
-    base = F.transform(
-        shingles(F.col(text_col), n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+    if shingle_df is not None:
+        exploded = shingle_df
+    else:
+        exploded = spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+        )
+    exploded = exploded.withColumn("_h", F.pmod(F.xxhash64("_sh"), F.lit(_P)))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    per_doc = exploded.groupBy("_id").agg(*aggs)
+    return per_doc.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
-            )
-            for a, b in params
-        ]
-    )
-    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -208,9 +248,16 @@ def minhash_near_duplicates(
     """Full near-dedup pipeline: MinHash → LSH buckets → exact Jaccard
     verify of candidates.  Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # One shingle explode shared by the signature and verify stages.
+    sh = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+    ).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingle_df=sh)
     cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band)
-    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands)
+    return jaccard_pairs(
+        df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
+    )
 
 
 # -- SimHash -------------------------------------------------------------
@@ -220,7 +267,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: for each bit, majority vote of
     token-hash bits.  Explode tokens → per-(doc,bit) sum of ±1 →
     reassemble.  Two shuffles bounded by |docs|·64 longs."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(whitespace_tokens(F.col(text_col))).alias("_tok"),
     ).withColumn("_h", F.xxhash64("_tok"))

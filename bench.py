@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark — runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+collect) so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the suite: scans, the big joins/aggs, argmax,
+# anti-join diff, LWW merge, hierarchy, text/dedup/similarity extensions.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_nation_revenue",
+    "j1_fact_join",
+    "j5_anti_stored",
+    "a2_group_argmax",
+    "a3_sum_per_parent",
+    "w2_topk_per_group",
+    "u4_lww_merge",
+    "h2_path_column",
+    "events_hourly_window",
+    "events_latest_per_user",
+    "text_quality_ratios",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> int:
+    from adfs_spark.queries import QUERIES
+    from adfs_spark.session import get_spark
+
+    spark = get_spark("adfs-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session (classloading, parquet reader, codegen JIT)
+    # so the first timed query doesn't pay one-time startup costs —
+    # matching how a long-running cluster actually behaves
+    spark.range(1000).count()
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    warm.limit(10000).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    ).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
