@@ -71,9 +71,13 @@ class TableSpec:
     indexes: tuple[IndexSpec, ...] = field(default_factory=tuple)
     versioned: bool = False
 
-    def struct_type(self) -> T.StructType:
+    def struct_type(self, include_version: bool = True) -> T.StructType:
         fields = [c.to_field() for c in self.columns]
-        if self.versioned and VERSION_COL not in {c.name for c in self.columns}:
+        if (
+            include_version
+            and self.versioned
+            and VERSION_COL not in {c.name for c in self.columns}
+        ):
             fields.append(T.StructField(VERSION_COL, T.LongType(), False))
         return T.StructType(fields)
 

@@ -1,0 +1,126 @@
+"""Streaming loops — the reference's RPC/monitor threads re-expressed
+as Structured Streaming.
+
+The reference's "streams" are processing-time loops: heartbeat upserts
+every ~3s (D6, updateDatanodeByDatanodeDescriptor :413-468), periodic
+block reports diffed against state (D7, processReport :2468-2620), a
+lease monitor scanning for expired holders (T1, LeaseMonitor :893-914),
+and an async edit-log applier on replicas (D5, DistributedEditLogger
+:41-170).  None of them have event-time semantics — so the faithful
+mapping is file-source streams + ``foreachBatch`` appliers with
+processing-time triggers.
+
+On top, :func:`windowed_event_counts` adds what the reference lacks:
+event-time tumbling windows with watermarks for late data — the
+idiomatic-Spark extension (SURVEY §7 step 7).
+
+Scale: every sink here is an idempotent merge by (pk, version) — D5's
+at-least-once batch replay is safe; watermark state is bounded by
+(window × keys), the classic streaming-state sizing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from adfs_spark.storage import OP_COL, VBUCKET_COL, VersionedTable
+
+
+def changelog_stream(spark: SparkSession, table: VersionedTable) -> DataFrame:
+    """D1 as a stream: follow a table's change log (file source tails
+    the version-bucketed directory)."""
+    schema = table.spec.struct_type().add(OP_COL, T.StringType())
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(table.changelog_path + f"/{VBUCKET_COL}=*")
+    )
+
+
+def replicate(
+    source: VersionedTable,
+    replica: VersionedTable,
+    checkpoint: str,
+) -> StreamingQuery:
+    """D5: the edit-logger applier — tail the master's change log and
+    idempotently merge each micro-batch into the replica (U4
+    last-writer-wins makes at-least-once replay safe; barrier =
+    ``processAllAvailable``, parity with waitUntilWorkSizeIsEmpty
+    :163-170)."""
+    spark = source.spark
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        replica.apply_directly(batch.drop(OP_COL))
+
+    return (
+        changelog_stream(spark, source)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heartbeat_applier(
+    heartbeats: DataFrame,
+    datanodes: VersionedTable,
+    checkpoint: str,
+) -> StreamingQuery:
+    """D6: streaming heartbeat upserts — each micro-batch keeps the
+    latest row per datanode id and upserts it."""
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from adfs_spark.operators.aggregates import group_argmax
+
+        latest = group_argmax(batch, list(datanodes.spec.primary_key), ["lastUpdated"])
+        datanodes.upsert(latest)
+
+    return (
+        heartbeats.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark for late data
+    — the idiomatic extension the reference lacks (its loops are purely
+    processing-time).  Works on both batch and streaming DataFrames."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def events_file_stream(
+    spark: SparkSession, events_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Replay an events directory as a stream (test/bench harness for
+    the D6/D7 loops)."""
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    )

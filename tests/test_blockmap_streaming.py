@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adfs_spark.blockmap import BlockMap
+from adfs_spark.namespace import Namespace
+from adfs_spark.schema import BLOCK, DATANODE, LEASE
+from adfs_spark.storage import VersionedTable
+from adfs_spark.streaming.loops import replicate, windowed_event_counts
+
+
+@pytest.fixture()
+def bm(spark, tmp_path):
+    ns = Namespace.create_at(spark, str(tmp_path / "fs"))
+    blocks = VersionedTable(spark, BLOCK, str(tmp_path / "blocks"))
+    blocks.init()
+    datanodes = VersionedTable(spark, DATANODE, str(tmp_path / "dn"))
+    datanodes.init()
+    leases = VersionedTable(spark, LEASE, str(tmp_path / "lease"))
+    leases.init()
+    return BlockMap(ns, blocks, datanodes, leases)
+
+
+def _dn_row(spark, id_, last_updated, name=None):
+    return spark.createDataFrame(
+        [
+            (
+                id_,
+                name or f"dn{id_}:50010",
+                f"storage-{id_}",
+                50020,
+                50075,
+                10_000_000,
+                1_000_000,
+                9_000_000,
+                last_updated,
+                3,
+                "/d1/r1",
+                "NORMAL",
+            )
+        ],
+        DATANODE.struct_type(include_version=False),
+    )
+
+
+def test_block_locations_lifecycle(bm, spark):
+    bm.namespace.mkdirs("/data")
+    fid = bm.namespace.create("/data/f")
+    bm.heartbeat(_dn_row(spark, 1, 1000))
+    bm.heartbeat(_dn_row(spark, 2, 2000))
+    bm.allocate_block(fid, 100, 0, [1, 2])
+    bm.allocate_block(fid, 101, 1, [1])
+    locs = bm.get_block_locations("/data/f").collect()
+    assert [r["block_id"] for r in locs] == [100, 101]
+    assert locs[0]["datanode_name"] in ("dn1:50010", "dn2:50010")
+
+
+def test_report_diff_and_expiry(bm, spark):
+    bm.namespace.mkdirs("/d")
+    fid = bm.namespace.create("/d/f")
+    bm.allocate_block(fid, 7, 0, [1])
+    reported = spark.createDataFrame(
+        [(7, -1, 1), (8, 10, 1)], "id: long, length: long, generationStamp: long"
+    )
+    to_add, to_remove, mismatched = bm.process_report(1, reported)
+    assert [r["id"] for r in to_add.collect()] == [8]
+    assert to_remove.count() == 0
+    assert mismatched.count() == 0
+    # expiry scans
+    now = 1_000_000
+    bm.leases.upsert(
+        spark.createDataFrame([("h1", 1000), ("h2", now)], "holder: string, time: long")
+    )
+    assert [r["holder"] for r in bm.expired_leases(now, 10_000).collect()] == ["h1"]
+    bm.heartbeat(_dn_row(spark, 9, 5))
+    dead = bm.dead_datanodes(now, 10_000)
+    assert 9 in {r["id"] for r in dead.collect()}
+
+
+def test_under_replicated_priorities(bm, spark):
+    bm.namespace.mkdirs("/u")
+    fid = bm.namespace.create("/u/f", replication=3)
+    bm.allocate_block(fid, 201, 0, [1])          # 1 of 3 → priority 0
+    bm.allocate_block(fid, 202, 1, [1, 2])       # 2 of 3 → priority 2
+    got = {r["id"]: r["priority"] for r in bm.under_replicated_blocks().collect()}
+    assert got[201] == 0 and got[202] == 2
+
+
+def test_changelog_replication_stream(spark, tmp_path):
+    from adfs_spark.schema import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        "kv", (ColumnSpec("k", "long"), ColumnSpec("v", "string")), ("k",), versioned=True
+    )
+    master = VersionedTable(spark, spec, str(tmp_path / "master"))
+    master.init(spark.createDataFrame([(1, "a"), (2, "b")], "k: long, v: string"))
+    master.upsert(spark.createDataFrame([(3, "c")], "k: long, v: string"))
+    master.delete_where(F.col("k") == 1)
+
+    replica = VersionedTable(spark, spec, str(tmp_path / "replica"))
+    replica.init()
+    q = replicate(master, replica, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    live = {r["k"]: r["v"] for r in replica.live().collect()}
+    assert live == {2: "b", 3: "c"}
+
+
+def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
+    from adfs_spark.catalog import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    expected = (
+        batch.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .count()
+        .count()
+    )
+    # batch-mode window agg
+    got_batch = windowed_event_counts(batch)
+    assert got_batch.count() == expected
+
+    # streaming mode over a parquet dir copy
+    src = str(tmp_path / "events_stream")
+    batch.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # append mode only emits windows below the watermark; just assert the
+    # stream ran and produced a sane subset
+    n = spark.sql("select count(*) from win_counts").first()[0]
+    assert 0 <= n <= expected
