@@ -82,15 +82,20 @@ def knn_join_brute(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact k-NN join (every left row → its k nearest right rows).
     Cross-join shaped — use only with a broadcast-sized right side, or
-    go through the LSH path below."""
+    go through the LSH path below.  ``exclude_self`` drops same-id
+    pairs before the top-k cut."""
     r = F.broadcast(
         right.select(F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rvec"))
     )
     l = left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec"))
-    joined = l.crossJoin(r).select(
+    joined = l.crossJoin(r)
+    if exclude_self:
+        joined = joined.filter(F.col("_lid") != F.col("_rid"))
+    joined = joined.select(
         "_lid", "_rid", cosine(F.col("_lvec"), F.col("_rvec")).alias("sim")
     )
     from pyspark.sql import Window

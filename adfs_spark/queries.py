@@ -1084,6 +1084,201 @@ def q5_nation_revenue(spark, sf_dir):
     )
 
 
+# =========================================================================
+# Additional coverage: scalar roundtrips, write-path previews, sessions
+# =========================================================================
+
+
+@q(
+    "f1_path_roundtrip",
+    """SELECT c_custkey,
+              len(string_split(trim(path, '/'), '/')) AS depth,
+              string_split(trim(path, '/'), '/')[1] AS root
+       FROM (SELECT c_custkey, concat('/', r_name, '/', n_name, '/', c_name) AS path
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey)""",
+)
+def f1_path_roundtrip(spark, sf_dir):
+    """F1: path join → split roundtrip (Utilities.getNamesInPath :1031,
+    getPathInName :1036)."""
+    from adfs_spark.functions.scalar import path_split
+
+    base = h1_chain_resolution(spark, sf_dir)
+    parts = path_split(F.col("path"))
+    return base.select(
+        "c_custkey",
+        F.size(parts).alias("depth"),
+        F.element_at(parts, 1).alias("root"),
+    )
+
+
+@q(
+    "u1_upsert_overwrite",
+    """SELECT o_orderkey, CAST(price AS DOUBLE) AS price, src FROM (
+         SELECT o_orderkey, CAST(o_totalprice + 5000 AS DECIMAL(18,2)) AS price,
+                'incoming' AS src
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)), 'base'
+         FROM orders WHERE o_orderkey % 7 <> 0)""",
+)
+def u1_upsert_overwrite(spark, sf_dir):
+    """U1: insert-with-overwrite — incoming rows replace matching pks,
+    the rest of the base survives (insertInternal :281-296).  Expressed
+    as anti-join + union, the engine's MERGE building block."""
+    o = load_table(spark, sf_dir, "orders")
+    incoming = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        _dec(F.col("o_totalprice") + 5000).alias("price"),
+        F.lit("incoming").alias("src"),
+    )
+    base = o.select(
+        "o_orderkey", _dec("o_totalprice").alias("price"), F.lit("base").alias("src")
+    )
+    kept = anti_join(base, incoming.select("o_orderkey"), "o_orderkey")
+    merged = kept.unionByName(incoming)
+    return merged.select(
+        "o_orderkey", F.col("price").cast("double").alias("price"), "src"
+    )
+
+
+@q(
+    "u2_masked_update",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'P' THEN '0-PENDING' ELSE o_orderpriority END
+                AS o_orderpriority,
+              CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS updated
+       FROM orders""",
+)
+def u2_masked_update(spark, sf_dir):
+    """U2: field-masked read-modify-write preview — only masked fields
+    change, others pass through (updateInternal :298-314)."""
+    o = load_table(spark, sf_dir, "orders")
+    mask = F.col("o_orderstatus") == "P"
+    return o.select(
+        "o_orderkey",
+        F.when(mask, "0-PENDING").otherwise(F.col("o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        F.when(mask, 1).otherwise(0).alias("updated"),
+    )
+
+
+@q(
+    "a4_content_summary_tree",
+    f"""WITH ns AS (
+          SELECT 1 + r_regionkey AS id, -1 AS length FROM region
+          UNION ALL SELECT 100 + n_nationkey, -1 FROM nation
+          UNION ALL SELECT 10000 + c_custkey, c_custkey % 1000 FROM customer)
+        SELECT CAST(sum(CASE WHEN length <> -1 THEN length ELSE 0 END) AS BIGINT)
+                 AS total_length,
+               count(CASE WHEN length <> -1 THEN 1 END) AS file_count,
+               count(CASE WHEN length = -1 THEN 1 END) AS dir_count
+        FROM ns""",
+)
+def a4_content_summary_tree(spark, sf_dir):
+    """A4 proper: content summary over a namespace tree with dir
+    sentinels (getContentSummary :1462-1473)."""
+    from adfs_spark.operators.aggregates import content_summary
+
+    ns = _namespace(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    lengths = ns.join(
+        c.select(
+            (F.col("c_custkey") + 10000).alias("id"),
+            (F.col("c_custkey") % 1000).cast("long").alias("flen"),
+        ),
+        "id",
+        "left",
+    ).select(F.coalesce(F.col("flen"), F.lit(-1)).cast("long").alias("length"))
+    out = content_summary(lengths)
+    return out.select(
+        F.col("total_length").cast("long").alias("total_length"),
+        "file_count",
+        "dir_count",
+    )
+
+
+@q(
+    "events_sessionize",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events)
+       SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+       FROM marked GROUP BY user_id""",
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user via lag window —
+    the batch twin of a session-window streaming aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_KNN_SQL = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+  FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, round(sim, 5) AS sim FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= 3
+"""
+
+
+@q("sim_knn_join", _KNN_SQL)
+def sim_knn_join(spark, sf_dir):
+    """Exact k-NN join: 3 nearest neighbors for each of the first 20
+    vectors (broadcast-right cross join + per-query top-k window)."""
+    from adfs_spark.functions.similarity import knn_join_brute
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = knn_join_brute(e.filter(F.col("vec_id") < 20), e, k=3, exclude_self=True)
+    return got.select("query_id", "neighbor_id", F.round("sim", 5).alias("sim"))
+
+
+@q("text_rolling_fingerprint", None)  # xxhash64-based: engine-side only
+def text_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling fingerprint (min shingle hash per doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textf.rolling_fingerprint(F.col("text"), window=8).alias("fp")
+    )
+
+
+@q("sim_ivf_topk", None)  # centroid assignment: engine-side approximation
+def sim_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN: assign to nearest of 4 deterministic
+    centroids, probe 2 cells."""
+    from adfs_spark.functions.similarity import ivf_assign, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = [[0.1] * 64, [-0.1] * 64, [0.1, -0.1] * 32, list(qv)]
+    assigned = ivf_assign(e, cents)
+    return ivf_topk(assigned, cents, qv, k=10, n_probe=2).select(
+        "vec_id", F.round("sim", 5).alias("sim")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
