@@ -21,11 +21,15 @@ writer (Spark job); replication (D3/D4) is subsumed by the shared,
 durable file system, so "full restore" is a parquet copy and
 "incremental restore" is a delta read + idempotent merge.
 
-Scale notes: the current-state rewrite is full-snapshot
-(read-modify-write).  At 100 TB you partition the table (``partition_by``)
-so a MERGE rewrites only touched partitions, and you fall back to
-log-only appends + periodic compaction for high-churn tables; both
-knobs exist below (``partition_by``, ``compact``).
+Scale notes: with ``num_buckets > 0`` the current state is
+hash-partitioned on the primary key and every write is an incremental
+MERGE — read only the touched buckets (partition pruning), rewrite only
+those partitions (dynamic partition overwrite).  A 1-row upsert then
+costs O(table/num_buckets), which is the 100 TB write path; size
+buckets so one bucket ≈ a few hundred MB.  The unbucketed path
+(full tmp-swap rewrite) remains for small dimension tables.  For
+high-churn workloads, append to the changelog only and ``compact``
+periodically.
 """
 
 from __future__ import annotations
@@ -36,14 +40,16 @@ import uuid
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from adfs_spark.schema import VERSION_COL, TableSpec
 
 OP_COL = "_op"  # INSERT / UPDATE / DELETE, DistributedOperation op types
 VBUCKET_COL = "_vbucket"
 VBUCKET_SIZE = 1_000_000
+KBUCKET_COL = "_kb"  # pk-hash bucket (partition column of current/)
 
 
 def _latest_by_abs_version(df: DataFrame, pk: Sequence[str]) -> DataFrame:
@@ -67,6 +73,17 @@ class VersionedTable:
     spec: TableSpec
     root: str
     partition_by: tuple[str, ...] = ()
+    num_buckets: int = 0
+    """When > 0, current/ is hash-partitioned into ``num_buckets``
+    directories on a deterministic pk hash.  Writes then become
+    **incremental merges**: only the buckets containing touched keys
+    are read and rewritten (partition pruning on read, dynamic
+    partition overwrite on write).  This is the 100 TB write path — a
+    1-row upsert rewrites 1/num_buckets of the table, not all of it."""
+
+    def _kbucket(self) -> Column:
+        pk_concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in self.spec.primary_key])
+        return F.pmod(F.xxhash64(pk_concat), F.lit(self.num_buckets)).cast("int")
 
     @property
     def current_path(self) -> str:
@@ -90,15 +107,29 @@ class VersionedTable:
                 VERSION_COL,
                 (base + F.row_number().over(Window.orderBy(*self.spec.primary_key))).cast("long"),
             )
-        self._write_current(df)
+        if self.num_buckets:
+            self._write_partitions(df.withColumn(KBUCKET_COL, self._kbucket()))
+        else:
+            self._write_current(df)
         ops = df.withColumn(OP_COL, F.lit("INSERT"))
         self._append_changelog(ops)
 
     # -- reads -------------------------------------------------------------
 
+    def _full_schema(self) -> T.StructType:
+        schema = self.spec.struct_type()
+        if self.num_buckets:
+            schema = schema.add(KBUCKET_COL, T.IntegerType())
+        return schema
+
+    def _read_current_raw(self) -> DataFrame:
+        """Current state incl. the bucket partition column (if any)."""
+        return self.spark.read.schema(self._full_schema()).parquet(self.current_path)
+
     def snapshot(self) -> DataFrame:
         """All current rows including tombstones."""
-        return self.spark.read.schema(self.spec.struct_type()).parquet(self.current_path)
+        df = self._read_current_raw()
+        return df.drop(KBUCKET_COL) if self.num_buckets else df
 
     def live(self) -> DataFrame:
         """P5: the live view — tombstones stripped."""
@@ -136,11 +167,8 @@ class VersionedTable:
             VERSION_COL,
             (F.lit(base) + F.row_number().over(Window.orderBy(*pk))).cast("long"),
         ).select(*self.spec.column_names())
-        merged = _latest_by_abs_version(
-            cur.unionByName(stamped), pk
-        )
         self._append_changelog(stamped.withColumn(OP_COL, F.lit("UPSERT")))
-        self._write_current(merged)
+        self._merge_write(stamped)
         return base + 1
 
     def update_where(self, predicate, assignments: dict[str, object]) -> int:
@@ -159,9 +187,8 @@ class VersionedTable:
             VERSION_COL,
             (F.lit(base) + F.row_number().over(Window.orderBy(*pk))).cast("long"),
         ).select(*self.spec.column_names())
-        merged = _latest_by_abs_version(cur.unionByName(upd), pk)
         self._append_changelog(upd.withColumn(OP_COL, F.lit("UPDATE")))
-        self._write_current(merged)
+        self._merge_write(upd)
         return base + 1
 
     def delete_where(self, predicate) -> int:
@@ -175,9 +202,8 @@ class VersionedTable:
             VERSION_COL,
             (-(F.lit(base) + F.row_number().over(Window.orderBy(*pk)))).cast("long"),
         ).select(*self.spec.column_names())
-        merged = _latest_by_abs_version(cur.unionByName(tomb), pk)
         self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
-        self._write_current(merged)
+        self._merge_write(tomb)
         return base + 1
 
     def apply_directly(self, ops: DataFrame) -> None:
@@ -185,13 +211,9 @@ class VersionedTable:
         |incoming version| ≥ |stored version| (last-writer-wins;
         insert/update/deleteDirectly :420-470).  ``ops`` must carry the
         full row schema including signed ``version``."""
-        pk = list(self.spec.primary_key)
-        cur = self.snapshot()
-        merged = _latest_by_abs_version(
-            cur.unionByName(ops.select(*self.spec.column_names())), pk
-        )
-        self._append_changelog(ops.select(*self.spec.column_names()).withColumn(OP_COL, F.lit("APPLY")))
-        self._write_current(merged)
+        rows = ops.select(*self.spec.column_names())
+        self._append_changelog(rows.withColumn(OP_COL, F.lit("APPLY")))
+        self._merge_write(rows)
 
     # -- CDC / delta (D1-D3) ----------------------------------------------
 
@@ -233,6 +255,43 @@ class VersionedTable:
         self._write_current(self.snapshot())
 
     # -- internals ---------------------------------------------------------
+
+    def _merge_write(self, delta_rows: DataFrame) -> None:
+        """LWW-merge fully-stamped delta rows into current state.
+
+        Bucketed tables: prune the read to the touched pk-hash buckets
+        and dynamically overwrite only those partitions — write cost is
+        O(touched buckets), not O(table).  Unbucketed: full rewrite via
+        the tmp-swap path."""
+        pk = list(self.spec.primary_key)
+        delta_rows = delta_rows.select(*self.spec.column_names())
+        if not self.num_buckets:
+            merged = _latest_by_abs_version(
+                self.snapshot().unionByName(delta_rows), pk
+            )
+            self._write_current(merged)
+            return
+        with_kb = delta_rows.withColumn(KBUCKET_COL, self._kbucket())
+        touched = [r[0] for r in with_kb.select(KBUCKET_COL).distinct().collect()]
+        cur = self._read_current_raw().filter(F.col(KBUCKET_COL).isin(touched))
+        merged = _latest_by_abs_version(cur.unionByName(with_kb), pk)
+        self._write_partitions(merged)
+
+    def _write_partitions(self, df_with_kb: DataFrame) -> None:
+        """Write (a subset of) bucket partitions; dynamic overwrite
+        replaces only the partitions present in ``df_with_kb``."""
+        tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
+        df_with_kb.sortWithinPartitions(*self.spec.primary_key).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        staged = self.spark.read.schema(self._full_schema()).parquet(tmp)
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(KBUCKET_COL)
+            .parquet(self.current_path)
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def _write_current(self, df: DataFrame) -> None:
         # Two-phase: materialize to a tmp dir first because ``df`` may be

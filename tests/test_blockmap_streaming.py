@@ -106,6 +106,34 @@ def test_changelog_replication_stream(spark, tmp_path):
     assert live == {2: "b", 3: "c"}
 
 
+def test_heartbeat_applier_stream(spark, tmp_path):
+    from adfs_spark.streaming.loops import heartbeat_applier
+
+    datanodes = VersionedTable(spark, DATANODE, str(tmp_path / "dns"))
+    datanodes.init()
+    src = str(tmp_path / "hb_src")
+    # two heartbeats for dn 1 (later lastUpdated must win), one for dn 2
+    hb = _dn_row(spark, 1, 100).union(_dn_row(spark, 1, 200)).union(_dn_row(spark, 2, 150))
+    hb.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        DATANODE.struct_type(include_version=False)
+    ).parquet(src)
+    q = heartbeat_applier(stream, datanodes, str(tmp_path / "hb_ckpt"))
+    q.awaitTermination(120)
+    live = {r["id"]: r["lastUpdated"] for r in datanodes.live().collect()}
+    assert live == {1: 200, 2: 150}
+
+
+def test_multimodal_resize_stub_raises(spark, tables):
+    import pytest as _pytest
+
+    from adfs_spark.functions.multimodal import from_documents, resize_images
+
+    media = from_documents(tables["documents"].limit(2))
+    with _pytest.raises(Exception):
+        resize_images(media, 64, 64).collect()
+
+
 def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     from adfs_spark.catalog import load_table
 

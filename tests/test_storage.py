@@ -89,6 +89,41 @@ def test_changelog_classification(spark):
     assert ops[(1, 1)] == "INSERT" and ops[(1, 3)] == "UPDATE" and ops[(2, -4)] == "DELETE"
 
 
+def test_bucketed_incremental_merge(spark, tmp_path):
+    import os
+
+    t = VersionedTable(spark, SPEC, str(tmp_path / "bkv"), num_buckets=8)
+    rows = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k: long, v: string")
+    t.init(rows)
+    assert t.count() == 50 and t.max_version() == 50
+    # incremental upsert touches few buckets
+    t.upsert(spark.createDataFrame([(3, "V3"), (99, "new")], "k: long, v: string"))
+    live = {r["k"]: r["v"] for r in t.live().collect()}
+    assert live[3] == "V3" and live[99] == "new" and len(live) == 51
+    # tombstone + idempotent apply still correct through the bucketed path
+    t.delete_where(F.col("k") == 7)
+    assert t.count() == 50
+    t.apply_directly(
+        spark.createDataFrame([(3, "stale", 1)], "k: long, v: string, version: long")
+    )
+    assert {r["v"] for r in t.live().filter("k=3").collect()} == {"V3"}
+    # physical layout: bucket partition dirs exist
+    parts = [d for d in os.listdir(t.current_path) if d.startswith("_kb=")]
+    assert 1 <= len(parts) <= 8
+
+
+def test_bucketed_matches_unbucketed(spark, tmp_path):
+    a = VersionedTable(spark, SPEC, str(tmp_path / "a"))
+    b = VersionedTable(spark, SPEC, str(tmp_path / "b"), num_buckets=4)
+    rows = spark.createDataFrame([(i, f"x{i}") for i in range(20)], "k: long, v: string")
+    for t in (a, b):
+        t.init(rows)
+        t.upsert(spark.createDataFrame([(5, "up")], "k: long, v: string"))
+        t.delete_where(F.col("k") % 9 == 0)
+    canon = lambda t: sorted(map(tuple, t.snapshot().collect()))
+    assert canon(a) == canon(b)
+
+
 def test_version_range(spark):
     log = spark.createDataFrame(
         [(1, 1), (2, -2), (3, 3), (4, 4)], "k: long, version: long"
