@@ -60,15 +60,17 @@ class BlockMap:
         )
 
     def file_length_from_blocks(self, file_id: int) -> int:
-        """A3: SUM of completed block lengths (getTotalLength :158-164)."""
-        row = (
-            self.blocks.live()
-            .filter((F.col("fileId") == file_id) & (F.col("length") > 0))
-            .groupBy("fileId")
-            .agg(F.sum("length").alias("s"))
-            .take(1)
+        """A3: SUM of completed block lengths (getTotalLength :158-164).
+
+        Sums one length per *block* — the primary replica's (A2 argmax)
+        — not per replica row (the block table holds one row per
+        (id, datanodeId))."""
+        replicas = self.blocks.live().filter(
+            (F.col("fileId") == file_id) & (F.col("length") > 0)
         )
-        return int(row[0]["s"]) if row else 0
+        primary = group_argmax(replicas, ["id"], ["generationStamp", "version"])
+        row = primary.agg(F.sum("length").alias("s")).first()
+        return int(row["s"]) if row and row["s"] is not None else 0
 
     # -- write path --------------------------------------------------------
 

@@ -1,0 +1,91 @@
+"""Generic spec-validated table IO.
+
+The reference reaches one logical table through three physical
+executors (MySQL SQL, HandlerSocket, TDH socket —
+DatabaseExecutorForMysqlClient/ForHandlerSocket/ForTdhSocket), all
+serving the same ``find`` semantics.  The Spark analog: one logical
+:class:`~adfs_spark.schema.TableSpec`, many physical formats — the
+reader validates that whatever is on disk conforms to the spec, casting
+where safe, failing loudly where not.
+
+``write_table`` lays data out for the read path: partitioned by the
+caller's keys, sorted within files by the spec's primary key so parquet
+min/max stats act as the "index" (row-group pruning on point finds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adfs_spark.schema import TableSpec
+
+_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+class SchemaMismatch(Exception):
+    pass
+
+
+def read_table(
+    spark: SparkSession,
+    spec: TableSpec,
+    path: str,
+    fmt: str = "parquet",
+    strict: bool = True,
+    **options,
+) -> DataFrame:
+    """Read ``path`` as ``spec``'s table.
+
+    - parquet/orc: read natively, then validate + cast column-by-column
+      (safe upcasts allowed; missing non-nullable columns are an error).
+    - json/csv: read with the spec schema applied directly (schema-on-read).
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    target = spec.struct_type()
+    if fmt in ("json", "csv"):
+        reader = spark.read.schema(target)
+        if fmt == "csv":
+            options.setdefault("header", "true")
+        df = reader.options(**options).format(fmt).load(path)
+        return df
+    df = spark.read.options(**options).format(fmt).load(path)
+    have = {f.name: f.dataType for f in df.schema.fields}
+    out_cols = []
+    for field in target.fields:
+        if field.name not in have:
+            if strict and not field.nullable:
+                raise SchemaMismatch(f"missing required column: {field.name}")
+            out_cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif have[field.name] == field.dataType:
+            out_cols.append(F.col(field.name))
+        else:
+            out_cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+    extra = set(have) - {f.name for f in target.fields}
+    if strict and extra:
+        raise SchemaMismatch(f"unexpected columns: {sorted(extra)}")
+    return df.select(*out_cols)
+
+
+def write_table(
+    df: DataFrame,
+    spec: TableSpec,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    target_file_rows: int | None = None,
+) -> None:
+    """Write laid out for the read path: optional partition columns,
+    primary-key sort within files (row-group pruning for point finds),
+    optional file sizing via repartition."""
+    out = df.select(*[f.name for f in spec.struct_type().fields if f.name in df.columns])
+    if target_file_rows:
+        n = max(1, df.count() // target_file_rows)
+        out = out.repartition(n, *spec.primary_key)
+    out = out.sortWithinPartitions(*spec.primary_key)
+    writer = out.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

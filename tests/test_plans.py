@@ -1,0 +1,81 @@
+"""Physical-plan regression tests — the scale contract.
+
+These assert the *shape* of the plans, not results: filters reach the
+parquet scan, dimensions broadcast, argmax aggregates partially
+map-side, top-k avoids full sorts.  A regression here is a 100 TB
+performance bug even when sf0.01 results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from adfs_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    fn, _ = QUERIES[name]
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushdown(spark):
+    p = plan_of(spark, "s1_point_lookup")
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,500)]" in p
+
+
+def test_range_scan_pushdown(spark):
+    p = plan_of(spark, "s1_range_limit_offset")
+    assert "GreaterThanOrEqual(o_orderkey,100)" in p
+
+
+def test_dim_join_broadcasts(spark):
+    p = plan_of(spark, "j2_dim_broadcast")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_join_strategy(spark):
+    p = plan_of(spark, "j5_anti_stored")
+    assert "LeftAnti" in p
+
+
+def test_argmax_is_partial_aggregate(spark):
+    p = plan_of(spark, "a2_group_argmax")
+    assert "partial_max_by" in p  # map-side combine, not a window
+    assert "Window" not in p
+
+
+def test_topk_avoids_global_sort(spark):
+    p = plan_of(spark, "sort_topk_global")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_scans_prune_columns(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    # only the 5 needed columns reach the scan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double" in p
+    assert "l_orderkey" not in p.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_q5_fact_join_not_broadcast_on_big_side(spark):
+    fn, _ = QUERIES["q5_nation_revenue"]
+    p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # dims broadcast; at least the plan compiles with joins on all 6 tables
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_aggregates_combine_map_side(spark):
+    # two-phase hash aggregation: partial_* before the exchange
+    for name in ("q1_pricing_summary", "a3_sum_per_parent"):
+        p = plan_of(spark, name)
+        assert "partial_sum" in p, name
+        assert "HashAggregate" in p, name
+
+
+def test_whole_stage_codegen_on_scan_path(spark):
+    # codegen spans print as "*(n)" markers; AQE-wrapped plans only show
+    # them once finalized, so assert on a non-adaptive scan query
+    p = plan_of(spark, "t1_expired_threshold")
+    assert "*(" in p

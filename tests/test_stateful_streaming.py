@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adfs_spark.streaming.stateful import liveness_monitor, streaming_dedupe
+
+
+def test_streaming_dedupe(spark, tmp_path):
+    # two batches with overlapping keys
+    b1 = spark.createDataFrame([(1, 10.0), (1, 11.0), (2, 20.0)], "user_id: long, value: double")
+    b2 = spark.createDataFrame([(1, 12.0), (3, 30.0)], "user_id: long, value: double")
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedupe(stream, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from dedup_out").collect()
+    keys = sorted(r["key"] for r in rows)
+    assert keys == [1, 2, 3]  # each key exactly once across batches
+
+
+def test_liveness_monitor(spark, tmp_path):
+    hb = spark.createDataFrame(
+        [(7, 1000), (7, 2000), (8, 1500)], "key: long, hb_ms: long"
+    )
+    src = str(tmp_path / "hb")
+    hb.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("key long, hb_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = liveness_monitor(stream, timeout_ms=30_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("live_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["key"]: r["status"] for r in spark.sql("select * from live_out").collect()}
+    assert rows == {7: "ALIVE", 8: "ALIVE"}
