@@ -248,11 +248,20 @@ def minhash_near_duplicates(
     """Full near-dedup pipeline: MinHash → LSH buckets → exact Jaccard
     verify of candidates.  Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // num_bands
-    # One shingle explode shared by the signature and verify stages.
-    sh = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("_sh"),
-    ).persist()
+    # One shingle explode shared by the signature and verify stages,
+    # hash-partitioned by document id: the signature groupBy, the
+    # size groupBy, and the candidate semi-join all require clustering
+    # on _id, so one explicit shuffle here replaces three downstream
+    # exchanges of the (much larger at scale) shingle table.
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+        )
+        .repartition(F.col("_id"))
+        .persist()
+    )
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingle_df=sh)
     cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band)
     return jaccard_pairs(
