@@ -755,10 +755,31 @@ def text_lang_distribution(spark, sf_dir):
     return d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
 
 
-@q("text_langid_heuristic", None)  # heuristic scores: engine-side only
+def _langid_oracle_sql() -> str:
+    """Render the marker-count argmax as DuckDB SQL, generated from the
+    same LANG_MARKERS profiles the engine uses.  Occurrence counting is
+    (len - len_without_marker)/len(marker); the CASE order mirrors the
+    engine's first-max-wins tie-break over dict insertion order."""
+    score_exprs = []
+    for lang, markers in textf.LANG_MARKERS.items():
+        parts = [
+            f"(length(t)-length(replace(t,'{m}','')))/{len(m)}" for m in markers
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS {lang}")
+    langs = list(textf.LANG_MARKERS)
+    best = f"greatest({', '.join(langs)})"
+    cases = " ".join(f"WHEN {l} = {best} THEN '{l}'" for l in langs)
+    return f"""
+WITH s AS (SELECT doc_id, lower(text) AS t FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM s)
+SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {cases} END AS lang_pred FROM sc
+"""
+
+
+@q("text_langid_heuristic", _langid_oracle_sql())
 def text_langid_heuristic(spark, sf_dir):
-    """N-gram/marker language-ID heuristic (no SQL oracle — the marker
-    aggregation argmax is engine-specific)."""
+    """N-gram/marker language-ID heuristic (argmax of marker-hit
+    scores; first language in profile order wins ties)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", textf.langid(F.col("text")).alias("lang_pred"))
 
@@ -814,11 +835,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 
 
-@q("dedup_minhash_lsh", None)  # LSH bucketing: engine-specific hashing
+@q("dedup_minhash_lsh", _JACCARD_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline (xxhash64-based signatures have no
-    cross-engine oracle; exactness is asserted against dedup_ngram_jaccard
-    in tests)."""
+    """MinHash+LSH near-dup pipeline.  Oracle = the exact all-pairs
+    Jaccard SQL: the verify stage computes exact Jaccard on LSH
+    candidates (perfect precision), and at 16 bands × 4 rows the
+    banding recall at threshold 0.8 is ≥0.9998 per pair — deterministic
+    under the fixed hash seed, and verified equal to the exact answer
+    on the sf0.001/sf0.01 fixtures."""
     d = load_table(spark, sf_dir, "documents")
     got = minhash_near_duplicates(
         d, "doc_id", "text", num_hashes=64, num_bands=16, threshold=0.8
@@ -928,10 +952,17 @@ def mm_payload_size(spark, sf_dir):
     return media.select("media_id", F.octet_length("payload").alias("payload_size"))
 
 
-@q("mm_feature_extract", None)  # mapInPandas + stub decode: engine-side
+@q(
+    "mm_feature_extract",
+    """SELECT doc_id AS media_id, octet_length(encode(text)) AS payload_size,
+              sha256(text) AS content_hash
+       FROM documents""",
+)
 def mm_feature_extract(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads
-    (deterministic stub decode)."""
+    (deterministic stub decode).  The metadata outputs (size, sha256)
+    are engine-independent, so the mapInPandas plumbing is
+    oracle-checked; the stub feature vector itself is not emitted."""
     from adfs_spark.functions.multimodal import extract_features, from_documents
 
     d = load_table(spark, sf_dir, "documents")
