@@ -1115,6 +1115,164 @@ def q5_nation_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "q6_filtered_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def q6_filtered_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global aggregate.  Every predicate
+    is scan-pushable (parquet row-group stats prune on l_shipdate); at
+    100 TB this reads a fraction of the table and shuffles one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(_dec4(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# =========================================================================
+# Aggregation generalizations — SURVEY §2.4's "free upgrades" made real:
+# rollup/cube, distinct aggregates, and the subquery shapes (EXISTS /
+# NOT EXISTS / per-group scalar threshold) the reference never had.
+# =========================================================================
+
+
+@q(
+    "agg_rollup_status_priority",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def agg_rollup_status_priority(spark, sf_dir):
+    """Hierarchical subtotals: (status, priority) → (status) → ().
+    One shuffle; Spark expands grouping sets map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), _dsum("o_totalprice", "sum_price")
+    )
+
+
+@q(
+    "agg_cube_flag_status",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def agg_cube_flag_status(spark, sf_dir):
+    """All 2^k marginal totals in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum("l_quantity", "sum_qty")
+    )
+
+
+@q(
+    "agg_count_distinct",
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+              count(*) AS n_orders
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """Distinct aggregate: Spark plans a two-phase partial-distinct
+    expand, so the shuffle carries (priority, custkey) pairs pre-deduped
+    map-side rather than raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q(
+    "sq_exists_late_ship",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority""",
+)
+def sq_exists_late_ship(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS ≡ left-semi join on the
+    correlation key plus the non-equi ship-after-order predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@q(
+    "sq_not_exists_inactive",
+    """SELECT c_nationkey, count(*) AS n_customers,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+       FROM customer c
+       WHERE c_acctbal > 0
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+       GROUP BY c_nationkey""",
+)
+def sq_not_exists_inactive(spark, sf_dir):
+    """TPC-H Q22 shape: NOT EXISTS ≡ left-anti join — positive-balance
+    customers with no big-ticket order, per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    inactive = c.filter(F.col("c_acctbal") > 0).join(
+        big, c["c_custkey"] == big["o_custkey"], "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"), _dsum("c_acctbal", "sum_acctbal")
+    )
+
+
+@q(
+    "sq_scalar_small_quantity",
+    """WITH thr AS (
+         SELECT l_partkey AS pk,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.5 / count(*) AS t
+         FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              count(*) AS n
+       FROM lineitem JOIN thr ON l_partkey = pk
+       WHERE l_quantity < t""",
+)
+def sq_scalar_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: per-group scalar threshold (half the mean
+    quantity per part) applied back to the rows — aggregate + self-join
+    on the group key.  The threshold arithmetic is written identically
+    in both engines (exact decimal sum, then double multiply/divide) so
+    boundary comparisons agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") * 0.5 / F.count("*")).alias("t")
+    )
+    return (
+        li.join(thr, li["l_partkey"] == thr["pk"])
+        .filter(F.col("l_quantity") < F.col("t"))
+        .agg(
+            _dsum("l_extendedprice", "sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # =========================================================================
 # Additional coverage: scalar roundtrips, write-path previews, sessions
 # =========================================================================
