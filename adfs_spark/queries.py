@@ -1144,6 +1144,38 @@ def q6_filtered_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "q14_promo_revenue",
+    """SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                          AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact ⋈ small dimension with a conditional
+    aggregate.  The part table is explicitly broadcast — the fact side
+    never shuffles, which is the only sane plan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(_dec4(F.when(F.col("p_type") == "PROMO", disc).otherwise(0)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(_dec4(disc)).cast("double").alias("total_revenue"),
+        )
+    )
+
+
 # =========================================================================
 # Aggregation generalizations — SURVEY §2.4's "free upgrades" made real:
 # rollup/cube, distinct aggregates, and the subquery shapes (EXISTS /

@@ -79,3 +79,43 @@ def test_whole_stage_codegen_on_scan_path(spark):
     # them once finalized, so assert on a non-adaptive scan query
     p = plan_of(spark, "t1_expired_threshold")
     assert "*(" in p
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    p = plan_of(spark, "q6_filtered_revenue")
+    # PushedFilters lists truncate in toString; assert the scan-level
+    # DataFilters carry every predicate instead
+    assert "GreaterThanOrEqual(l_shipda" in p and "< 24.0)" in p
+    assert "partial_sum" in p  # map-side combine before the single-row exchange
+
+
+def test_q14_dimension_broadcasts(spark):
+    p = plan_of(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # the date filter stays on the fact scan, not post-join
+    assert "< 1995-07-01 00:00:00)" in p
+
+
+def test_rollup_is_expand_plus_one_shuffle(spark):
+    p = plan_of(spark, "agg_rollup_status_priority")
+    assert "Expand" in p
+    assert p.count("Exchange") == 1  # grouping sets never re-shuffle
+
+
+def test_count_distinct_dedupes_map_side(spark):
+    p = plan_of(spark, "agg_count_distinct")
+    # two-phase distinct: pre-aggregate on (group, distinct-key) before
+    # the final exchange so the shuffle carries deduped pairs
+    assert "partial_count(distinct" in p
+    assert "HashAggregate" in p
+
+
+def test_exists_is_semi_join_with_residual(spark):
+    p = plan_of(spark, "sq_exists_late_ship")
+    assert "LeftSemi" in p and "l_shipdate" in p.split("LeftSemi")[1][:120]
+
+
+def test_not_exists_pushes_filter_into_build_side(spark):
+    p = plan_of(spark, "sq_not_exists_inactive")
+    assert "LeftAnti" in p
+    assert "GreaterThan(o_totalprice,400000.0)" in p
