@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_unshipped_revenue",
     "q5_nation_revenue",
+    "q6_filtered_revenue",
+    "q14_promo_revenue",
     "j1_fact_join",
     "j5_anti_stored",
     "a2_group_argmax",
