@@ -87,3 +87,127 @@ def chain_join(
         left = F.broadcast(acc) if broadcast_upper else acc
         acc = nxt.join(left, nxt[child_fk] == left[parent_pk], "inner")
     return acc
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` in the same ``on`` group (pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+
+    The reference has no as-of operator (SURVEY §2.3: equi joins and
+    time-threshold *filters* only); this is the training-pipeline
+    extension for point-in-time lookups (feature stores, price/event
+    alignment).
+
+    Implementation is the distributed-canonical union + running-last
+    window, NOT a range self-join: tag each side, union, and carry the
+    most recent right row forward per key with ``last(..., ignorenulls)``
+    over ``(key) ORDER BY (ts, tag)``.  One shuffle on the key, each
+    input scanned once, state per key is a single struct — no
+    candidate-pair explosion, so 100 TB of events costs a sort within
+    key partitions (the floor for time alignment).  Ties at equal
+    timestamp: the right row sorts first, so it IS visible to a left
+    row at the same instant (<= semantics, matching DuckDB).
+    """
+    right_ts = right_ts or left_ts
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c != on
+    ]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
+
+    rstruct = F.struct(*[F.col(c).alias(out_names[c]) for c in rcols]).alias("_r")
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        rstruct,
+    )
+    rtype = r2.schema["_r"].dataType
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(rtype).alias("_r"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    r2 = r2.withColumn("_l", F.lit(None).cast(l2.schema["_l"].dataType))
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{out_names[c]}").alias(out_names[c]) for c in rcols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    delta: int | float = 1,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Band/range join: pairs rows with the same ``on`` key and
+    ``right_ts ∈ (left_ts - delta, left_ts]`` (numeric ts columns —
+    convert timestamps with ``unix_micros`` first).
+
+    The reference has only time-threshold *filters* (SURVEY §2.7);
+    this is the band-join extension.  A naive theta join degenerates
+    to a per-key cross product; instead both sides are bucketed by
+    ``floor(ts/delta)`` and the right side is duplicated into buckets
+    ``(b, b+1)`` — any qualifying pair lands in exactly one equal
+    bucket, so the join is a plain equi-join on (key, bucket) with the
+    exact range as a residual filter.  Shuffle is 2×|right| + |left|
+    keyed by (key, bucket); no candidate explosion beyond pairs within
+    2·delta, which is the distributed floor for band joins.
+    """
+    right_ts = right_ts or left_ts
+    rcols = [c for c in right.columns if c != on]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        *[F.col(c).alias(out_names[c]) for c in rcols],
+    )
+    rb = F.floor(F.col(out_names[right_ts]) / F.lit(delta))
+    r2 = r2.withColumn("_b", F.explode(F.array(rb, rb + 1)))
+    l2 = left.withColumn("_b", F.floor(F.col(left_ts) / F.lit(delta)))
+    rts = r2[out_names[right_ts]]
+    cond = (
+        (l2[on] == r2["_k"])
+        & (l2["_b"] == r2["_b"])
+        & (rts > l2[left_ts] - F.lit(delta))
+        & (rts <= l2[left_ts])
+    )
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how must be 'inner' or 'left', got {how!r}")
+    joined = l2.join(r2, cond, how)
+    return joined.select(
+        *[l2[c] for c in left.columns],
+        *[r2[out_names[c]] for c in rcols],
+    )

@@ -1176,6 +1176,64 @@ def q14_promo_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "asof_click_after_error",
+    """SELECT l.event_id, l.user_id,
+              strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+              r.event_id AS error_event_id,
+              strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') r
+       ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def asof_click_after_error(spark, sf_dir):
+    """As-of join: each click paired with the same user's most recent
+    error at-or-before it (point-in-time alignment; union +
+    running-last window — one shuffle, no range explosion)."""
+    from adfs_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(clicks, errors, on="user_id", left_ts="ts", how="inner")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("event_id_right").alias("error_event_id"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+
+
+@q(
+    "range_errors_before_click",
+    """SELECT l.event_id, count(r.event_id) AS n_errors
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       JOIN (SELECT * FROM events WHERE event_type = 'error') r
+         ON l.user_id = r.user_id
+        AND r.ts > l.ts - INTERVAL 6 HOUR AND r.ts <= l.ts
+       GROUP BY l.event_id""",
+)
+def range_errors_before_click(spark, sf_dir):
+    """Band join: per click, how many errors the same user hit in the
+    preceding 6 hours (bucketed equi-join, not a theta join)."""
+    from adfs_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.col("event_id")
+    )
+    j = range_join(
+        clicks, errors, on="user_id", left_ts="ts_us", delta=6 * 3600 * 1000 * 1000
+    )
+    return j.groupBy("event_id").agg(F.count("event_id_right").alias("n_errors"))
+
+
 # =========================================================================
 # Aggregation generalizations — SURVEY §2.4's "free upgrades" made real:
 # rollup/cube, distinct aggregates, and the subquery shapes (EXISTS /

@@ -142,3 +142,73 @@ def test_pick_one_per_group(tables):
     first = got.filter(F.col("c_nationkey") == 0).first()
     expect = tables["customer"].filter(F.col("c_nationkey") == 0).agg(F.min("c_custkey")).first()[0]
     assert first["c_custkey"] == expect
+
+
+def test_asof_join_semantics(spark):
+    from adfs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "early"), (2, 10, "other")],
+        "k: long, ts: long, name: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 10, 200.0), (1, 15, 300.0), (3, 1, 999.0)],
+        "k: long, ts: long, px: double",
+    )
+    got = {
+        r["name"]: (r["ts_right"], r["px"])
+        for r in asof_join(left, right, on="k", left_ts="ts", how="left").collect()
+    }
+    assert got["early"] == (None, None)          # nothing at or before ts=5
+    assert got["a"] == (10, 200.0)               # tie: right at equal ts visible
+    assert got["b"] == (15, 300.0)               # latest of the three
+    assert got["other"] == (None, None)          # key never matches
+
+    inner = asof_join(left, right, on="k", left_ts="ts", how="inner")
+    assert {r["name"] for r in inner.collect()} == {"a", "b"}
+    # collision suffix applied only to clashing names
+    assert set(inner.columns) == {"k", "ts", "name", "ts_right", "px"}
+
+
+def test_asof_join_single_shuffle(spark):
+    from adfs_spark.operators.joins import asof_join
+
+    left = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("ts"), F.lit("x").alias("v")
+    )
+    right = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("ts"), F.lit(1.0).alias("px")
+    )
+    p = (
+        asof_join(left, right, on="k", left_ts="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union + window: exactly one exchange (by key), no join node at all
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+
+def test_range_join_semantics(spark):
+    from adfs_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 10, "lonely"), (2, 100, "wrongkey")],
+        "k: long, ts: long, name: string",
+    )
+    right = spark.createDataFrame(
+        # for left ts=100, delta=50: qualifying window is (50, 100]
+        [(1, 100, "eq"), (1, 51, "edge_in"), (1, 50, "edge_out"),
+         (1, 101, "future"), (3, 100, "nokey")],
+        "k: long, ts: long, tag: string",
+    )
+    got = range_join(left, right, on="k", left_ts="ts", delta=50)
+    pairs = {(r["name"], r["tag"]) for r in got.collect()}
+    assert pairs == {("a", "eq"), ("a", "edge_in")}
+    # no duplicate pairs from the 2-bucket duplication
+    assert got.count() == len(pairs)
+
+    lft = range_join(left, right, on="k", left_ts="ts", delta=50, how="left")
+    rows = {(r["name"], r["tag"]) for r in lft.collect()}
+    assert ("lonely", None) in rows and ("wrongkey", None) in rows
