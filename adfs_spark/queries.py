@@ -1234,6 +1234,64 @@ def range_errors_before_click(spark, sf_dir):
     return j.groupBy("event_id").agg(F.count("event_id_right").alias("n_errors"))
 
 
+@q(
+    "pipeline_split_counts",
+    """SELECT source,
+              CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000
+                   THEN 'holdout' ELSE 'train' END AS split,
+              count(*) AS n
+       FROM documents GROUP BY 1, 2""",
+)
+def pipeline_split_counts(spark, sf_dir):
+    """Deterministic 90/10 train/holdout split by content hash of the
+    key — reproducible across engines/retries/partitionings (leakage-
+    safe), unlike random sampling.  Stateless projection: no shuffle."""
+    from adfs_spark.functions.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id", holdout_bp=1000)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "pipeline_stratified_cap",
+    """SELECT doc_id, source FROM documents
+       WHERE ('0x' || substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000""",
+)
+def pipeline_stratified_cap(spark, sf_dir):
+    """Per-stratum 20% hash cap (corpus mixing): one stateless filter,
+    stable keep-set, no per-stratum counting or shuffle."""
+    from adfs_spark.functions.sampling import stratified_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_cap(d, "source", "doc_id", cap_bp=2000).select(
+        "doc_id", "source"
+    )
+
+
+@q(
+    "agg_exact_quantiles",
+    """SELECT o_orderstatus,
+              list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                             x -> round(x, 4)) AS quartiles
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_exact_quantiles(spark, sf_dir):
+    """Exact linear-interpolation quartiles per group (Spark
+    `percentile`; at scale swap for `percentile_approx`, which is
+    mergeable map-side — exact percentile shuffles per-group values)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.transform(
+            F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"),
+            lambda x: F.round(x, 4),
+        ).alias("quartiles")
+    )
+
+
 # =========================================================================
 # Aggregation generalizations — SURVEY §2.4's "free upgrades" made real:
 # rollup/cube, distinct aggregates, and the subquery shapes (EXISTS /

@@ -89,3 +89,25 @@ def test_simhash(spark):
     # num_chunks must exceed max_hamming for the pigeonhole guarantee
     got = simhash_near_duplicates(df, "id", "text", max_hamming=15, num_chunks=16).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from adfs_spark.functions.sampling import split_assign, stratified_cap
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") % 3).cast("string").alias("source"))
+    s1 = split_assign(df, "doc_id", holdout_bp=1000)
+    frac = s1.filter(F.col("split") == "holdout").count() / 5000
+    assert 0.07 < frac < 0.13  # ~10%
+    # stable under repartitioning (the whole point vs df.sample)
+    s2 = split_assign(df.repartition(7), "doc_id", holdout_bp=1000)
+    assert s1.exceptAll(s2).count() == 0
+    # a different salt draws an independent split
+    s3 = split_assign(df, "doc_id", holdout_bp=1000, salt="exp2")
+    assert s1.exceptAll(s3).count() > 0
+
+    capped = stratified_cap(df, "source", "doc_id", cap_bp=2000)
+    per = {r["source"]: r["n"] for r in
+           capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for n in per.values():
+        assert 0.13 * 5000 / 3 < n < 0.27 * 5000 / 3  # ~20% of each stratum
