@@ -96,3 +96,59 @@ def test_find_predicate_matches_python_semantics(spark, keys, probe, cmp):
     got = sorted(r["k"] for r in df.filter(index_predicate(["k"], [probe_arg], cmp)).collect())
     expect = sorted(k for k in keys if py(k))
     assert got == expect
+
+
+_ts_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lrows=_ts_rows, rrows=_ts_rows)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    from adfs_spark.operators.joins import asof_join
+
+    # unique right (k, ts) so the reference argmax is well-defined
+    rrows = list({(k, t): (k, t) for k, t in rrows}.values())
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)] or [(99, 0, 0)],
+        "k: long, ts: long, lid: long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(k * 1000 + t)) for k, t in rrows] or [(98, 0, 0.0)],
+        "k: long, ts: long, px: double",
+    )
+    got = {
+        r["lid"]: r["px"]
+        for r in asof_join(left, right, on="k", left_ts="ts", how="left").collect()
+    }
+    for i, (k, t) in enumerate(lrows or [(99, 0)]):
+        cands = [(rt, float(rk * 1000 + rt)) for rk, rt in rrows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lrows=_ts_rows, rrows=_ts_rows, delta=st.integers(1, 40))
+def test_range_join_matches_bruteforce(spark, lrows, rrows, delta):
+    from adfs_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)] or [(99, 0, 0)],
+        "k: long, ts: long, lid: long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, j) for j, (k, t) in enumerate(rrows)] or [(98, 0, 0)],
+        "k: long, ts: long, rid: long",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, on="k", left_ts="ts", delta=delta).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lt) in enumerate(lrows or [(99, 0)])
+        for j, (rk, rt) in enumerate(rrows or [(98, 0)])
+        if lk == rk and lt - delta < rt <= lt
+    }
+    assert got == want
