@@ -248,3 +248,53 @@ def ivf_topk(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF centroid training.
+
+    Init is deterministic (the k rows with smallest md5(id) — a seeded
+    pseudo-random draw that is stable across runs and engines).  Each
+    iteration: assign every vector to its nearest centroid
+    (JVM-side arithmetic, centroids broadcast as literals), then
+    recompute means by exploding (cell, position, value) and averaging
+    — two narrow shuffles of |vectors|·dim doubles per iteration,
+    no driver-side data loops.  Only the k×dim centroid matrix ever
+    reaches the driver, so 100 TB of embeddings trains the same way.
+    Empty cells keep their previous centroid.
+    """
+    init = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_v")
+            )
+            .groupBy("ivf_cell", "_pos")
+            .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+            .groupBy("ivf_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["ivf_cell"]] = [float(x) for x in r["centroid"]]
+        centroids = new
+    return centroids

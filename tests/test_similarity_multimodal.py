@@ -98,3 +98,25 @@ def test_sample_frames(tables):
     media = from_documents(tables["documents"].limit(5))
     frames = sample_frames(media, every_ms=1000).collect()
     assert len(frames) == 5 and all(len(f["frame"]) == 32 for f in frames)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from adfs_spark.functions.similarity import ivf_assign, kmeans_train
+
+    # 3 well-separated planted clusters in 8-d
+    rows = []
+    for cid, base in enumerate((10.0, -10.0, 30.0)):
+        for i in range(20):
+            vec = [base + ((i * 7 + j) % 5) * 0.1 for j in range(8)]
+            rows.append((cid * 100 + i, cid, vec))
+    df = spark.createDataFrame(rows, "vec_id: long, planted: int, embedding: array<float>")
+
+    cents = kmeans_train(df, k=3, iters=4)
+    assert len(cents) == 3 and len(cents[0]) == 8
+    got = ivf_assign(df, cents).select("planted", "ivf_cell").collect()
+    # purity: every planted cluster lands in exactly one cell, cells distinct
+    mapping = {}
+    for r in got:
+        mapping.setdefault(r["planted"], set()).add(r["ivf_cell"])
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
