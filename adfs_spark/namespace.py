@@ -19,6 +19,11 @@ Semantics preserved from the reference write path:
   random-probe unique ids, U5 FileRepository.getUniqueIdAndLock
   :307-374 — collision-free-by-construction replaces the probe loop).
 
+Deliberately absent, matching the reference: ``setQuota`` is an empty
+stub in the fork (FSNamesystem.java:1480-1482 is ``// TODO:adfs``; no
+quota column exists in File.java) — quota-style accounting is instead
+answerable via :meth:`Namespace.content_summary` (A4).
+
 This is a metadata-scale API: driver-side loops run once per *path
 component* (depth ≤ ~16), never per row; the namespace table itself is
 only touched through distributed operators.
