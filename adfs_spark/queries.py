@@ -1272,6 +1272,20 @@ def pipeline_stratified_cap(spark, sf_dir):
     )
 
 
+@q("agg_hll_distinct", None)  # HLL sketch: engine-specific estimate
+def agg_hll_distinct(spark, sf_dir):
+    """Mergeable-sketch distinct count (HyperLogLog++): unlike exact
+    countDistinct's two-shuffle expand, the sketch partial-aggregates
+    map-side and the shuffle carries one ~kB sketch per group — the
+    100 TB path for cardinality.  Accuracy vs exact is pytest-checked
+    (<5% rel. error); no cross-engine oracle because DuckDB's
+    approx_count_distinct uses a different estimator."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx")
+    )
+
+
 @q(
     "agg_exact_quantiles",
     """SELECT o_orderstatus,

@@ -212,3 +212,27 @@ def test_range_join_semantics(spark):
     lft = range_join(left, right, on="k", left_ts="ts", delta=50, how="left")
     rows = {(r["name"], r["tag"]) for r in lft.collect()}
     assert ("lonely", None) in rows and ("wrongkey", None) in rows
+
+
+def test_hll_sketch_accuracy_and_plan(spark):
+    df = spark.range(20000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 3777).alias("v")
+    )
+    got = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.approx_count_distinct("v", rsd=0.02).alias("n"))
+        .collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g in exact:
+        assert abs(got[g] - exact[g]) / exact[g] < 0.05
+    # single shuffle: sketches merge map-side (no distinct expand)
+    p = (
+        df.groupBy("g").agg(F.approx_count_distinct("v").alias("n"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange") == 1
