@@ -244,9 +244,62 @@ def minhash_near_duplicates(
     num_bands: int = 32,
     threshold: float = 0.8,
     seed: int = 42,
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """Full near-dedup pipeline: MinHash → LSH buckets → exact Jaccard
-    verify of candidates.  Returns (id_a, id_b, jaccard)."""
+    """Full near-dedup pipeline: exact-collapse → MinHash → LSH buckets
+    → exact Jaccard verify of candidates.  Returns (id_a, id_b, jaccard).
+
+    ``collapse_exact`` is the mega-bucket guard (SCALE.md §5):
+    byte-identical documents — the only unbounded LSH bucket source —
+    are collapsed to one representative (min id per md5) *before*
+    shingling, and the result is expanded back afterwards: members of
+    one group pair with jaccard 1.0; cross-group pairs inherit the
+    representatives' jaccard (jaccard is a pure function of content).
+    The expansion is exact, so the oracle-checked output is unchanged;
+    the quadratic bucket work and the shingle explode now scale with
+    |distinct contents|, not |docs|.
+    """
+    if collapse_exact:
+        fp = df.select(
+            F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")
+        )
+        groups = fp.groupBy("_fp").agg(
+            F.min("_mid").alias("_rep"), F.count("*").alias("_gsz")
+        )
+        mapping = fp.join(groups, "_fp").select("_mid", "_rep", "_gsz")
+        rep_docs = df.join(
+            mapping.filter(F.col("_mid") == F.col("_rep")).select(
+                F.col("_rep").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        core = minhash_near_duplicates(
+            rep_docs, id_col, text_col, n, num_hashes, num_bands,
+            threshold, seed, collapse_exact=False,
+        )
+        # (rep_a, rep_b, j) pairs, plus each multi-member group with
+        # itself at jaccard 1.0; expand through the id→rep mapping.
+        rep_pairs = core.select("id_a", "id_b", "jaccard").unionByName(
+            groups.filter(F.col("_gsz") > 1).select(
+                F.col("_rep").alias("id_a"),
+                F.col("_rep").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        ma = mapping.select(F.col("_rep").alias("_ra"), F.col("_mid").alias("_ia"))
+        mb = mapping.select(F.col("_rep").alias("_rb"), F.col("_mid").alias("_ib"))
+        return (
+            rep_pairs.join(ma, F.col("id_a") == F.col("_ra"))
+            .join(mb, F.col("id_b") == F.col("_rb"))
+            .filter(F.col("_ia") != F.col("_ib"))
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+                "jaccard",
+            )
+            .distinct()
+        )
     rows_per_band = num_hashes // num_bands
     # One shingle explode shared by the signature and verify stages,
     # hash-partitioned by document id: the signature groupBy, the

@@ -111,3 +111,25 @@ def test_hash_split_deterministic_and_proportional(spark):
            capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
     for n in per.values():
         assert 0.13 * 5000 / 3 < n < 0.27 * 5000 / 3  # ~20% of each stratum
+
+
+def test_minhash_exact_collapse_guard(spark):
+    """Identical docs (the mega-bucket case) collapse to one
+    representative pre-banding and expand back exactly."""
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    far = " ".join(f"q{i}" for i in range(40))
+    rows = [(i, base) for i in range(6)] + [(10, near), (11, far)]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    got = minhash_near_duplicates(
+        df, "id", "text", num_hashes=32, num_bands=8, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    # all C(6,2)=15 identical pairs at jaccard 1.0
+    ident = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    assert ident <= set(pairs) and all(pairs[p] == 1.0 for p in ident)
+    # every member of the identical group pairs with the near doc
+    assert {(i, 10) for i in range(6)} <= set(pairs)
+    # far doc pairs with nothing
+    assert all(11 not in p for p in pairs)
+    assert len(pairs) == 15 + 6
