@@ -1272,6 +1272,25 @@ def pipeline_stratified_cap(spark, sf_dir):
     )
 
 
+@q(
+    "events_json_extract",
+    """SELECT event_type,
+              sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+              count(json_extract(props, '$.k')) AS n_with_k
+       FROM events GROUP BY event_type""",
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of a JSON
+    string column and aggregate — JVM-side `get_json_object`, no
+    Python.  At scale, promote hot JSON fields to real columns at
+    ingest; this is the query-time fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
 @q("agg_hll_distinct", None)  # HLL sketch: engine-specific estimate
 def agg_hll_distinct(spark, sf_dir):
     """Mergeable-sketch distinct count (HyperLogLog++): unlike exact
