@@ -1291,6 +1291,54 @@ def events_json_extract(spark, sf_dir):
     )
 
 
+@q(
+    "agg_pivot_priority",
+    """SELECT o_orderstatus,
+              count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+              count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+              count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_pivot_priority(spark, sf_dir):
+    """Reshape: status × priority counts as columns.  The explicit
+    values list keeps pivot a single-pass aggregate (no distinct-values
+    pre-scan) — required at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+            F.coalesce("2-HIGH", F.lit(0)).alias("high"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+        )
+    )
+
+
+@q(
+    "events_sliding_window",
+    """SELECT strftime(date_trunc('hour', ts) - to_hours(s.o), '%Y-%m-%d %H:%M:%S') AS win_start,
+              count(*) AS n
+       FROM events, (SELECT unnest([0, 1]) AS o) s
+       GROUP BY 1""",
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (2h length, 1h slide): each event
+    lands in exactly two windows.  Batch twin of the streaming sliding
+    aggregate; `F.window` expands rows map-side, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+
+
 @q("agg_hll_distinct", None)  # HLL sketch: engine-specific estimate
 def agg_hll_distinct(spark, sf_dir):
     """Mergeable-sketch distinct count (HyperLogLog++): unlike exact
