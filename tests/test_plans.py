@@ -9,6 +9,7 @@ performance bug even when sf0.01 results stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from adfs_spark.queries import QUERIES
 
@@ -119,3 +120,39 @@ def test_not_exists_pushes_filter_into_build_side(spark):
     p = plan_of(spark, "sq_not_exists_inactive")
     assert "LeftAnti" in p
     assert "GreaterThan(o_totalprice,400000.0)" in p
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """SCALE.md §3: pre-bucketing both sides on the join key removes
+    the per-query shuffle entirely — the physical proof of the
+    'co-locate via bucketing' claim."""
+    from adfs_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    for name, df, key, sub in (
+        ("li_bkt", li, "l_orderkey", "li"),
+        ("o_bkt", o, "o_orderkey", "o"),
+    ):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / sub))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bkt").join(
+            spark.table("o_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert p.count("Exchange") == 0  # bucket layout IS the partitioning
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
