@@ -1339,6 +1339,40 @@ def events_sliding_window(spark, sf_dir):
     )
 
 
+@q(
+    "set_ops_customers",
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+            y96 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+       SELECT 'churned' AS tag, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+       UNION ALL
+       SELECT 'retained' AS tag, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)""",
+)
+def set_ops_customers(spark, sf_dir):
+    """Set algebra: 1995 buyers EXCEPT/INTERSECT 1996 buyers.  Both
+    plan as hash joins over pre-deduped sides (one shuffle each), never
+    row-comparison loops."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y+1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = buyers(1995), buyers(1996)
+    churned = y95.subtract(y96).select(F.lit("churned").alias("tag"), "o_custkey")
+    retained = y95.intersect(y96).select(F.lit("retained").alias("tag"), "o_custkey")
+    return churned.unionByName(retained)
+
+
 @q("agg_hll_distinct", None)  # HLL sketch: engine-specific estimate
 def agg_hll_distinct(spark, sf_dir):
     """Mergeable-sketch distinct count (HyperLogLog++): unlike exact
