@@ -149,3 +149,47 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", langid(t))
         .withColumn("fingerprint", md5_fingerprint(t))
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf uses the rational BM25-style form ``(N - df + 0.5)/(df + 0.5)``
+    rather than a logarithm: identical ranking behavior, but pure
+    IEEE +,-,*,/ arithmetic, so scores are bit-identical across engines
+    (ln differs in the last ulp between libms and can flip near-ties).
+
+    Shape: one token explode → tf groupBy (doc, term) → df groupBy
+    (term) → broadcast scalar N → window top-k per doc.  The doc-
+    frequency table is |vocabulary|-sized, shuffled once; everything is
+    JVM-side expressions.  Ties break on term to stay deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * ((F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "score", "rank")
+    )

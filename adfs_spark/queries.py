@@ -776,6 +776,32 @@ SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {cases} END AS lang_pred FROM sc
 """
 
 
+@q(
+    "text_tfidf_top_terms",
+    """WITH toks AS (SELECT doc_id,
+                            unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                     FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (SELECT doc_id, term,
+                              tf * ((n.n - dfc + 0.5) / (dfc + 0.5)) AS s
+                       FROM tf JOIN dfreq USING (term), n),
+            ranked AS (SELECT doc_id, term, s,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY s DESC, term) AS rn
+                       FROM scored)
+       SELECT doc_id, term, round(s, 5) AS score, rn AS rank
+       FROM ranked WHERE rn <= 3""",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf·idf (rational idf
+    — exact cross-engine arithmetic, see text.tf_idf_top_terms)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = textf.tf_idf_top_terms(d, "doc_id", "text", k=3)
+    return t.select("doc_id", "term", F.round("score", 5).alias("score"), "rank")
+
+
 @q("text_langid_heuristic", _langid_oracle_sql())
 def text_langid_heuristic(spark, sf_dir):
     """N-gram/marker language-ID heuristic (argmax of marker-hit
