@@ -1399,6 +1399,58 @@ def set_ops_customers(spark, sf_dir):
     return churned.unionByName(retained)
 
 
+@q(
+    "window_running_total",
+    """SELECT o_custkey, o_orderkey,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS running_spend
+       FROM orders""",
+)
+def window_running_total(spark, sf_dir):
+    """Frame-spec window (absent from the reference, SURVEY §2.5):
+    per-customer running spend in order-date order.  Decimal
+    accumulation keeps every prefix sum exact; orderkey tiebreak makes
+    the frame deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@q(
+    "window_event_gaps",
+    """SELECT event_id, user_id,
+              date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) AS gap_s
+       FROM events""",
+)
+def window_event_gaps(spark, sf_dir):
+    """lag(): seconds since the user's previous event (NULL for the
+    first) — the primitive under sessionization."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).alias("gap_s"),
+    )
+
+
 @q("agg_hll_distinct", None)  # HLL sketch: engine-specific estimate
 def agg_hll_distinct(spark, sf_dir):
     """Mergeable-sketch distinct count (HyperLogLog++): unlike exact
