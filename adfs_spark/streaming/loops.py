@@ -98,13 +98,22 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with a watermark for late data
-    — the idiomatic extension the reference lacks (its loops are purely
-    processing-time).  Works on both batch and streaming DataFrames."""
+    """Event-time window counts with a watermark for late data — the
+    idiomatic extension the reference lacks (its loops are purely
+    processing-time).  ``slide`` < ``window`` gives overlapping sliding
+    windows (each event lands in window/slide of them); state is
+    bounded by (keys × open windows) after watermark eviction.  Works
+    on both batch and streaming DataFrames."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .groupBy(win.alias("win"), F.col(key_col))
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
         .select(
             F.col("win.start").alias("window_start"),

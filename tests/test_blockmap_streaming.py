@@ -167,3 +167,52 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     # stream ran and produced a sane subset
     n = spark.sql("select count(*) from win_counts").first()[0]
     assert 0 <= n <= expected
+
+
+def test_sliding_windows_and_watermark_eviction(spark, tmp_path):
+    """Sliding windows double-count each event into window/slide
+    buckets, and a watermark drops events arriving far behind the
+    stream's max event time."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = "ts timestamp, event_type string, value double"
+    recent = spark.createDataFrame(
+        [(T0 + dt.timedelta(hours=h), "click", 1.0) for h in range(5)], schema
+    )
+    # batch mode: 1h windows sliding 30m → each event in 2 windows
+    slid = windowed_event_counts(
+        recent, window="1 hour", slide="30 minutes", key_col="event_type"
+    )
+    assert slid.agg(F.sum("n")).first()[0] == 2 * 5
+
+    src = str(tmp_path / "ev_src")
+    recent.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(recent.schema).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark advances to T0+4h − 2h = T0+2h
+        late = spark.createDataFrame(
+            [(T0 - dt.timedelta(hours=6), "click", 1.0),   # far below watermark
+             (T0 + dt.timedelta(hours=6), "click", 1.0)],  # advances the stream
+            schema,
+        )
+        late.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select window_start, n from wm_evict order by window_start"
+    ).collect()
+    starts = {r["window_start"] for r in rows}
+    # the late event's window (T0-6h) was evicted, never emitted
+    assert (T0 - dt.timedelta(hours=6)) not in starts
+    # closed windows from the first batch were emitted exactly once
+    assert all(r["n"] == 1 for r in rows)
