@@ -1794,15 +1794,16 @@ def text_rolling_fingerprint(spark, sf_dir):
     )
 
 
-@q("sim_ivf_topk", None)  # centroid assignment: engine-side approximation
+@q("sim_ivf_topk", None)  # trained coarse quantizer: engine-side approximation
 def sim_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantized ANN: assign to nearest of 4 deterministic
-    centroids, probe 2 cells."""
-    from adfs_spark.functions.similarity import ivf_assign, ivf_topk
+    """IVF ANN, full path: train 4 centroids with distributed k-means
+    (deterministic init), assign every vector to its cell, probe the 2
+    cells nearest the query."""
+    from adfs_spark.functions.similarity import ivf_assign, ivf_topk, kmeans_train
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    cents = [[0.1] * 64, [-0.1] * 64, [0.1, -0.1] * 32, list(qv)]
+    cents = kmeans_train(e, k=4, iters=2)
     assigned = ivf_assign(e, cents)
     return ivf_topk(assigned, cents, qv, k=10, n_probe=2).select(
         "vec_id", F.round("sim", 5).alias("sim")
