@@ -38,8 +38,11 @@ BENCH_QUERIES = [
     "events_hourly_window",
     "events_latest_per_user",
     "text_quality_ratios",
+    "text_tfidf_top_terms",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "asof_click_after_error",
+    "pipeline_split_counts",
 ]
 
 
