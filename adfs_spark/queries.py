@@ -1451,6 +1451,71 @@ def window_event_gaps(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_pack_batches",
+    """WITH t AS (SELECT source, doc_id,
+                         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+                  FROM documents),
+            c AS (SELECT source, doc_id, n_tok,
+                         COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                  FROM t)
+       SELECT source, CAST(floor(before / 500) AS BIGINT) AS bin,
+              count(*) AS n_docs, sum(n_tok) AS sum_tokens
+       FROM c GROUP BY 1, 2""",
+)
+def pipeline_pack_batches(spark, sf_dir):
+    """Token-budget batch packing: documents stream into ~500-token
+    bins per source via an exact running token count (bin =
+    floor(prefix_sum/budget); a bin exceeds budget by at most one
+    document).  Packing is per-source so the window never needs a
+    global order — at scale the partition key is the shard."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", textf.token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        t.withColumn("bin", F.floor(before / 500))
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+    )
+
+
+@q(
+    "pipeline_clean_corpus",
+    """WITH keepers AS (SELECT md5(text) AS fp, min(doc_id) AS keeper
+                        FROM documents GROUP BY 1)
+       SELECT source, count(*) AS n_kept
+       FROM documents d JOIN keepers k
+         ON md5(d.text) = k.fp AND d.doc_id = k.keeper
+       WHERE len(list_filter(string_split(d.text, ' '), x -> x <> '')) >= 10
+         AND CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(d.text), 1) < 0.2
+       GROUP BY source""",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Composed C4-style cleaning pass: exact-dedup to one keeper per
+    content, drop short docs (<10 tokens) and punctuation-heavy docs
+    (≥20%), count survivors per source.  One md5 groupBy + stateless
+    filters — the whole clean is two shuffles at any scale."""
+    from adfs_spark.functions.dedup import drop_exact_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = drop_exact_duplicates(d, "doc_id", "text").filter(
+        (textf.token_count(F.col("text")) >= 10)
+        & (textf.punct_ratio(F.col("text")) < 0.2)
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 @q("agg_hll_distinct", None)  # HLL sketch: engine-specific estimate
 def agg_hll_distinct(spark, sf_dir):
     """Mergeable-sketch distinct count (HyperLogLog++): unlike exact
