@@ -53,3 +53,28 @@ def stratified_cap(
     filter, no shuffle, unlike window-based reservoir approaches."""
     b = hash_bucket(F.concat(F.col(strata_col), F.lit("|"), F.col(key_col).cast("string")), 10000, salt)
     return df.filter(b < cap_bp)
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_bp: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus mixing: keep a per-stratum fraction (``weights`` maps
+    stratum → keep-fraction; strata absent from the map keep
+    ``default_bp`` basis points).  Same hash-bucket determinism as
+    :func:`stratified_cap` — one stateless filter, reproducible across
+    runs/engines, no shuffle.  This is the pretraining-mix primitive
+    (e.g. {'wiki': 1.0, 'web': 0.15})."""
+    b = hash_bucket(
+        F.concat(F.col(strata_col), F.lit("|"), F.col(key_col).cast("string")),
+        10000,
+        salt,
+    )
+    thr = F.lit(default_bp)
+    for stratum, w in weights.items():
+        thr = F.when(F.col(strata_col) == stratum, F.lit(int(w * 10000))).otherwise(thr)
+    return df.filter(b < thr)

@@ -1452,6 +1452,32 @@ def window_event_gaps(spark, sf_dir):
 
 
 @q(
+    "pipeline_weighted_mix",
+    """SELECT source, count(*) AS n_kept
+       FROM documents
+       WHERE ('0x' || substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+             < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                           WHEN 'src2' THEN 1500 ELSE 500 END
+       GROUP BY source""",
+)
+def pipeline_weighted_mix(spark, sf_dir):
+    """Pretraining corpus mix: per-source keep-rates (100%/50%/15%,
+    default 5%) via the deterministic hash bucket — one stateless
+    filter, reproducible across engines and runs."""
+    from adfs_spark.functions.sampling import weighted_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        d,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.15},
+        strata_col="source",
+        key_col="doc_id",
+        default_bp=500,
+    )
+    return mixed.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@q(
     "pipeline_pack_batches",
     """WITH t AS (SELECT source, doc_id,
                          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
