@@ -289,16 +289,21 @@ def minhash_near_duplicates(
         )
         ma = mapping.select(F.col("_rep").alias("_ra"), F.col("_mid").alias("_ia"))
         mb = mapping.select(F.col("_rep").alias("_rb"), F.col("_mid").alias("_ib"))
+        # Each member pair arises from exactly one rep pair, and within
+        # a group we keep only the _ia < _ib ordering — so the result
+        # is duplicate-free by construction (no distinct shuffle).
         return (
             rep_pairs.join(ma, F.col("id_a") == F.col("_ra"))
             .join(mb, F.col("id_b") == F.col("_rb"))
-            .filter(F.col("_ia") != F.col("_ib"))
+            .filter(
+                F.when(F.col("_ra") == F.col("_rb"), F.col("_ia") < F.col("_ib"))
+                .otherwise(F.lit(True))
+            )
             .select(
                 F.least("_ia", "_ib").alias("id_a"),
                 F.greatest("_ia", "_ib").alias("id_b"),
                 "jaccard",
             )
-            .distinct()
         )
     rows_per_band = num_hashes // num_bands
     # One shingle explode shared by the signature and verify stages,
