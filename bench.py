@@ -64,13 +64,18 @@ def main() -> int:
         fn, _ = QUERIES[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 timed passes: single-shot timings at sub-second scale
+    # swing 2-4x on JVM GC pauses; the min is the reproducible cost of
+    # the plan itself.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn, _ = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn, _ = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            t = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
