@@ -62,3 +62,52 @@ def changelog_of(
         .otherwise("UPDATE")
     )
     return df.withColumn(op_col, op)
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    pk: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Anti-entropy diff of two table states: one row per divergent
+    key, classified ``added`` (only in right), ``removed`` (only in
+    left), or ``changed`` (present in both, compared columns differ).
+
+    Generalizes the block-report reconciliation (J5/D7,
+    FSNamesystem.processReport :2468-2620) from key-presence to value
+    equality: a single full-outer join on the pk — both sides shuffle
+    once on the same key (zero extra shuffles when both are bucketed on
+    the pk).  Null-safe equality (`eqNullSafe`) so NULL↔value edits
+    classify as changed.
+    """
+    cmp_cols = list(compare_cols) if compare_cols is not None else [
+        c for c in left.columns if c not in pk
+    ]
+    # string-qualified refs ("l.c"/"r.c") — the two sides may share
+    # lineage (replica derived from master), where df[col] accessors
+    # are ambiguous
+    l = left.select(*pk, *cmp_cols).alias("l")
+    r = right.select(*pk, *cmp_cols).alias("r")
+    lc = lambda c: F.col(f"l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"r.{c}")  # noqa: E731
+    cond = lc(pk[0]).eqNullSafe(rc(pk[0]))
+    for c in pk[1:]:
+        cond = cond & lc(c).eqNullSafe(rc(c))
+    same_vals = F.lit(True)
+    for c in cmp_cols:
+        same_vals = same_vals & lc(c).eqNullSafe(rc(c))
+    return (
+        l.join(r, cond, "full_outer")
+        .withColumn(
+            "diff",
+            F.when(lc(pk[0]).isNull(), F.lit("added"))
+            .when(rc(pk[0]).isNull(), F.lit("removed"))
+            .when(~same_vals, F.lit("changed")),
+        )
+        .filter(F.col("diff").isNotNull())
+        .select(
+            *[F.coalesce(lc(c), rc(c)).alias(c) for c in pk],
+            "diff",
+        )
+    )

@@ -1452,6 +1452,42 @@ def window_event_gaps(spark, sf_dir):
 
 
 @q(
+    "d7_table_diff",
+    """WITH l AS (SELECT o_orderkey, o_totalprice FROM orders),
+            r AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+                  FROM orders WHERE o_orderkey % 97 <> 0
+                  UNION ALL
+                  SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 101 = 0)
+       SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+              CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                   WHEN r.o_orderkey IS NULL THEN 'removed'
+                   WHEN l.o_totalprice <> r.o_totalprice THEN 'changed' END AS diff
+       FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+       WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL OR l.o_totalprice <> r.o_totalprice""",
+)
+def d7_table_diff(spark, sf_dir):
+    """Anti-entropy value diff of two table states (added / removed /
+    changed) — J5/D7 reconciliation generalized from key presence to
+    value equality.  The divergent replica is synthesized
+    deterministically from orders."""
+    from adfs_spark.operators.delta import table_diff
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    changed = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") + 10).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).filter(F.col("o_orderkey") % 97 != 0)
+    added = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "o_totalprice"
+    )
+    replica = changed.unionByName(added)
+    return table_diff(o, replica, pk=["o_orderkey"])
+
+
+@q(
     "pipeline_weighted_mix",
     """SELECT source, count(*) AS n_kept
        FROM documents

@@ -236,3 +236,27 @@ def test_hll_sketch_accuracy_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Exchange") == 1
+
+
+def test_table_diff_classification(spark):
+    from adfs_spark.operators.delta import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id: long, name: string, v: double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0),      # identical → absent from diff
+         (2, "b", 20.0),      # NULL → value: changed (null-safe compare)
+         (4, "d", 41.0),      # value edit: changed
+         (5, "e", 50.0)],     # new key: added
+        "id: long, name: string, v: double",
+    )
+    got = {r["id"]: r["diff"] for r in table_diff(left, right, pk=["id"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+    # restricting compared columns ignores other edits
+    got2 = {
+        r["id"]: r["diff"]
+        for r in table_diff(left, right, pk=["id"], compare_cols=["name"]).collect()
+    }
+    assert got2 == {3: "removed", 5: "added"}
