@@ -76,5 +76,8 @@ def weighted_mix(
     )
     thr = F.lit(default_bp)
     for stratum, w in weights.items():
-        thr = F.when(F.col(strata_col) == stratum, F.lit(int(w * 10000))).otherwise(thr)
+        # round, not truncate: int(0.57 * 10000) == 5699 under binary
+        # float — rounding keeps the threshold equal to the requested
+        # basis points for every representable weight
+        thr = F.when(F.col(strata_col) == stratum, F.lit(round(w * 10000))).otherwise(thr)
     return df.filter(b < thr)

@@ -232,16 +232,15 @@ class Namespace:
         drow = self._resolve(dst_parent)
         if drow is None or drow["length"] != DIR_LENGTH:
             raise NamespaceError(f"destination parent invalid: {dst_parent}")
-        # moving a dir under itself/its own subtree would orphan a cycle
+        # moving a dir under itself/its own subtree would orphan a cycle.
+        # Cycle probe is a distributed filter + take(1) — the subtree id
+        # set stays a DataFrame, never a driver-side Python set (the
+        # reference's set-based check, StateManager.deleteFileByFile
+        # :604-632, done without materializing the set).
         if drow["id"] == srow["id"]:
             raise NamespaceError("cannot rename a directory into itself")
-        subtree_ids = {
-            r["id"]
-            for r in descendants(self.ns(), [srow["id"]], include_self=True)
-            .select("id")
-            .collect()
-        }
-        if drow["id"] in subtree_ids:
+        subtree = descendants(self.ns(), [srow["id"]], include_self=True)
+        if subtree.filter(F.col("id") == drow["id"]).take(1):
             raise NamespaceError(
                 f"cannot move {src} into its own subtree {dst_parent}"
             )
@@ -272,12 +271,11 @@ class Namespace:
         kids = children(self.ns(), row["id"]).take(1)
         if kids and not recursive:
             raise NamespaceError(f"directory not empty: {path}")
-        ids = [
-            r["id"]
-            for r in self.get_descendants(path, include_self=True).select("id").collect()
-        ]
-        self.table.delete_where(F.col("id").isin(ids))
-        return len(ids)
+        # Set-based tombstone: the descendant id set stays distributed
+        # (semi-join into delete_where_keys) — deleting a huge directory
+        # never collects ids to the driver or builds a giant isin literal.
+        keys = self.get_descendants(path, include_self=True).select("id")
+        return self.table.delete_where_keys(keys)
 
     def set_replication(self, path: str, replication: int) -> None:
         """setReplication — U2 field-masked update (File.REPLICATION mask)."""

@@ -86,9 +86,11 @@ def table_diff(
     ]
     # string-qualified refs ("l.c"/"r.c") — the two sides may share
     # lineage (replica derived from master), where df[col] accessors
-    # are ambiguous
-    l = left.select(*pk, *cmp_cols).alias("l")
-    r = right.select(*pk, *cmp_cols).alias("r")
+    # are ambiguous.  Presence is tested with a per-side TRUE marker,
+    # not pk-nullness: a genuinely-NULL pk column joins via eqNullSafe,
+    # so pk IS NULL cannot distinguish "absent side" from "null key".
+    l = left.select(*pk, *cmp_cols, F.lit(True).alias("_lpresent")).alias("l")
+    r = right.select(*pk, *cmp_cols, F.lit(True).alias("_rpresent")).alias("r")
     lc = lambda c: F.col(f"l.{c}")  # noqa: E731
     rc = lambda c: F.col(f"r.{c}")  # noqa: E731
     cond = lc(pk[0]).eqNullSafe(rc(pk[0]))
@@ -101,8 +103,8 @@ def table_diff(
         l.join(r, cond, "full_outer")
         .withColumn(
             "diff",
-            F.when(lc(pk[0]).isNull(), F.lit("added"))
-            .when(rc(pk[0]).isNull(), F.lit("removed"))
+            F.when(lc("_lpresent").isNull(), F.lit("added"))
+            .when(rc("_rpresent").isNull(), F.lit("removed"))
             .when(~same_vals, F.lit("changed")),
         )
         .filter(F.col("diff").isNotNull())

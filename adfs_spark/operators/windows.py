@@ -56,11 +56,19 @@ def pick_one_per_group(
 
 
 def bucketed_queues(
-    df: DataFrame, priority_col: str = "priority", limit_per_bucket: int | None = None
+    df: DataFrame,
+    priority_col: str = "priority",
+    limit_per_bucket: int | None = None,
+    order_by: Sequence[Column] | None = None,
 ) -> DataFrame:
-    """W3 companion: per-priority-bucket ranked queue (lowest replica
-    count first is the caller's order_by)."""
-    w = Window.partitionBy(priority_col).orderBy(F.col(priority_col))
+    """W3 companion: per-priority-bucket ranked queue.  ``order_by``
+    defines the within-bucket rank (e.g. lowest replica count first);
+    required whenever ``limit_per_bucket`` is set, otherwise the kept
+    subset would be an arbitrary row order."""
+    if limit_per_bucket is not None and not order_by:
+        raise ValueError("limit_per_bucket requires order_by (deterministic rank)")
+    order = list(order_by) if order_by else [F.col(priority_col)]
+    w = Window.partitionBy(priority_col).orderBy(*order)
     out = df.withColumn("_qpos", F.row_number().over(w))
     if limit_per_bucket is not None:
         out = out.filter(F.col("_qpos") <= limit_per_bucket)

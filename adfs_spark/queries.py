@@ -1087,7 +1087,10 @@ def q3_unshipped_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
-    j = fk_join(o, c, "o_custkey", "c_custkey", broadcast_parent=True)
+    # customer is SF-scaled — no forced broadcast; AQE picks the
+    # strategy from runtime sizes (the filtered segment may still
+    # qualify for a runtime broadcast at small SF).
+    j = fk_join(o, c, "o_custkey", "c_custkey")
     j = li.join(j, li["l_orderkey"] == j["o_orderkey"])
     out = (
         j.groupBy("o_orderkey", "o_orderdate")
@@ -1122,13 +1125,16 @@ def q5_nation_revenue(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AFRICA"))
-    # lineitem⋈orders is fact-fact → shuffle (AQE handles skew);
-    # customer/supplier/nation/region are dimensions → broadcast.
+    # lineitem⋈orders is fact-fact → shuffle (AQE handles skew).
+    # Only nation/region are constant-size → forced broadcast;
+    # customer/supplier grow with SF (sf100 customer ≈ 15M rows), so a
+    # forced broadcast would OOM executors at scale — AQE decides from
+    # runtime sizes instead.
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
         )
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
@@ -1181,9 +1187,11 @@ def q6_filtered_revenue(spark, sf_dir):
          AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'""",
 )
 def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape: fact ⋈ small dimension with a conditional
-    aggregate.  The part table is explicitly broadcast — the fact side
-    never shuffles, which is the only sane plan at 100 TB."""
+    """TPC-H Q14 shape: fact ⋈ dimension with a conditional aggregate.
+    part is SF-scaled (sf100 ≈ 20M rows), so the broadcast decision is
+    left to AQE: small SF gets a runtime broadcast (fact side never
+    shuffles), huge SF degrades gracefully to a shuffle join instead of
+    OOMing executors on a forced broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1192,7 +1200,7 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(_dec4(F.when(F.col("p_type") == "PROMO", disc).otherwise(0)))
             .cast("double")

@@ -50,6 +50,7 @@ OP_COL = "_op"  # INSERT / UPDATE / DELETE, DistributedOperation op types
 VBUCKET_COL = "_vbucket"
 VBUCKET_SIZE = 1_000_000
 KBUCKET_COL = "_kb"  # pk-hash bucket (partition column of current/)
+VSTAMP_BUCKETS = 64  # parallelism of version stamping (see _stamp_versions)
 
 
 def _latest_by_abs_version(df: DataFrame, pk: Sequence[str]) -> DataFrame:
@@ -57,6 +58,50 @@ def _latest_by_abs_version(df: DataFrame, pk: Sequence[str]) -> DataFrame:
     insert/update/deleteDirectly :420-470)."""
     w = Window.partitionBy(*pk).orderBy(F.abs(F.col(VERSION_COL)).desc())
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _stamp_versions(
+    rows: DataFrame, pk: Sequence[str], base: int, negate: bool = False
+) -> DataFrame:
+    """Stamp each row with a dense unique version in (base, base+n] —
+    **in parallel** (two-pass partition-offset numbering).
+
+    A global ``row_number().over(Window.orderBy(pk))`` funnels the
+    whole batch through one task; the reference's DistributedDataVersion
+    is just an AtomicLong (DistributedDataVersion.java:26-51), so dense
+    numbering without a global sort is enough.  Pass 1 hashes rows into
+    ``VSTAMP_BUCKETS`` deterministic pk-hash buckets and collects the
+    per-bucket *counts* (≤64 longs — metadata, not data) to compute
+    cumulative offsets; pass 2 numbers rows within each bucket::
+
+        version = base + offset[bucket] + row_number_within_bucket
+
+    The stamping plan contains only a hash-partitioned Exchange — no
+    single-partition funnel — and, because bucket assignment is a pure
+    function of the key, versions are deterministic under recomputation
+    (the same stamped frame feeds both the changelog append and the
+    current-state merge).
+    """
+    pk_concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in pk])
+    bucket = F.pmod(F.xxhash64(pk_concat), F.lit(VSTAMP_BUCKETS)).cast("int")
+    tagged = rows.withColumn("_vsb", bucket)
+    counts = {r["_vsb"]: r["count"] for r in tagged.groupBy("_vsb").count().collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        off = F.create_map(
+            *[F.lit(x) for b_off in offsets.items() for x in b_off]
+        )[F.col("_vsb")]
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("_vsb").orderBy(*pk)
+    v = (F.lit(base) + off + F.row_number().over(w)).cast("long")
+    if negate:
+        v = -v
+    return tagged.withColumn(VERSION_COL, v).drop("_vsb")
 
 
 @dataclass
@@ -102,11 +147,7 @@ class VersionedTable:
         if rows is None:
             df = self.spark.createDataFrame([], schema)
         else:
-            base = F.lit(start_version - 1)
-            df = rows.withColumn(
-                VERSION_COL,
-                (base + F.row_number().over(Window.orderBy(*self.spec.primary_key))).cast("long"),
-            )
+            df = _stamp_versions(rows, list(self.spec.primary_key), start_version - 1)
         if self.num_buckets:
             self._write_partitions(df.withColumn(KBUCKET_COL, self._kbucket()))
         else:
@@ -154,7 +195,8 @@ class VersionedTable:
 
         ``overwrite=False`` raises if any incoming pk already exists
         live (exists & !overwrite → error); otherwise existing rows are
-        replaced.  Returns the new max version.
+        replaced.  Returns the new max version (the watermark after
+        this write — safe as a delta()/sync_from cursor).
         """
         pk = list(self.spec.primary_key)
         cur = self.snapshot()
@@ -163,18 +205,16 @@ class VersionedTable:
             if clash.take(1):
                 raise ValueError("upsert(overwrite=False): key already exists")
         base = self.max_version()
-        stamped = rows.withColumn(
-            VERSION_COL,
-            (F.lit(base) + F.row_number().over(Window.orderBy(*pk))).cast("long"),
-        ).select(*self.spec.column_names())
+        stamped = _stamp_versions(rows, pk, base).select(*self.spec.column_names())
         self._append_changelog(stamped.withColumn(OP_COL, F.lit("UPSERT")))
         self._merge_write(stamped)
-        return base + 1
+        return self.max_version()
 
     def update_where(self, predicate, assignments: dict[str, object]) -> int:
         """U2: field-masked update — read-modify-write of matching rows,
         version bumped (updateInternal :298-314; the bitmask of
-        File.update :118-134 becomes the ``assignments`` dict)."""
+        File.update :118-134 becomes the ``assignments`` dict).
+        Returns the new max version (post-write watermark)."""
         pk = list(self.spec.primary_key)
         cur = self.snapshot()
         live = cur.filter(F.col(VERSION_COL) >= 0)
@@ -183,28 +223,48 @@ class VersionedTable:
         upd = hit
         for col, val in assignments.items():
             upd = upd.withColumn(col, val if hasattr(val, "_jc") else F.lit(val))
-        upd = upd.withColumn(
-            VERSION_COL,
-            (F.lit(base) + F.row_number().over(Window.orderBy(*pk))).cast("long"),
-        ).select(*self.spec.column_names())
+        upd = _stamp_versions(upd, pk, base).select(*self.spec.column_names())
         self._append_changelog(upd.withColumn(OP_COL, F.lit("UPDATE")))
         self._merge_write(upd)
-        return base + 1
+        return self.max_version()
 
     def delete_where(self, predicate) -> int:
         """U3: tombstone delete — matching live rows get version =
-        −(next version) and stay (deleteInternal :316-330)."""
+        −(next version) and stay (deleteInternal :316-330).
+        Returns the new max version (post-write watermark)."""
         pk = list(self.spec.primary_key)
         cur = self.snapshot()
         hit = cur.filter(F.col(VERSION_COL) >= 0).filter(predicate)
         base = self.max_version()
-        tomb = hit.withColumn(
-            VERSION_COL,
-            (-(F.lit(base) + F.row_number().over(Window.orderBy(*pk)))).cast("long"),
-        ).select(*self.spec.column_names())
+        tomb = _stamp_versions(hit, pk, base, negate=True).select(
+            *self.spec.column_names()
+        )
         self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
         self._merge_write(tomb)
-        return base + 1
+        return self.max_version()
+
+    def delete_where_keys(self, keys: DataFrame) -> int:
+        """U3 set-based form: tombstone every live row whose pk appears
+        in ``keys`` (a DataFrame holding pk columns).  This is the H5
+        recursive-delete write path (StateManager.deleteFileByFile
+        :604-632) done as a semi-join — the key set never visits the
+        driver, unlike a collect()+isin literal.  Returns the number of
+        rows tombstoned."""
+        pk = list(self.spec.primary_key)
+        cur = self.snapshot()
+        hit = cur.filter(F.col(VERSION_COL) >= 0).join(
+            keys.select(*[c for c in keys.columns if c in pk]), pk, "left_semi"
+        )
+        base = self.max_version()
+        tomb = _stamp_versions(hit, pk, base, negate=True).select(
+            *self.spec.column_names()
+        )
+        n = tomb.count()
+        if n == 0:
+            return 0
+        self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
+        self._merge_write(tomb)
+        return n
 
     def apply_directly(self, ops: DataFrame) -> None:
         """U4: idempotent replay — apply incoming rows only where

@@ -85,15 +85,35 @@ LIVENESS_OUTPUT = T.StructType(
         T.StructField("last_heartbeat_ms", T.LongType()),
     ]
 )
-LIVENESS_STATE = T.StructType([T.StructField("last_ms", T.LongType())])
+LIVENESS_STATE = T.StructType(
+    [T.StructField("last_ms", T.LongType()), T.StructField("alive", T.BooleanType())]
+)
 
 
-def make_liveness_fn(timeout_ms: int):
+def make_liveness_fn(timeout_ms: int, enable_timeout: bool = True):
+    """Transition function for :func:`liveness_monitor`.
+
+    Three emit paths:
+    - first heartbeat ever for a key → ALIVE;
+    - heartbeat after a DEAD mark, or after an observed event-time gap
+      > timeout (recovery) → ALIVE;
+    - processing-time timeout fires with no new data → DEAD (the key's
+      state is kept so the next heartbeat emits a recovery ALIVE).
+    """
+
     def fn(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
-        last = state.get[0] if state.exists else None
+        if state.hasTimedOut:
+            last, alive = state.get
+            if alive:
+                state.update((last, False))
+                yield pd.DataFrame(
+                    [(k, "DEAD", last)], columns=["key", "status", "last_heartbeat_ms"]
+                )
+            return
+        last, alive = state.get if state.exists else (None, False)
         newest = last
         for pdf in pdfs:
             if len(pdf):
@@ -101,10 +121,12 @@ def make_liveness_fn(timeout_ms: int):
                 newest = m if newest is None else max(newest, m)
         transitions = []
         if newest is not None:
-            came_back = last is not None and (newest - last) > timeout_ms
-            if last is None or came_back:
+            gap = last is not None and (newest - last) > timeout_ms
+            if last is None or not alive or gap:
                 transitions.append((k, "ALIVE", newest))
-            state.update((newest,))
+            state.update((newest, True))
+            if enable_timeout:
+                state.setTimeoutDuration(timeout_ms)
         if transitions:
             yield pd.DataFrame(
                 transitions, columns=["key", "status", "last_heartbeat_ms"]
@@ -114,15 +136,29 @@ def make_liveness_fn(timeout_ms: int):
 
 
 def liveness_monitor(
-    heartbeats: DataFrame, timeout_ms: int = 30_000, key_col: str = "key"
+    heartbeats: DataFrame,
+    timeout_ms: int = 30_000,
+    key_col: str = "key",
+    emit_dead: bool = True,
 ) -> DataFrame:
-    """Heartbeat state machine: emits (key, ALIVE, ts) on first
-    heartbeat and on recovery after a gap > timeout.  ``heartbeats``
-    needs (key_col, hb_ms)."""
+    """Heartbeat ALIVE↔DEAD state machine: emits (key, ALIVE, ts) on
+    first heartbeat and on recovery, and — with ``emit_dead`` —
+    (key, DEAD, last_ts) when the processing-time timeout elapses with
+    no heartbeat; the streaming twin of T2 (heartbeatCheck :2392-2397).
+    ``heartbeats`` needs (key_col, hb_ms).
+
+    ``emit_dead=False`` disables the timeout path (ALIVE transitions
+    only); useful for bounded replays (``availableNow``), where pending
+    processing-time timeouts would keep scheduling micro-batches past
+    the end of input."""
     return heartbeats.groupBy(key_col).applyInPandasWithState(
-        make_liveness_fn(timeout_ms),
+        make_liveness_fn(timeout_ms, enable_timeout=emit_dead),
         outputStructType=LIVENESS_OUTPUT,
         stateStructType=LIVENESS_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if emit_dead
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -44,7 +44,7 @@ def test_liveness_monitor(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    out = liveness_monitor(stream, timeout_ms=30_000)
+    out = liveness_monitor(stream, timeout_ms=30_000, emit_dead=False)
     q = (
         out.writeStream.format("memory")
         .queryName("live_out")
@@ -56,3 +56,54 @@ def test_liveness_monitor(spark, tmp_path):
     q.awaitTermination(180)
     rows = {r["key"]: r["status"] for r in spark.sql("select * from live_out").collect()}
     assert rows == {7: "ALIVE", 8: "ALIVE"}
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the transition function."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_liveness_transitions_unit():
+    """ALIVE→DEAD→recovery ALIVE through the transition function —
+    deterministic (no wall-clock timeouts)."""
+    import pandas as pd
+
+    from adfs_spark.streaming.stateful import make_liveness_fn
+
+    fn = make_liveness_fn(timeout_ms=30_000)
+    st = _FakeState()
+    # first heartbeat → ALIVE, timeout armed
+    out = list(fn((7,), [pd.DataFrame({"hb_ms": [1000]})], st))
+    assert out[0].iloc[0]["status"] == "ALIVE" and st.get == (1000, True)
+    assert st.timeout_set == 30_000
+    # heartbeat within window → no emission
+    assert list(fn((7,), [pd.DataFrame({"hb_ms": [2000]})], st)) == []
+    # timeout fires → DEAD with the last heartbeat ts
+    st.hasTimedOut = True
+    out = list(fn((7,), [], st))
+    assert out[0].iloc[0]["status"] == "DEAD"
+    assert out[0].iloc[0]["last_heartbeat_ms"] == 2000 and st.get == (2000, False)
+    # second timeout with no new data → nothing (DEAD emitted once)
+    assert list(fn((7,), [], st)) == []
+    # heartbeat after DEAD → recovery ALIVE
+    st.hasTimedOut = False
+    out = list(fn((7,), [pd.DataFrame({"hb_ms": [99000]})], st))
+    assert out[0].iloc[0]["status"] == "ALIVE" and st.get == (99000, True)
