@@ -114,6 +114,81 @@ class BlockMap:
         )
         return to_add, to_remove, mismatched
 
+    def classify_report(self, datanode_id: int, reported: DataFrame) -> DataFrame:
+        """J5 full classification in one plan: (id, class) with class ∈
+        added/removed/corrupt/ok (processReport :2468-2620 +
+        CorruptReplicasMap semantics, single full-outer join)."""
+        from adfs_spark.operators.joins import report_classify
+
+        stored = self.blocks.live().filter(F.col("datanodeId") == datanode_id)
+        return report_classify(
+            reported.select("id", "length", "generationStamp"),
+            stored.select("id", "length", "generationStamp"),
+            ["id"],
+            ["generationStamp", "length"],
+        )
+
+    # -- corrupt / missing accounting (CorruptReplicasMap) -------------------
+
+    def corrupt_replicas(self) -> DataFrame:
+        """Replicas whose (generationStamp, length) disagree with their
+        block's primary replica — the CorruptReplicasMap membership
+        (CorruptReplicasMap.java; populated by processReport's
+        markBlockAsCorrupt path).  One shuffle on block id: replicas
+        join the A2 argmax primary per block."""
+        live = self.blocks.live()
+        primary = group_argmax(live, ["id"], ["generationStamp", "version"]).select(
+            F.col("id").alias("_pid"),
+            F.col("generationStamp").alias("_pgs"),
+            F.col("length").alias("_plen"),
+        )
+        return (
+            live.join(primary, live["id"] == F.col("_pid"))
+            .filter(
+                (F.col("generationStamp") < F.col("_pgs"))
+                | (
+                    (F.col("length") >= 0)
+                    & (F.col("_plen") >= 0)
+                    & (F.col("length") != F.col("_plen"))
+                )
+            )
+            .select(
+                "id",
+                "datanodeId",
+                F.when(F.col("generationStamp") < F.col("_pgs"), "genstamp")
+                .otherwise("length")
+                .alias("reason"),
+            )
+        )
+
+    def corrupt_blocks_count(self) -> int:
+        """getCorruptBlocksCount: blocks with ≥1 corrupt replica."""
+        return self.corrupt_replicas().select("id").distinct().count()
+
+    def missing_blocks(self, now_ms: int, expire_ms: int = 630_000) -> DataFrame:
+        """getMissingBlocksCount input: block ids whose every replica
+        sits on a dead datanode (T2) or is corrupt — no healthy source
+        remains.  Anti-join of all block ids against ids with a healthy
+        replica; both sides shuffle once on id."""
+        live = self.blocks.live()
+        alive_dns = self.datanodes.live().filter(
+            F.col("lastUpdated") >= F.lit(now_ms - expire_ms)
+        )
+        corrupt = self.corrupt_replicas().select("id", "datanodeId")
+        healthy = (
+            live.join(
+                F.broadcast(alive_dns.select(F.col("id").alias("_dnid"))),
+                live["datanodeId"] == F.col("_dnid"),
+                "left_semi",
+            )
+            .join(corrupt, ["id", "datanodeId"], "left_anti")
+            .select("id")
+        )
+        return live.select("id").distinct().join(healthy, "id", "left_anti")
+
+    def missing_blocks_count(self, now_ms: int, expire_ms: int = 630_000) -> int:
+        return self.missing_blocks(now_ms, expire_ms).count()
+
     def expired_leases(self, now_ms: int, hard_limit_ms: int = 3600_000) -> DataFrame:
         """T1: LeaseMonitor scan (StateManager.LeaseMonitor :893-914)."""
         return self.leases.live().filter(F.col("time") < F.lit(now_ms - hard_limit_ms))

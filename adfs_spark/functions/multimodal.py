@@ -3,11 +3,20 @@
 Design: image/audio/video payloads are ``binary`` columns with a typed
 metadata struct alongside (modality, mime, width/height/duration, …).
 Heavy per-item work (decode, resize, frame-sample, feature-extract)
-runs in Arrow-batched ``mapInPandas`` — the Spark-side contract
-(schemas, batch shape, partitioning) is real and tested here; the
-actual codec calls are STUBBED because no image/audio libraries exist
-in this container.  Drop-in: replace ``_decode_stub`` with PIL/ffmpeg
-calls and nothing else changes.
+runs in Arrow-batched ``mapInPandas``.
+
+Two modalities decode FOR REAL in pure Python/numpy — no codec
+libraries needed:
+
+- **BMP** (uncompressed 24/32-bit): full header parse + pixel decode
+  (:func:`decode_bmp`), numpy nearest-neighbor resize + re-encode
+  (:func:`resize_images`);
+- **WAV** (PCM 8/16-bit): RIFF/fmt/data chunk walk → sample array
+  (:func:`decode_wav`), audio features (duration/RMS/zero-crossings).
+
+Payloads that are neither (e.g. JPEG — entropy decode genuinely needs
+a codec library) fall back to a deterministic hash pseudo-feature,
+clearly tagged ``decoded=False``.
 
 Scale notes: payload tables should be written with
 ``spark.sql.files.maxPartitionBytes`` sized so one task holds a few
@@ -19,8 +28,10 @@ not partition size.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,6 +60,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("payload_size", T.LongType()),
         T.StructField("content_hash", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -71,24 +83,152 @@ def from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def _decode_stub(payload: bytes, dim: int) -> list[float]:
-    """Deterministic fake 'decode + feature extract'.
+# ---------------------------------------------------------------------------
+# Real codecs (pure Python/numpy): BMP images, PCM WAV audio
+# ---------------------------------------------------------------------------
 
-    REAL DECODE NOT AVAILABLE IN THIS CONTAINER — replace with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` + model inference.  The
-    fake derives a stable pseudo-embedding from the payload's sha256 so
-    tests are reproducible.
-    """
+
+def is_bmp(payload: bytes) -> bool:
+    return len(payload) > 54 and payload[:2] == b"BM"
+
+
+def is_wav(payload: bytes) -> bool:
+    return len(payload) > 44 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP to an (h, w, 3) uint8 RGB
+    array.  Pure header math: BITMAPFILEHEADER (14 B) gives the pixel
+    offset, BITMAPINFOHEADER gives dims/bpp; rows are 4-byte aligned
+    and stored bottom-up (negative height ⇒ top-down)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (compression={compression}, bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=pixel_off
+    ).reshape(height, row_stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A) → RGB
+    return px[:, :, 2::-1].copy()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit bottom-up BMP."""
+    h, w, _ = rgb.shape
+    row_stride = (w * 3 + 3) & ~3
+    img_size = row_stride * h
+    bgr = rgb[:, :, ::-1]
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows[::-1].tobytes()
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return file_hdr + info_hdr + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV to (sample_rate, float32 samples in [-1, 1],
+    channel-averaged).  RIFF chunk walk: fmt_ carries rate/bits/
+    channels, data carries the samples."""
+    if not is_wav(payload):
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    rate = bits = channels = None
+    data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1:
+                raise ValueError(f"unsupported WAV format code {fmt_code}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if channels and channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return int(rate), x
+
+
+def _image_features(rgb: np.ndarray, dim: int) -> list[float]:
+    """Deterministic image descriptor: dims, per-channel means/stds,
+    then a coarse 2×2 luminance grid — padded/truncated to ``dim``."""
+    h, w, _ = rgb.shape
+    f = [float(w), float(h)]
+    x = rgb.astype(np.float32) / 255.0
+    f += [float(v) for v in x.mean(axis=(0, 1))]
+    f += [float(v) for v in x.std(axis=(0, 1))]
+    lum = x.mean(axis=2)
+    for i in range(2):
+        for j in range(2):
+            f.append(float(lum[i * h // 2 : (i + 1) * h // 2, j * w // 2 : (j + 1) * w // 2].mean()))
+    return (f + [0.0] * dim)[:dim]
+
+
+def _audio_features(rate: int, x: np.ndarray, dim: int) -> list[float]:
+    """duration_s, RMS, zero-crossing rate, peak, then coarse 4-segment
+    energy profile."""
+    dur = len(x) / rate if rate else 0.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    f = [float(dur), float(np.sqrt(np.mean(x**2))) if len(x) else 0.0, zc,
+         float(np.max(np.abs(x))) if len(x) else 0.0]
+    for seg in np.array_split(x, 4):
+        f.append(float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0)
+    return (f + [0.0] * dim)[:dim]
+
+
+def _hash_features(payload: bytes, dim: int) -> list[float]:
+    """Fallback pseudo-embedding for undecodable payloads (e.g. JPEG —
+    entropy decode needs a codec library): stable sha256-derived values
+    so downstream plumbing tests are reproducible."""
     h = hashlib.sha256(payload).digest()
     return [(h[i % 32] - 128) / 128.0 for i in range(dim)]
 
 
+def _extract_one(payload: bytes, dim: int) -> tuple[bool, list[float]]:
+    try:
+        if is_bmp(payload):
+            return True, _image_features(decode_bmp(payload), dim)
+        if is_wav(payload):
+            rate, x = decode_wav(payload)
+            return True, _audio_features(rate, x, dim)
+    except ValueError:
+        pass
+    return False, _hash_features(payload, dim)
+
+
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column."""
+    """Arrow-batched feature extraction over the payload column.  BMP
+    and PCM-WAV payloads decode for real (pure numpy); anything else
+    gets the hash fallback with ``decoded=False``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            decoded_feats = payloads.map(lambda b: _extract_one(bytes(b), dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -96,23 +236,54 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     "content_hash": payloads.map(
                         lambda b: hashlib.sha256(b).hexdigest()
                     ),
-                    "feature": payloads.map(lambda b: _decode_stub(b, dim)),
+                    "decoded": decoded_feats.map(lambda t: t[0]),
+                    "feature": decoded_feats.map(lambda t: t[1]),
                 }
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (index maps, no loops)."""
+    h, w, _ = rgb.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return rgb[yi][:, xi]
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — STUB: raises at execution time because no codec
-    library is present; the plan/schema contract is real."""
+    """REAL image resize for BMP payloads: decode → numpy nearest-
+    neighbor resample → re-encode, all inside Arrow batches.  Non-BMP
+    payloads pass through unchanged with their original meta (decode of
+    compressed formats needs a codec library)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode/resize requires PIL/opencv which are not in this "
-            "container; swap this body for a real implementation"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for b, meta in zip(pdf["payload"], pdf["meta"]):
+                b = bytes(b)
+                if is_bmp(b):
+                    try:
+                        resized = resize_nearest(decode_bmp(b), width, height)
+                        out_payload.append(encode_bmp(resized))
+                        out_meta.append(
+                            {
+                                "modality": "image",
+                                "mime": "image/bmp",
+                                "width": width,
+                                "height": height,
+                                "duration_ms": None,
+                            }
+                        )
+                        continue
+                    except ValueError:
+                        pass
+                out_payload.append(b)
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": out_payload, "meta": out_meta}
+            )
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 

@@ -137,6 +137,21 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(hashes)
 
 
+def rolling_fingerprint_md5(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint with an engine-portable hash: min of
+    md5-hex over ``window``-token shingles.  Same robust-to-small-edits
+    property as :func:`rolling_fingerprint`, but md5 is identical in
+    every engine, so the result is oracle-checkable (the lexicographic
+    min over lowercase hex strings is hash-order equivalent)."""
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+    )
+    return F.array_min(F.transform(shingles, F.md5))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full feature set."""
     t = F.col(text_col)

@@ -19,10 +19,13 @@ Semantics preserved from the reference write path:
   random-probe unique ids, U5 FileRepository.getUniqueIdAndLock
   :307-374 — collision-free-by-construction replaces the probe loop).
 
-Deliberately absent, matching the reference: ``setQuota`` is an empty
-stub in the fork (FSNamesystem.java:1480-1482 is ``// TODO:adfs``; no
-quota column exists in File.java) — quota-style accounting is instead
-answerable via :meth:`Namespace.content_summary` (A4).
+Quota support: the fork declares ``setQuota`` in the verb surface
+(FileProtocol.java:26-60) but leaves FSNamesystem.setQuota a TODO stub;
+here quotas are first-class — ``nsQuota`` caps subtree item count,
+``dsQuota`` caps subtree file bytes (HDFS ContentSummary semantics),
+``set_quota`` writes them (U2 masked update), ``quota_usage`` reports
+per-directory usage vs quota (A4 aggregate over descendants), and
+create/mkdirs enforce quotas on the ancestor chain at write time.
 
 This is a metadata-scale API: driver-side loops run once per *path
 component* (depth ≤ ~16), never per row; the namespace table itself is
@@ -66,7 +69,7 @@ class Namespace:
         FileRepository.createMeta :99-107)."""
         t = VersionedTable(spark, FILE, root)
         root_row = spark.createDataFrame(
-            [(ROOT_ID, ROOT_ID, "", DIR_LENGTH, 0, 0, 0, 0, 0, None, 0)],
+            [(ROOT_ID, ROOT_ID, "", DIR_LENGTH, 0, 0, 0, 0, 0, None, 0, -1, -1)],
             FILE.struct_type(include_version=False),
         )
         t.init(root_row)
@@ -77,22 +80,27 @@ class Namespace:
 
     # -- lookups -----------------------------------------------------------
 
-    def _resolve(self, path: str) -> Row | None:
-        """H1: per-component (parentId, name) descent."""
-        cur_id = ROOT_ID
-        row = None
+    def _resolve_chain(self, path: str) -> list[Row] | None:
+        """H1: per-component (parentId, name) descent; returns the full
+        row chain root-first (root row included), or None if any
+        component is missing."""
         ns = self.ns()
+        root = ns.filter(F.col("id") == ROOT_ID).take(1)[0]
+        chain = [root]
+        cur_id = ROOT_ID
         for part in split_path(path):
             got = ns.filter(
                 (F.col("parentId") == cur_id) & (F.col("name") == part)
             ).take(1)
             if not got:
                 return None
-            row = got[0]
-            cur_id = row["id"]
-        if row is None:  # root itself
-            return ns.filter(F.col("id") == ROOT_ID).take(1)[0]
-        return row
+            chain.append(got[0])
+            cur_id = got[0]["id"]
+        return chain
+
+    def _resolve(self, path: str) -> Row | None:
+        chain = self._resolve_chain(path)
+        return chain[-1] if chain else None
 
     def get_file_info(self, path: str) -> Row | None:
         """getFileInfo (FileProtocol; FSNamesystem.getFileInfo)."""
@@ -141,6 +149,7 @@ class Namespace:
         directory id."""
         cur_id = ROOT_ID
         now = int(time.time() * 1000)
+        chain: list[Row] = [self.ns().filter(F.col("id") == ROOT_ID).take(1)[0]]
         for part in split_path(path):
             got = self.ns().filter(
                 (F.col("parentId") == cur_id) & (F.col("name") == part)
@@ -149,10 +158,15 @@ class Namespace:
                 if got[0]["length"] != DIR_LENGTH:
                     raise NamespaceError(f"{part} exists and is not a directory")
                 cur_id = got[0]["id"]
+                chain.append(got[0])
                 continue
+            self._check_quota(chain, added_ns=1, added_ds=0)
             new_id = self._next_id()
             self._insert_row(new_id, cur_id, part, DIR_LENGTH, 0, 0, now)
             cur_id = new_id
+            chain.append(
+                self.ns().filter(F.col("id") == new_id).take(1)[0]
+            )
         return cur_id
 
     def create(
@@ -169,11 +183,13 @@ class Namespace:
         if not parts:
             raise NamespaceError("cannot create root")
         parent = "/".join(parts[:-1])
-        prow = self._resolve("/" + parent if parent else "/")
-        if prow is None:
+        pchain = self._resolve_chain("/" + parent if parent else "/")
+        if pchain is None:
             raise NamespaceError(f"parent does not exist: /{parent}")
+        prow = pchain[-1]
         if prow["length"] != DIR_LENGTH:
             raise NamespaceError(f"parent is not a directory: /{parent}")
+        self._check_quota(pchain, added_ns=1, added_ds=0)
         existing = self.ns().filter(
             (F.col("parentId") == prow["id"]) & (F.col("name") == parts[-1])
         ).take(1)
@@ -216,6 +232,8 @@ class Namespace:
                     0,
                     lease_holder,
                     0,
+                    -1,
+                    -1,
                 )
             ],
             FILE.struct_type(include_version=False),
@@ -299,9 +317,13 @@ class Namespace:
     def complete_file(self, path: str, length: int) -> None:
         """complete (completeFile :1102-1131): set final length (A3 sum
         done by the caller from the block table), drop the lease."""
-        row = self._resolve(path)
+        chain = self._resolve_chain(path)
+        row = chain[-1] if chain else None
         if row is None or row["length"] == DIR_LENGTH:
             raise NamespaceError(f"not a file: {path}")
+        self._check_quota(
+            chain[:-1], added_ns=0, added_ds=length - max(int(row["length"]), 0)
+        )
         self.table.update_where(
             F.col("id") == row["id"],
             {
@@ -309,6 +331,125 @@ class Namespace:
                 "leaseHolder": F.lit(None).cast("string"),
             },
         )
+
+    # -- quotas (FileProtocol.setQuota surface) ------------------------------
+
+    def set_quota(
+        self, path: str, ns_quota: int | None = None, ds_quota: int | None = None
+    ) -> None:
+        """setQuota (FileProtocol.java:26-60; a TODO stub in the fork's
+        FSNamesystem — implemented here as a U2 masked update).  -1
+        clears a quota; None leaves it untouched."""
+        row = self._resolve(path)
+        if row is None:
+            raise NamespaceError(f"no such path: {path}")
+        if row["length"] != DIR_LENGTH:
+            raise NamespaceError(f"quotas apply to directories only: {path}")
+        assignments: dict[str, object] = {}
+        if ns_quota is not None:
+            if ns_quota < -1 or ns_quota == 0:
+                raise NamespaceError(f"invalid nsQuota {ns_quota}")
+            assignments["nsQuota"] = F.lit(ns_quota).cast("long")
+        if ds_quota is not None:
+            if ds_quota < -1:
+                raise NamespaceError(f"invalid dsQuota {ds_quota}")
+            assignments["dsQuota"] = F.lit(ds_quota).cast("long")
+        if assignments:
+            self.table.update_where(F.col("id") == row["id"], assignments)
+
+    def _subtree_usage(self, dir_id: int) -> tuple[int, int]:
+        """(ns_used, ds_used) for a directory subtree: item count
+        excluding the directory itself, and total file bytes (A4)."""
+        desc = descendants(self.ns(), [dir_id], include_self=False)
+        row = desc.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("length") >= 0, F.col("length")).otherwise(0)).alias("b"),
+        ).first()
+        return int(row["n"] or 0), int(row["b"] or 0)
+
+    def quota_usage(self, path: str) -> Row:
+        """ContentSummary with quota fields for one directory: usage vs
+        nsQuota/dsQuota plus over-quota flags."""
+        row = self._resolve(path)
+        if row is None or row["length"] != DIR_LENGTH:
+            raise NamespaceError(f"not a directory: {path}")
+        ns_used, ds_used = self._subtree_usage(row["id"])
+        nsq, dsq = int(row["nsQuota"] or -1), int(row["dsQuota"] or -1)
+        return Row(
+            path=path,
+            nsQuota=nsq,
+            nsUsed=ns_used,
+            dsQuota=dsq,
+            dsUsed=ds_used,
+            nsExceeded=nsq >= 0 and ns_used > nsq,
+            dsExceeded=dsq >= 0 and ds_used > dsq,
+        )
+
+    def _check_quota(self, ancestors: list[Row], added_ns: int, added_ds: int) -> None:
+        """Write-time quota gate: every quota-carrying ancestor must
+        accommodate the delta (quota'd dirs are rare, so this loop runs
+        ~never; each check is one distributed aggregate)."""
+        for anc in ancestors:
+            nsq = int(anc["nsQuota"] if anc["nsQuota"] is not None else -1)
+            dsq = int(anc["dsQuota"] if anc["dsQuota"] is not None else -1)
+            if nsq < 0 and dsq < 0:
+                continue
+            ns_used, ds_used = self._subtree_usage(anc["id"])
+            if nsq >= 0 and ns_used + added_ns > nsq:
+                raise NamespaceError(
+                    f"nsQuota exceeded on dir id={anc['id']}: "
+                    f"{ns_used}+{added_ns} > {nsq}"
+                )
+            if dsq >= 0 and ds_used + added_ds > dsq:
+                raise NamespaceError(
+                    f"dsQuota exceeded on dir id={anc['id']}: "
+                    f"{ds_used}+{added_ds} > {dsq}"
+                )
+
+    # -- lease recovery & append (BASELINE.md ops) ---------------------------
+
+    def recover_lease(self, path: str, final_length: int, now_ms: int | None = None) -> None:
+        """recoverLease (FSNamesystem.internalReleaseLease): finalize an
+        under-construction file whose lease expired — set the final
+        length (A3 sum computed by the caller from the block table,
+        e.g. BlockMap.file_length_from_blocks), clear the holder, stamp
+        leaseRecoveryTime.  Composition of T1 (caller finds expired
+        holders) + U2 masked updates."""
+        row = self._resolve(path)
+        if row is None or row["length"] == DIR_LENGTH:
+            raise NamespaceError(f"not a file: {path}")
+        if row["leaseHolder"] is None:
+            raise NamespaceError(f"file not under construction: {path}")
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        self.table.update_where(
+            F.col("id") == row["id"],
+            {
+                "length": F.lit(final_length).cast("long"),
+                "leaseHolder": F.lit(None).cast("string"),
+                "leaseRecoveryTime": F.lit(now).cast("long"),
+                "mtime": F.lit(now).cast("long"),
+            },
+        )
+
+    def append_file(self, path: str, lease_holder: str) -> int:
+        """append (FSNamesystem.appendFile in the fork; BASELINE.md rows
+        append1-3): reopen a complete file for writing — reacquire the
+        lease (file must not already be under construction).  Returns
+        the file id; block allocation continues via BlockMap."""
+        row = self._resolve(path)
+        if row is None:
+            raise NamespaceError(f"no such file: {path}")
+        if row["length"] == DIR_LENGTH:
+            raise NamespaceError(f"cannot append to a directory: {path}")
+        if row["leaseHolder"] is not None:
+            raise NamespaceError(
+                f"already under construction by {row['leaseHolder']}: {path}"
+            )
+        self.table.update_where(
+            F.col("id") == row["id"],
+            {"leaseHolder": F.lit(lease_holder)},
+        )
+        return int(row["id"])
 
     def paths(self) -> DataFrame:
         """H2: the computed path column for every live row."""

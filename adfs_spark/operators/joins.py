@@ -68,6 +68,50 @@ def report_diff(
     return to_add, to_remove, matched
 
 
+def report_classify(
+    reported: DataFrame,
+    stored: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    class_col: str = "class",
+) -> DataFrame:
+    """J5 full form: the whole processReport reconciliation as ONE
+    full-outer join + CASE (FSNamesystem.processReport :2468-2620 with
+    the CorruptReplicasMap classification folded in):
+
+      - ``added``   — reported, not stored (toAdd)
+      - ``removed`` — stored, no longer reported (toRemove)
+      - ``corrupt`` — present in both but a compared column (genStamp /
+                      length) disagrees (markBlockAsCorrupt input)
+      - ``ok``      — present and equal
+
+    Single shuffle on the key; both classifications and the diff come
+    out of the same join, so a 100 TB report never scans twice."""
+    r = reported.select(
+        *key_cols, *compare_cols, F.lit(True).alias("_rp")
+    ).alias("r")
+    s = stored.select(*key_cols, *compare_cols, F.lit(True).alias("_sp")).alias("s")
+    cond = F.col(f"r.{key_cols[0]}").eqNullSafe(F.col(f"s.{key_cols[0]}"))
+    for c in key_cols[1:]:
+        cond = cond & F.col(f"r.{c}").eqNullSafe(F.col(f"s.{c}"))
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"r.{c}").eqNullSafe(F.col(f"s.{c}"))
+    cls = (
+        F.when(F.col("s._sp").isNull(), "added")
+        .when(F.col("r._rp").isNull(), "removed")
+        .when(~same, "corrupt")
+        .otherwise("ok")
+    )
+    return r.join(s, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"r.{c}"), F.col(f"s.{c}")).alias(c)
+            for c in key_cols
+        ],
+        cls.alias(class_col),
+    )
+
+
 def chain_join(
     levels: Sequence[DataFrame],
     keys: Sequence[tuple[str, str]],

@@ -1929,25 +1929,662 @@ def text_rolling_fingerprint(spark, sf_dir):
     )
 
 
-@q("sim_ivf_topk", None)  # trained coarse quantizer: engine-side approximation
+@q("sim_ivf_topk", _COS_SQL)
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN, full path: train 4 centroids with distributed k-means
-    (deterministic init), assign every vector to its cell, probe the 2
-    cells nearest the query."""
+    (deterministic init), assign every vector to its cell, probe the
+    cells nearest the query.  Probing ALL 4 cells makes the result
+    exactly the brute-force top-k — so the whole IVF pipeline (train →
+    assign → probe → rank) is oracle-checked against the exact cosine
+    SQL; recall at n_probe < k is covered by the planted-cluster pytest."""
     from adfs_spark.functions.similarity import ivf_assign, ivf_topk, kmeans_train
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     cents = kmeans_train(e, k=4, iters=2)
     assigned = ivf_assign(e, cents)
-    return ivf_topk(assigned, cents, qv, k=10, n_probe=2).select(
+    return ivf_topk(assigned, cents, qv, k=10, n_probe=4).select(
         "vec_id", F.round("sim", 5).alias("sim")
     )
 
 
+# =========================================================================
+# Round-2 members: corrupt classification (J5 full form), quota usage
+# (A4 + setQuota), recursive delete / mkdirs planning (H5/H6 set
+# forms), lease recovery + append (U2 compositions), oracle-upgraded
+# quantile/HLL rows, and the wide per-doc text feature row.
+# =========================================================================
+
+
+@q(
+    "j5_corrupt_classify",
+    """WITH stored AS (SELECT o_orderkey AS id, o_orderkey % 5 AS generationStamp,
+                              o_orderkey * 3 AS length FROM orders),
+            reported AS (
+              SELECT id,
+                     CASE WHEN id % 50 = 0 THEN generationStamp + 1
+                          ELSE generationStamp END AS generationStamp,
+                     length
+              FROM stored WHERE id % 97 <> 0
+              UNION ALL
+              SELECT id + 10000000, generationStamp, length
+              FROM stored WHERE id % 101 = 0)
+       SELECT COALESCE(r.id, s.id) AS id,
+              CASE WHEN s.id IS NULL THEN 'added'
+                   WHEN r.id IS NULL THEN 'removed'
+                   WHEN r.generationStamp <> s.generationStamp
+                        OR r.length <> s.length THEN 'corrupt'
+                   ELSE 'ok' END AS class
+       FROM reported r FULL OUTER JOIN stored s ON r.id = s.id""",
+)
+def j5_corrupt_classify(spark, sf_dir):
+    """J5 full classification: added/removed/corrupt/ok from ONE
+    full-outer join (processReport :2468-2620 + CorruptReplicasMap
+    markBlockAsCorrupt).  The divergent report is synthesized
+    deterministically from orders."""
+    from adfs_spark.operators.joins import report_classify
+
+    o = load_table(spark, sf_dir, "orders")
+    stored = o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 5).cast("long").alias("generationStamp"),
+        (F.col("o_orderkey") * 3).cast("long").alias("length"),
+    )
+    reported = stored.filter(F.col("id") % 97 != 0).select(
+        "id",
+        F.when(F.col("id") % 50 == 0, F.col("generationStamp") + 1)
+        .otherwise(F.col("generationStamp"))
+        .alias("generationStamp"),
+        "length",
+    ).unionByName(
+        stored.filter(F.col("id") % 101 == 0).select(
+            (F.col("id") + 10000000).alias("id"), "generationStamp", "length"
+        )
+    )
+    return report_classify(
+        reported, stored, ["id"], ["generationStamp", "length"]
+    )
+
+
+@q(
+    "a4_quota_usage",
+    """WITH u AS (SELECT 100 + c_nationkey AS id, count(*) AS nsUsed
+                  FROM customer GROUP BY 1)
+       SELECT 100 + n_nationkey AS id,
+              40 * (n_nationkey % 3) + 20 AS nsQuota,
+              COALESCE(u.nsUsed, 0) AS nsUsed,
+              CASE WHEN COALESCE(u.nsUsed, 0) > 40 * (n_nationkey % 3) + 20
+                   THEN 1 ELSE 0 END AS exceeded
+       FROM nation LEFT JOIN u ON u.id = 100 + n_nationkey""",
+)
+def a4_quota_usage(spark, sf_dir):
+    """Quota reporting (FileProtocol.setQuota surface +
+    Namespace.quota_usage): per-directory subtree usage vs nsQuota,
+    with the over-quota flag — the A4 aggregate compared against the
+    quota column.  Nation dirs in the synthetic namespace carry
+    deterministic quotas."""
+    ns = _namespace(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("id"),
+        (40 * (F.col("n_nationkey") % 3) + 20).cast("long").alias("nsQuota"),
+    )
+    used = (
+        ns.filter(F.col("id") >= 10000)
+        .groupBy(F.col("parentId").alias("id"))
+        .agg(F.count("*").alias("nsUsed"))
+    )
+    return n.join(used, "id", "left").select(
+        "id",
+        "nsQuota",
+        F.coalesce("nsUsed", F.lit(0)).cast("long").alias("nsUsed"),
+        F.when(F.coalesce("nsUsed", F.lit(0)) > F.col("nsQuota"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("exceeded"),
+    )
+
+
+@q(
+    "h5_recursive_delete",
+    f"""WITH ns AS ({_NS_SQL})
+        SELECT 1 AS id
+        UNION ALL SELECT id FROM ns WHERE parentId = 1
+        UNION ALL SELECT id FROM ns
+        WHERE parentId IN (SELECT id FROM ns WHERE parentId = 1)""",
+)
+def h5_recursive_delete(spark, sf_dir):
+    """H5 set form: the id set a guarded recursive delete tombstones —
+    target + BFS descendants (StateManager.deleteFileByFile :604-632);
+    the engine's Namespace.delete feeds exactly this set into
+    delete_where_keys (no driver-side id materialization)."""
+    from adfs_spark.operators.hierarchy import recursive_delete_set
+
+    ns = _namespace(spark, sf_dir)
+    return recursive_delete_set(ns, 1, recursive=True)
+
+
+@q(
+    "h6_mkdirs_batch",
+    """SELECT concat('/', r_name, '/', n_name) AS path,
+              100 + n_nationkey AS parent_id,
+              'newdir' AS create_name
+       FROM nation JOIN region ON n_regionkey = r_regionkey""",
+)
+def h6_mkdirs_batch(spark, sf_dir):
+    """H6 planning, batch form: resolve every path's existing prefix
+    (H1 batch fixpoint join — resolve_paths_batch) and emit the
+    (parent_id, name) insert set a mkdir -p would create
+    (insertFileByPath :568-590 done set-at-a-time)."""
+    from adfs_spark.operators.hierarchy import resolve_paths_batch
+
+    ns = _namespace(spark, sf_dir)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    paths = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(
+        F.concat(F.lit("/"), F.col("r_name"), F.lit("/"), F.col("n_name")).alias("path")
+    )
+    resolved = resolve_paths_batch(ns, paths, path_col="path")
+    return resolved.select(
+        "path",
+        F.col("id").cast("long").alias("parent_id"),
+        F.lit("newdir").alias("create_name"),
+    )
+
+
+@q(
+    "u_lease_recovery_append",
+    """SELECT o_orderkey, 'recover' AS phase,
+              CAST(NULL AS VARCHAR) AS holder_after,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS length
+       FROM orders
+       WHERE o_orderstatus = 'P' AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+       UNION ALL
+       SELECT o_orderkey, 'append', concat('client-', CAST(o_custkey % 10 AS VARCHAR)),
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+       FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 11 = 0""",
+)
+def u_lease_recovery_append(spark, sf_dir):
+    """Lease recovery + append as set-based state transitions
+    (FSNamesystem.internalReleaseLease / appendFile; BASELINE.md rows
+    recoverLease, append1-3).  recover: expired under-construction
+    files finalize and clear their holder (T1 candidates → U2 masked
+    update).  append: completed files reacquire a lease."""
+    o = load_table(spark, sf_dir, "orders")
+    price = _dec("o_totalprice").cast("double")
+    recover = o.filter(
+        (F.col("o_orderstatus") == "P")
+        & (F.col("o_orderdate") < F.lit("1995-06-01 00:00:00").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        F.lit("recover").alias("phase"),
+        F.lit(None).cast("string").alias("holder_after"),
+        price.alias("length"),
+    )
+    append = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 11 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit("append").alias("phase"),
+        F.concat(F.lit("client-"), (F.col("o_custkey") % 10).cast("string")).alias(
+            "holder_after"
+        ),
+        price.alias("length"),
+    )
+    return recover.unionByName(append)
+
+
+@q(
+    "text_doc_features",
+    f"""WITH toks AS (SELECT doc_id,
+                             list_filter(string_split(text, ' '), x -> x <> '') AS t
+                      FROM documents),
+            roll AS (SELECT doc_id,
+                            min(md5(array_to_string(t[i:i+7], ' '))) AS rolling_fp
+                     FROM toks, UNNEST(range(1, greatest(len(t)-7, 1)+1)) r(i)
+                     GROUP BY doc_id),
+            lang AS ({_langid_oracle_sql()})
+       SELECT d.doc_id,
+              len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens,
+              round(CAST(len(list_filter(string_split(lower(d.text), ' '),
+                    x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be')))
+                    AS DOUBLE) / greatest(len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')), 1), 5)
+                AS stopword_ratio,
+              round(CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / greatest(length(d.text), 1), 5) AS punct_ratio,
+              lang.lang_pred,
+              md5(d.text) AS fingerprint,
+              roll.rolling_fp
+       FROM documents d
+       JOIN lang ON lang.doc_id = d.doc_id
+       JOIN roll ON roll.doc_id = d.doc_id""",
+)
+def text_doc_features(spark, sf_dir):
+    """The whole per-document text-analysis battery in ONE row per doc:
+    token count, quality ratios, language-ID, md5 fingerprint, and the
+    winnowing rolling fingerprint (md5 variant).  One projection — all
+    five features share a single scan, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textf.token_count(F.col("text")).alias("n_tokens"),
+        F.round(textf.stopword_ratio(F.col("text")), 5).alias("stopword_ratio"),
+        F.round(textf.punct_ratio(F.col("text")), 5).alias("punct_ratio"),
+        textf.langid(F.col("text")).alias("lang_pred"),
+        textf.md5_fingerprint(F.col("text")).alias("fingerprint"),
+        textf.rolling_fingerprint_md5(F.col("text"), window=8).alias("rolling_fp"),
+    )
+
+
+@q(
+    "agg_quantile_rows",
+    """SELECT o_orderstatus, CAST(i AS BIGINT) AS q,
+              round(qs[CAST(i AS INT)], 4) AS quantile_value
+       FROM (SELECT o_orderstatus,
+                    quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs
+             FROM orders GROUP BY 1), UNNEST(range(1, 4)) r(i)""",
+)
+def agg_quantile_rows(spark, sf_dir):
+    """Exact interpolated quartiles per group, one row per quantile
+    (the agg_exact_quantiles array exploded for cross-engine hashing)."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").alias("qs")
+    )
+    return qs.select(
+        "o_orderstatus", F.posexplode("qs").alias("pos", "qv")
+    ).select(
+        "o_orderstatus",
+        (F.col("pos") + 1).cast("long").alias("q"),
+        F.round("qv", 4).alias("quantile_value"),
+    )
+
+
+@q(
+    "agg_hll_check",
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+              CAST(1 AS BIGINT) AS within_tol
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_hll_check(spark, sf_dir):
+    """HyperLogLog++ distinct count with an error-bound oracle: the
+    sketch estimate must land within 5% of the exact count (rsd=0.02 →
+    ~2σ bound).  The exact count is hash-compared; the sketch accuracy
+    claim rides along as a checked boolean — DuckDB's estimator differs,
+    so the estimate itself can't be value-compared."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        )
+        .cast("long")
+        .alias("within_tol"),
+    )
+
+
+# =========================================================================
+# Driver-facing export: the harness verifies the FIRST 50 queries()
+# entries, so the full declared surface is consolidated into exactly 50
+# — single queries where the operator stands alone, tagged-union
+# "suites" where a family shares a fixture shape.  Every suite member
+# keeps its own standalone QUERIES entry (bench/pytest target them);
+# the suite unions members onto the superset of their output columns
+# (case_tag + typed columns, NULL where a member lacks one) with the
+# oracle built the same way, so the driver's row-count/schema/value-
+# hash check covers every member's full output.
+# =========================================================================
+
+_DUCK_T = {"long": "BIGINT", "double": "DOUBLE", "string": "VARCHAR"}
+
+
+def _tagged_union_fn(members: list[tuple[str, list[str]]], cols: list[tuple[str, str]]):
+    def fn(spark, sf_dir) -> DataFrame:
+        out: DataFrame | None = None
+        for mname, mcols in members:
+            df = QUERIES[mname][0](spark, sf_dir)
+            have = set(mcols)
+            sel = [F.lit(mname).alias("case_tag")]
+            for cname, ctype in cols:
+                src = F.col(cname) if cname in have else F.lit(None)
+                sel.append(src.cast(ctype).alias(cname))
+            part = df.select(*sel)
+            out = part if out is None else out.unionByName(part)
+        assert out is not None
+        return out
+
+    return fn
+
+
+def _tagged_union_sql(members: list[tuple[str, list[str]]], cols: list[tuple[str, str]]) -> str:
+    parts = []
+    for mname, mcols in members:
+        sql = QUERIES[mname][1]
+        assert sql is not None, f"suite member {mname} lacks an oracle"
+        have = set(mcols)
+        proj = [f"'{mname}' AS case_tag"]
+        for cname, ctype in cols:
+            dt = _DUCK_T[ctype]
+            if cname in have:
+                proj.append(f'CAST("{cname}" AS {dt}) AS "{cname}"')
+            else:
+                proj.append(f'CAST(NULL AS {dt}) AS "{cname}"')
+        parts.append(f"SELECT {', '.join(proj)} FROM ({sql})")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _suite(name: str, members: list[tuple[str, list[str]]], cols: list[tuple[str, str]]):
+    QUERIES[name] = (
+        _tagged_union_fn(members, cols),
+        _tagged_union_sql(members, cols),
+    )
+
+
+_L, _D, _S = "long", "double", "string"
+
+_suite(
+    "s1_find_suite",
+    [
+        ("s1_point_lookup", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate_s", "o_orderpriority"]),
+        ("s1_range_limit_offset", ["o_orderkey", "o_totalprice"]),
+        ("s1_composite_prefix", ["l_orderkey", "l_linenumber", "l_quantity"]),
+        ("s1_composite_point", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]),
+        ("p4_in_filter", ["o_orderkey", "o_orderstatus"]),
+        ("s6_pagination_keyset", ["n_nationkey", "n_name"]),
+        ("p5_tombstone_filter", ["o_orderkey", "version"]),
+    ],
+    [
+        ("o_orderkey", _L), ("o_custkey", _L), ("o_orderstatus", _S),
+        ("o_totalprice", _D), ("o_orderdate_s", _S), ("o_orderpriority", _S),
+        ("l_orderkey", _L), ("l_linenumber", _L), ("l_quantity", _D),
+        ("l_extendedprice", _D), ("n_nationkey", _L), ("n_name", _S),
+        ("version", _L),
+    ],
+)
+
+_suite(
+    "scalar_metrics_suite",
+    [
+        ("s9_count", ["cnt"]),
+        ("a5_global_stats", ["sum_qty", "n_rows", "n_parts", "avg_price"]),
+        ("a7_max_version", ["max_version"]),
+    ],
+    [
+        ("cnt", _L), ("sum_qty", _D), ("n_rows", _L), ("n_parts", _L),
+        ("avg_price", _D), ("max_version", _L),
+    ],
+)
+
+_suite(
+    "j5_report_reconcile",
+    [
+        ("j5_anti_reported", ["event_id"]),
+        ("j5_anti_stored", ["o_orderkey"]),
+        ("j5_corrupt_classify", ["id", "class"]),
+    ],
+    [("event_id", _L), ("o_orderkey", _L), ("id", _L), ("class", _S)],
+)
+
+_suite(
+    "argmax_suite",
+    [
+        ("a2_group_argmax", ["l_orderkey", "l_linenumber", "last_shipdate"]),
+        ("w1_argmax_window", ["l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"]),
+    ],
+    [
+        ("l_orderkey", _L), ("l_linenumber", _L), ("last_shipdate", _S),
+        ("l_suppkey", _L), ("l_extendedprice", _D),
+    ],
+)
+
+_suite(
+    "a4_summary_suite",
+    [
+        ("a4_status_summary", ["o_orderstatus", "n_orders", "sum_price", "n_urgent"]),
+        ("a4_content_summary_tree", ["total_length", "file_count", "dir_count"]),
+        ("a4_quota_usage", ["id", "nsQuota", "nsUsed", "exceeded"]),
+    ],
+    [
+        ("o_orderstatus", _S), ("n_orders", _L), ("sum_price", _D),
+        ("n_urgent", _L), ("total_length", _L), ("file_count", _L),
+        ("dir_count", _L), ("id", _L), ("nsQuota", _L), ("nsUsed", _L),
+        ("exceeded", _L),
+    ],
+)
+
+_suite(
+    "w_rank_suite",
+    [
+        ("w3_priority_topk", ["o_orderkey", "priority"]),
+        ("w4_pick_one_per_group", ["c_nationkey", "c_custkey", "c_name"]),
+        ("sort_topk_global", ["o_orderkey", "o_totalprice"]),
+    ],
+    [
+        ("o_orderkey", _L), ("priority", _L), ("c_nationkey", _L),
+        ("c_custkey", _L), ("c_name", _S), ("o_totalprice", _D),
+    ],
+)
+
+_suite(
+    "w_analytic_suite",
+    [
+        ("window_running_total", ["o_custkey", "o_orderkey", "running_spend"]),
+        ("window_event_gaps", ["event_id", "user_id", "gap_s"]),
+    ],
+    [
+        ("o_custkey", _L), ("o_orderkey", _L), ("running_spend", _D),
+        ("event_id", _L), ("user_id", _L), ("gap_s", _L),
+    ],
+)
+
+_suite(
+    "t_threshold_suite",
+    [
+        ("t1_expired_threshold", ["event_id"]),
+        ("t2_stale_relative", ["event_id"]),
+    ],
+    [("event_id", _L)],
+)
+
+_suite(
+    "h_path_suite",
+    [
+        ("h1_chain_resolution", ["c_custkey", "path"]),
+        ("h2_path_column", ["id", "path"]),
+    ],
+    [("c_custkey", _L), ("id", _L), ("path", _S)],
+)
+
+_suite(
+    "h_tree_suite",
+    [
+        ("h3_listing_children", ["c_custkey", "c_name"]),
+        ("h4_descendants", ["id", "name", "level"]),
+    ],
+    [("c_custkey", _L), ("c_name", _S), ("id", _L), ("name", _S), ("level", _L)],
+)
+
+_suite(
+    "d_changelog_suite",
+    [
+        ("d1_changelog_classify", ["o_orderkey", "version", "op"]),
+        ("d2_delta_range", ["o_orderkey", "version"]),
+    ],
+    [("o_orderkey", _L), ("version", _L), ("op", _S)],
+)
+
+_suite(
+    "u_write_suite",
+    [
+        ("u1_upsert_overwrite", ["o_orderkey", "price", "src"]),
+        ("u2_masked_update", ["o_orderkey", "o_orderpriority", "updated"]),
+    ],
+    [
+        ("o_orderkey", _L), ("price", _D), ("src", _S),
+        ("o_orderpriority", _S), ("updated", _L),
+    ],
+)
+
+_suite(
+    "f_scalar_suite",
+    [
+        ("f1_path_roundtrip", ["c_custkey", "depth", "root"]),
+        ("f2_ip_pack_roundtrip", ["event_id", "user_id", "packed", "ip_back", "port_back"]),
+    ],
+    [
+        ("c_custkey", _L), ("depth", _L), ("root", _S), ("event_id", _L),
+        ("user_id", _L), ("packed", _L), ("ip_back", _L), ("port_back", _L),
+    ],
+)
+
+_suite(
+    "events_window_suite",
+    [
+        ("events_hourly_window", ["hour", "event_type", "n", "sum_value"]),
+        ("events_sliding_window", ["win_start", "n"]),
+        ("events_latest_per_user", ["user_id", "event_id", "ts_s"]),
+        ("events_json_extract", ["event_type", "sum_k", "n_with_k"]),
+    ],
+    [
+        ("hour", _S), ("event_type", _S), ("n", _L), ("sum_value", _D),
+        ("win_start", _S), ("user_id", _L), ("event_id", _L), ("ts_s", _S),
+        ("sum_k", _L), ("n_with_k", _L),
+    ],
+)
+
+_suite(
+    "asof_range_suite",
+    [
+        ("asof_click_after_error", ["event_id", "user_id", "click_ts", "error_event_id", "error_ts"]),
+        ("range_errors_before_click", ["event_id", "n_errors"]),
+    ],
+    [
+        ("event_id", _L), ("user_id", _L), ("click_ts", _S),
+        ("error_event_id", _L), ("error_ts", _S), ("n_errors", _L),
+    ],
+)
+
+_suite(
+    "pipeline_suite",
+    [
+        ("pipeline_split_counts", ["source", "split", "n"]),
+        ("pipeline_stratified_cap", ["doc_id", "source"]),
+        ("pipeline_weighted_mix", ["source", "n_kept"]),
+        ("pipeline_pack_batches", ["source", "bin", "n_docs", "sum_tokens"]),
+        ("pipeline_clean_corpus", ["source", "n_kept"]),
+    ],
+    [
+        ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
+        ("n_kept", _L), ("bin", _L), ("n_docs", _L), ("sum_tokens", _L),
+    ],
+)
+
+_suite(
+    "agg_suite",
+    [
+        ("agg_pivot_priority", ["o_orderstatus", "urgent", "high", "medium"]),
+        ("agg_rollup_status_priority", ["o_orderstatus", "o_orderpriority", "n_orders", "sum_price"]),
+        ("agg_cube_flag_status", ["l_returnflag", "l_linestatus", "n", "sum_qty"]),
+        ("agg_count_distinct", ["o_orderpriority", "n_customers", "n_orders"]),
+        ("agg_quantile_rows", ["o_orderstatus", "q", "quantile_value"]),
+        ("agg_hll_check", ["o_orderpriority", "n_exact", "within_tol"]),
+    ],
+    [
+        ("o_orderstatus", _S), ("urgent", _L), ("high", _L), ("medium", _L),
+        ("o_orderpriority", _S), ("n_orders", _L), ("sum_price", _D),
+        ("l_returnflag", _S), ("l_linestatus", _S), ("n", _L), ("sum_qty", _D),
+        ("n_customers", _L), ("q", _L), ("quantile_value", _D),
+        ("n_exact", _L), ("within_tol", _L),
+    ],
+)
+
+_suite(
+    "sq_set_suite",
+    [
+        ("sq_exists_late_ship", ["o_orderpriority", "n_orders"]),
+        ("sq_not_exists_inactive", ["c_nationkey", "n_customers", "sum_acctbal"]),
+        ("sq_scalar_small_quantity", ["sum_price", "n"]),
+        ("set_ops_customers", ["tag", "o_custkey"]),
+    ],
+    [
+        ("o_orderpriority", _S), ("n_orders", _L), ("c_nationkey", _L),
+        ("n_customers", _L), ("sum_acctbal", _D), ("sum_price", _D),
+        ("n", _L), ("tag", _S), ("o_custkey", _L),
+    ],
+)
+
+# The driver verifies the first 50 entries — this list IS the contract.
+# Ordering: suites and single queries covering SURVEY §2 first, then
+# the LLM-pipeline families, TPC-H headliners, and (last) the two
+# genuinely-approximate LSH queries that run as rows-only checks.
+EXPORTED: list[str] = [
+    "s1_find_suite",
+    "scalar_metrics_suite",
+    "j1_fact_join",
+    "j2_dim_broadcast",
+    "j3_semi_join",
+    "j5_report_reconcile",
+    "j6_secondary_index_join",
+    "argmax_suite",
+    "a3_sum_per_parent",
+    "a4_summary_suite",
+    "a6_having_under_threshold",
+    "w2_topk_per_group",
+    "w_rank_suite",
+    "w_analytic_suite",
+    "t_threshold_suite",
+    "h_path_suite",
+    "h_tree_suite",
+    "h5_recursive_delete",
+    "h6_mkdirs_batch",
+    "d_changelog_suite",
+    "d7_table_diff",
+    "u_write_suite",
+    "u4_lww_merge",
+    "u_lease_recovery_append",
+    "f_scalar_suite",
+    "text_doc_features",
+    "text_lang_distribution",
+    "text_tfidf_top_terms",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_knn_join",
+    "sim_ivf_topk",
+    "sim_embedding_neardup_exact",
+    "mm_feature_extract",
+    "events_window_suite",
+    "events_sessionize",
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_nation_revenue",
+    "q6_filtered_revenue",
+    "q14_promo_revenue",
+    "asof_range_suite",
+    "pipeline_suite",
+    "agg_suite",
+    "sq_set_suite",
+    "sim_topk_lsh",
+    "sim_embedding_neardup_lsh",
+]
+assert len(EXPORTED) == 50, f"driver cap is 50, got {len(EXPORTED)}"
+assert all(n in QUERIES for n in EXPORTED)
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    return {name: QUERIES[name][0] for name in EXPORTED}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+    return {
+        name: QUERIES[name][1] for name in EXPORTED if QUERIES[name][1] is not None
+    }

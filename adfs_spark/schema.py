@@ -116,6 +116,13 @@ FILE = TableSpec(
         ("owner", "int"),
         ("leaseHolder", "string"),  # non-null ⇒ under construction
         ("leaseRecoveryTime", "long"),
+        # Quota columns (FileProtocol.setQuota verb surface,
+        # FileProtocol.java:26-60; the fork leaves FSNamesystem.setQuota
+        # as a TODO stub — here they are first-class): -1 ⇒ unset.
+        # nsQuota caps namespace items (files+dirs) in the subtree,
+        # dsQuota caps total file bytes (HDFS ContentSummary fields).
+        ("nsQuota", "long"),
+        ("dsQuota", "long"),
     ),
     primary_key=("id",),
     indexes=(

@@ -243,6 +243,21 @@ class VersionedTable:
         self._merge_write(tomb)
         return self.max_version()
 
+    def _tombstones_for_keys(self, keys: DataFrame) -> DataFrame:
+        """The delete set for :meth:`delete_where_keys`: live rows
+        semi-joined against the key DataFrame, tombstone-stamped.  Kept
+        separate so plan tests can assert the key set stays distributed
+        (LeftSemi join — never a collect()+isin literal)."""
+        pk = list(self.spec.primary_key)
+        cur = self.snapshot()
+        hit = cur.filter(F.col(VERSION_COL) >= 0).join(
+            keys.select(*[c for c in keys.columns if c in pk]), pk, "left_semi"
+        )
+        base = self.max_version()
+        return _stamp_versions(hit, pk, base, negate=True).select(
+            *self.spec.column_names()
+        )
+
     def delete_where_keys(self, keys: DataFrame) -> int:
         """U3 set-based form: tombstone every live row whose pk appears
         in ``keys`` (a DataFrame holding pk columns).  This is the H5
@@ -250,15 +265,7 @@ class VersionedTable:
         :604-632) done as a semi-join — the key set never visits the
         driver, unlike a collect()+isin literal.  Returns the number of
         rows tombstoned."""
-        pk = list(self.spec.primary_key)
-        cur = self.snapshot()
-        hit = cur.filter(F.col(VERSION_COL) >= 0).join(
-            keys.select(*[c for c in keys.columns if c in pk]), pk, "left_semi"
-        )
-        base = self.max_version()
-        tomb = _stamp_versions(hit, pk, base, negate=True).select(
-            *self.spec.column_names()
-        )
+        tomb = self._tombstones_for_keys(keys)
         n = tomb.count()
         if n == 0:
             return 0

@@ -62,9 +62,66 @@ def test_q1_scans_prune_columns(spark):
 
 def test_q5_fact_join_not_broadcast_on_big_side(spark):
     fn, _ = QUERIES["q5_nation_revenue"]
-    p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    # dims broadcast; at least the plan compiles with joins on all 6 tables
-    assert p.count("BroadcastHashJoin") >= 4
+    df = fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # joins on all 6 tables compile; small-SF statistics may still pick
+    # runtime broadcasts, which is AQE's call, not a forced hint
+    assert "Join" in p
+    # the contract: only the constant-size dims (nation, region) carry a
+    # broadcast HINT — customer/supplier grow with SF and must be left
+    # to AQE (a forced broadcast OOMs executors at sf100)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
+
+
+def test_q3_q14_no_forced_broadcast_of_scaled_tables(spark):
+    for name in ("q3_unshipped_revenue", "q14_promo_revenue"):
+        fn, _ = QUERIES[name]
+        analyzed = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint (strategy=broadcast)" not in analyzed, name
+
+
+def test_version_stamping_has_no_single_partition_exchange(spark):
+    """Bulk writes must not funnel version assignment through one task:
+    the two-pass stamp numbers rows inside hash buckets
+    (storage._stamp_versions), so the only Exchange is hash-partitioned."""
+    from adfs_spark.storage import _stamp_versions
+
+    rows = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    stamped = _stamp_versions(rows, ["k"], base=0)
+    p = stamped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in p
+    assert "Exchange hashpartitioning(_vsb" in p
+    # versions are dense 1..n and unique
+    got = stamped.agg(
+        F.min("version"), F.max("version"), F.countDistinct("version")
+    ).first()
+    assert tuple(got) == (1, 10_000, 10_000)
+
+
+def test_recursive_delete_keys_stay_distributed(spark, tmp_path):
+    """H5 write path: the descendant key set feeds a LeftSemi join —
+    never a collect()+isin literal (the round-1 scale bug)."""
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+
+    spec = TableSpec(
+        name="kv2",
+        columns=(ColumnSpec("k", "long"), ColumnSpec("v", "string")),
+        primary_key=("k",),
+        versioned=True,
+    )
+    t = VersionedTable(spark, spec, str(tmp_path / "kv2"))
+    t.init(spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k: long, v: string"))
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    tomb = t._tombstones_for_keys(keys)
+    p = tomb._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p
+    assert " IN (" not in p  # no materialized isin literal
+    assert t.delete_where_keys(keys) == 50
+    assert t.count() == 50
 
 
 def test_aggregates_combine_map_side(spark):

@@ -45,7 +45,7 @@ def row_multiset(rows, colnames):
 
 
 def main(names: list[str]) -> int:
-    from adfs_spark.queries import QUERIES
+    from adfs_spark.queries import EXPORTED, QUERIES
     from adfs_spark.session import get_spark
 
     spark = get_spark("selfcheck")
@@ -55,7 +55,12 @@ def main(names: list[str]) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    selected = names or list(QUERIES)
+    # default = the driver-facing EXPORTED 50 (the contract); --all adds
+    # every standalone member query too
+    if names == ["--all"]:
+        selected = list(QUERIES)
+    else:
+        selected = names or list(EXPORTED)
     n_pass = n_fail = n_noracle = 0
     for name in selected:
         fn, sql = QUERIES[name]
