@@ -330,19 +330,38 @@ def minhash_near_duplicates(
 # -- SimHash -------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: for each bit, majority vote of
-    token-hash bits.  Explode tokens → per-(doc,bit) sum of ±1 →
-    reassemble.  Two shuffles bounded by |docs|·64 longs."""
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``num_bits``-wide SimHash per document: for each bit, majority
+    vote of token-hash bits.  Explode tokens → per-(doc,bit) sum of ±1
+    → reassemble.  Two shuffles bounded by |docs|·num_bits longs.
+
+    ``hash_fn``: 'xxhash64' (fast, engine-specific, 64 bits) or
+    'md5_60' — the top 60 bits of md5, identical in every engine, so a
+    DuckDB oracle can recompute the exact signatures (15 hex chars fit
+    a signed 64-bit long in both engines)."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("_tok")
+        assert num_bits <= 64
+    elif hash_fn == "md5_60":
+        h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
+        assert num_bits <= 60
+    else:  # pragma: no cover
+        raise ValueError(f"unknown hash_fn {hash_fn}")
     toks = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(whitespace_tokens(F.col(text_col))).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn("_h", h)
     bits = toks.select(
         "_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(num_bits - 1)),
                 lambda i: F.when(
                     F.call_function("shiftrightunsigned", F.col("_h"), i).bitwiseAND(
                         F.lit(1)
@@ -371,16 +390,19 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     num_chunks: int = 4,
+    num_bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: split 64 bits into ``num_chunks`` chunks; any
-    pair within distance < num_chunks shares at least one exact chunk,
-    so candidate generation is an equi-join on (chunk index, chunk
-    value) — never a cross join.  Verify with bit_count(xor).
+    Pigeonhole banding: split ``num_bits`` bits into ``num_chunks``
+    chunks; any pair within distance < num_chunks shares at least one
+    exact chunk, so candidate generation is an equi-join on (chunk
+    index, chunk value) — never a cross join.  Verify with
+    bit_count(xor).
     """
-    sigs = simhash(df, id_col, text_col)
-    width = 64 // num_chunks
+    sigs = simhash(df, id_col, text_col, num_bits=num_bits, hash_fn=hash_fn)
+    width = num_bits // num_chunks
     chunks = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_chunks - 1)),

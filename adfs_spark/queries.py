@@ -876,11 +876,48 @@ def dedup_minhash_lsh(spark, sf_dir):
     return got.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 
 
-@q("dedup_simhash", None)  # engine-specific hashing
+@q(
+    "dedup_simhash",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id,
+                    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+             FROM toks),
+       votes AS (
+         SELECT doc_id, i,
+                sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM h, UNNEST(range(0, 60)) r(i)
+         GROUP BY doc_id, i),
+       sig AS (
+         SELECT doc_id,
+                sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                         ELSE 0 END) AS s
+         FROM votes GROUP BY doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.s, b.s)) <= 12""",
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates at hamming ≤ 12 of 64 bits."""
+    """SimHash near-dup candidates at hamming ≤ 12 of 60 bits.
+
+    Upgraded from a rows-only check: the md5-derived bit hash is
+    engine-portable, so DuckDB recomputes the exact signatures and the
+    all-pairs hamming set.  The Spark side still runs the pigeonhole
+    banding plan (15 chunks × 4 bits — candidate equi-join, no cross
+    join); with max_hamming=12 < 15 chunks the banding recall is exactly
+    1, so the bucketed answer provably equals the oracle's brute force.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=12, num_chunks=16)
+    out = simhash_near_duplicates(
+        d, "doc_id", "text", max_hamming=12, num_chunks=15,
+        num_bits=60, hash_fn="md5_60",
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # =========================================================================

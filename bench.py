@@ -53,22 +53,27 @@ def main() -> int:
     spark = get_spark("adfs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm pass: run the whole suite once untimed.  One-time JVM costs
-    # (classloading, whole-stage-codegen compilation, JIT) dominate
-    # single-shot timings at this scale — e.g. the MinHash pipeline
-    # measures ~10s cold but ~2.6s steady-state — and a long-running
-    # cluster never pays them per query.  The timed pass below measures
-    # the distributed plan, which is what the engine controls.
+    # Cold pass: run (and time) the whole suite once from a fresh JVM.
+    # One-time costs (classloading, whole-stage-codegen compilation,
+    # JIT) dominate single-shot timings at this scale — e.g. the
+    # MinHash pipeline measures ~10s cold but ~2.6s steady-state — and
+    # a long-running cluster never pays them per query.  The cold total
+    # is REPORTED (so round-over-round comparisons can't hide JIT
+    # effects) but the headline is the steady-state suite below, which
+    # measures the distributed plan — what the engine controls.
     spark.range(1000).count()
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
+        t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
 
-    # Best-of-2 timed passes: single-shot timings at sub-second scale
-    # swing 2-4x on JVM GC pauses; the min is the reproducible cost of
-    # the plan itself.
+    # Best-of-3 timed passes: single-shot timings at sub-second scale
+    # swing 2-4x on JVM GC pauses and host noise; the min is the
+    # reproducible cost of the plan itself.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             fn, _ = QUERIES[name]
             t0 = time.time()
@@ -86,6 +91,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }
         )
