@@ -106,6 +106,19 @@ class Namespace:
         """getFileInfo (FileProtocol; FSNamesystem.getFileInfo)."""
         return self._resolve(path)
 
+    def resolve_many(self, paths: DataFrame, path_col: str = "path") -> DataFrame:
+        """Batch getFileInfo: resolve a whole DataFrame of paths in
+        max-depth rounds of distributed joins (H1 batch fixpoint,
+        resolve_paths_batch) and return (path, <file row>) — the scale
+        form of :meth:`get_file_info`.  Point callers loop once per
+        *component*; this loops once per *depth level* for ALL paths at
+        once, so resolving a million paths costs the same number of
+        joins as resolving one."""
+        from adfs_spark.operators.hierarchy import resolve_paths_batch
+
+        resolved = resolve_paths_batch(self.ns(), paths, path_col=path_col)
+        return resolved.join(self.ns(), "id", "inner")
+
     def exists(self, path: str) -> bool:
         return self._resolve(path) is not None
 

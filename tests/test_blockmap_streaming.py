@@ -124,14 +124,16 @@ def test_heartbeat_applier_stream(spark, tmp_path):
     assert live == {1: 200, 2: 150}
 
 
-def test_multimodal_resize_stub_raises(spark, tables):
-    import pytest as _pytest
-
+def test_multimodal_resize_passthrough_for_undecodable(spark, tables):
+    """resize_images is REAL for BMP payloads (round 2, pure-numpy
+    decode); non-BMP payloads pass through unchanged instead of
+    raising — the text-byte documents here are not images."""
     from adfs_spark.functions.multimodal import from_documents, resize_images
 
     media = from_documents(tables["documents"].limit(2))
-    with _pytest.raises(Exception):
-        resize_images(media, 64, 64).collect()
+    before = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = resize_images(media, 64, 64).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == before
 
 
 def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):

@@ -19,6 +19,17 @@ def test_mkdirs_and_resolve(ns):
     assert ns.mkdirs("/a/b/c") == deep
 
 
+def test_resolve_many_batch(ns, spark):
+    ns.mkdirs("/x/y")
+    ns.create("/x/y/f")
+    paths = spark.createDataFrame(
+        [("/x",), ("/x/y",), ("/x/y/f",), ("/missing",)], "path: string"
+    )
+    got = {r["path"]: r for r in ns.resolve_many(paths).collect()}
+    assert set(got) == {"/x", "/x/y", "/x/y/f"}  # missing path: no row
+    assert got["/x/y/f"]["length"] == 0 and got["/x/y"]["length"] == -1
+
+
 def test_create_file_and_guards(ns):
     ns.mkdirs("/data")
     fid = ns.create("/data/f1", replication=2)
