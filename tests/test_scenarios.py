@@ -97,3 +97,38 @@ def test_full_namenode_session(world, spark):
     bl = bm.blocks.live()
     orphans = bl.join(live_files, bl["fileId"] == live_files["id"], "left_anti")
     assert orphans.select("id").distinct().count() == 2  # blocks 500, 501 orphaned
+
+
+def test_append_and_lease_recovery_session(world, spark):
+    """create → complete → append → writer dies → recoverLease
+    (FSNamesystem.appendFile / internalReleaseLease; BASELINE.md rows
+    append1-3 and recoverLease)."""
+    bm = world
+    ns = bm.namespace
+
+    ns.mkdirs("/wal")
+    fid = ns.create("/wal/seg-1", replication=2, lease_holder="writer-A")
+    bm.allocate_block(fid, 600, 0, [1, 2])
+    bm.blocks.update_where(F.col("id") == 600, {"length": F.lit(100).cast("long")})
+    ns.complete_file("/wal/seg-1", bm.file_length_from_blocks(fid))
+    assert ns.get_file_info("/wal/seg-1")["leaseHolder"] is None
+
+    # append: reopen under a new lease, add one more block
+    assert ns.append_file("/wal/seg-1", "writer-B") == fid
+    bm.allocate_block(fid, 601, 1, [2, 3])
+    info = ns.get_file_info("/wal/seg-1")
+    assert info["leaseHolder"] == "writer-B"
+
+    # writer-B dies mid-append: the new block reports a partial length,
+    # recovery finalizes length from the A3 sum and clears the holder
+    bm.blocks.update_where(F.col("id") == 601, {"length": F.lit(40).cast("long")})
+    final = bm.file_length_from_blocks(fid)
+    assert final == 140
+    ns.recover_lease("/wal/seg-1", final_length=final, now_ms=123_456)
+    info = ns.get_file_info("/wal/seg-1")
+    assert info["leaseHolder"] is None
+    assert info["length"] == 140 and info["leaseRecoveryTime"] == 123_456
+
+    # the file reads normally again, both blocks in order
+    locs = bm.get_block_locations("/wal/seg-1").collect()
+    assert [r["block_id"] for r in locs] == [600, 601]
