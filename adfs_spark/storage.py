@@ -299,6 +299,25 @@ class VersionedTable:
             VBUCKET_COL
         )
 
+    def snapshot_as_of(self, version: int) -> DataFrame:
+        """Time travel: reconstruct the table state as of ``version``
+        (inclusive) from the change log — LWW per pk over all ops with
+        abs(version) ≤ v.  The _vbucket partitioning prunes history
+        directories above the target, so reading an old snapshot scans
+        history up to v, never the full log tail.  Includes tombstones;
+        compose with a ``version >= 0`` filter for the live view
+        (:meth:`live_as_of`)."""
+        hi_b = version // VBUCKET_SIZE
+        log = self.changelog().filter(F.col(VBUCKET_COL) <= hi_b)
+        log = log.filter(F.abs(F.col(VERSION_COL)) <= version).drop(
+            VBUCKET_COL, OP_COL
+        )
+        return _latest_by_abs_version(log, list(self.spec.primary_key))
+
+    def live_as_of(self, version: int) -> DataFrame:
+        """P5 over a historical snapshot: live rows as of ``version``."""
+        return self.snapshot_as_of(version).filter(F.col(VERSION_COL) >= 0)
+
     def sync_from(self, other: "VersionedTable") -> None:
         """D2/D3 orchestration (restoreIncrementFromMasterServerInternal
         :677-716): catch this replica up to ``other``.  Small gap →

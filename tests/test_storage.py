@@ -67,6 +67,24 @@ def test_delta_and_lww_merge(table, spark):
     assert live == {2: "B2", 3: "c"}
 
 
+def test_time_travel_snapshot_as_of(table, spark):
+    # state at v3: {1:a, 2:b, 3:c}; v4 upserts 2→B2; v5 tombstones 1
+    table.upsert(spark.createDataFrame([(2, "B2")], "k: long, v: string"))
+    table.delete_where(F.col("k") == 1)
+    as_of_3 = {r["k"]: r["v"] for r in table.live_as_of(3).collect()}
+    assert as_of_3 == {1: "a", 2: "b", 3: "c"}
+    as_of_4 = {r["k"]: r["v"] for r in table.live_as_of(4).collect()}
+    assert as_of_4 == {1: "a", 2: "B2", 3: "c"}
+    as_of_5 = {r["k"]: r["v"] for r in table.live_as_of(5).collect()}
+    assert as_of_5 == {2: "B2", 3: "c"}
+    # tombstone visible in the raw snapshot
+    snap5 = {r["k"]: r["version"] for r in table.snapshot_as_of(5).collect()}
+    assert snap5[1] == -5
+    # as-of now == current live view
+    cur = {r["k"]: r["v"] for r in table.live().collect()}
+    assert {r["k"]: r["v"] for r in table.live_as_of(table.max_version()).collect()} == cur
+
+
 def test_sync_from(table, spark, tmp_path):
     table.upsert(spark.createDataFrame([(5, "e")], "k: long, v: string"))
     replica = VersionedTable(spark, SPEC, str(tmp_path / "replica"))
