@@ -318,6 +318,33 @@ class VersionedTable:
         """P5 over a historical snapshot: live rows as of ``version``."""
         return self.snapshot_as_of(version).filter(F.col(VERSION_COL) >= 0)
 
+    def rollback_to(self, version: int) -> None:
+        """Point-in-time restore: make the live view equal to
+        :meth:`live_as_of`(version) via forward-written corrections
+        (history is append-only; nothing is erased, so the rollback is
+        itself rolled back-able).  Two deltas, both key-joined:
+
+        - keys live at ``version`` whose row differs now (changed or
+          since-deleted) → re-upsert the old values;
+        - keys live now but absent at ``version`` → tombstone.
+        """
+        pk = list(self.spec.primary_key)
+        data_cols = [c for c in self.spec.column_names() if c != VERSION_COL]
+        old = self.live_as_of(version).select(*data_cols)
+        cur = self.live().select(*data_cols)
+        # exceptAll is resolved as a hash anti-join on all columns —
+        # one shuffle each side, no row comparison loops
+        revert = old.exceptAll(cur)
+        if revert.take(1):
+            self.upsert(revert)
+        # recompute from fresh reads: the upsert swapped the current/
+        # files, so pre-upsert DataFrames must not be re-executed (the
+        # revert set ⊆ keys-at-v, so the "gone" set is unaffected)
+        old_keys = self.live_as_of(version).select(*pk)
+        gone = self.live().select(*pk).join(old_keys, pk, "left_anti")
+        if gone.take(1):
+            self.delete_where_keys(gone)
+
     def sync_from(self, other: "VersionedTable") -> None:
         """D2/D3 orchestration (restoreIncrementFromMasterServerInternal
         :677-716): catch this replica up to ``other``.  Small gap →

@@ -31,6 +31,33 @@ def _mk_log(spark, ops):
     return rows, spark.createDataFrame(rows, "k: long, v: long, version: long")
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.one_of(st.integers(min_value=-(2**40), max_value=2**40), st.none()),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    base=st.integers(min_value=0, max_value=2**40),
+    negate=st.booleans(),
+)
+def test_version_stamping_dense_unique_deterministic(spark, keys, base, negate):
+    """_stamp_versions assigns exactly {base+1..base+n} (sign flipped
+    for tombstones) regardless of key values/nulls, and identically on
+    recomputation (it feeds both the changelog and the merge)."""
+    from adfs_spark.storage import _stamp_versions
+
+    rows = spark.createDataFrame([(k,) for k in keys], "k: long")
+    stamped = _stamp_versions(rows, ["k"], base, negate=negate)
+    got = {(r["k"], r["version"]) for r in stamped.collect()}
+    versions = sorted(abs(v) for _, v in got)
+    assert versions == list(range(base + 1, base + 1 + len(keys)))
+    assert all((v < 0) == negate for _, v in got)
+    # deterministic under recomputation
+    assert {(r["k"], r["version"]) for r in stamped.collect()} == got
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=ops_strategy)
 def test_lww_merge_matches_sequential_replay(spark, ops):

@@ -85,6 +85,23 @@ def test_time_travel_snapshot_as_of(table, spark):
     assert {r["k"]: r["v"] for r in table.live_as_of(table.max_version()).collect()} == cur
 
 
+def test_rollback_to(table, spark):
+    # v3 state: {1:a, 2:b, 3:c} → upsert 2→B2, insert 4, delete 1
+    table.upsert(spark.createDataFrame([(2, "B2"), (4, "d")], "k: long, v: string"))
+    table.delete_where(F.col("k") == 1)
+    assert {r["k"]: r["v"] for r in table.live().collect()} == {2: "B2", 3: "c", 4: "d"}
+    table.rollback_to(3)
+    assert {r["k"]: r["v"] for r in table.live().collect()} == {1: "a", 2: "b", 3: "c"}
+    # forward-written: history after the rollback still shows the detour
+    assert {r["k"]: r["v"] for r in table.live_as_of(6).collect()} == {
+        2: "B2", 3: "c", 4: "d",
+    }
+    # idempotent: rolling back again is a no-op
+    v = table.max_version()
+    table.rollback_to(3)
+    assert table.max_version() == v
+
+
 def test_sync_from(table, spark, tmp_path):
     table.upsert(spark.createDataFrame([(5, "e")], "k: long, v: string"))
     replica = VersionedTable(spark, SPEC, str(tmp_path / "replica"))
