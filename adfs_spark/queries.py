@@ -2267,6 +2267,130 @@ def agg_hll_check(spark, sf_dir):
     )
 
 
+@q(
+    "p3_null_probe",
+    """SELECT o_orderkey, o_totalprice FROM
+       (SELECT o_orderkey, o_totalprice, nullif(o_orderstatus, 'P') AS statusN
+        FROM orders)
+       WHERE statusN IS NULL""",
+)
+def p3_null_probe(spark, sf_dir):
+    """P3: IS NULL key probe through the find surface — a None key
+    renders as isNull() (DatabaseExecutorForMysqlClient.java:94)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "statusN", F.expr("nullif(o_orderstatus, 'P')")
+    )
+    return indexed_find(o, ["statusN"], [None]).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "f4_flags",
+    """SELECT id,
+              CASE WHEN length = -1 THEN 1 ELSE 0 END AS is_dir,
+              CASE WHEN holder IS NOT NULL THEN 1 ELSE 0 END AS under_construction
+       FROM (SELECT o_orderkey AS id,
+                    CASE WHEN o_orderkey % 10 = 0 THEN -1 ELSE o_orderkey END AS length,
+                    CASE WHEN o_orderstatus = 'P' THEN 'w' END AS holder
+             FROM orders)""",
+)
+def f4_flags(spark, sf_dir):
+    """F4: isDir / isUnderConstruction flag projections
+    (File.java:144-150) over a file-shaped fixture."""
+    from adfs_spark.functions.scalar import is_dir, is_under_construction
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderkey") % 10 == 0, -1)
+        .otherwise(F.col("o_orderkey"))
+        .cast("long")
+        .alias("length"),
+        F.when(F.col("o_orderstatus") == "P", "w").alias("holder"),
+    )
+    return o.select(
+        "id",
+        is_dir(F.col("length")).cast("long").alias("is_dir"),
+        is_under_construction(F.col("holder")).cast("long").alias("under_construction"),
+    )
+
+
+@q(
+    "f5_name_guard",
+    """SELECT n_nationkey,
+              CASE WHEN name_test IS NOT NULL AND len(name_test) > 0
+                        AND len(name_test) <= 255 THEN 1 ELSE 0 END AS valid
+       FROM (SELECT n_nationkey,
+                    CASE WHEN n_nationkey % 5 = 0 THEN ''
+                         WHEN n_nationkey % 7 = 0 THEN NULL
+                         ELSE n_name END AS name_test
+             FROM nation)""",
+)
+def f5_name_guard(spark, sf_dir):
+    """F5: name validation guard (FileRepository.find :110-119 — name
+    non-null, non-empty, ≤255 chars)."""
+    from adfs_spark.functions.scalar import valid_name
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 5 == 0, "")
+        .when(F.col("n_nationkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("n_name"))
+        .alias("name_test"),
+    )
+    return n.select(
+        "n_nationkey", valid_name(F.col("name_test")).cast("long").alias("valid")
+    )
+
+
+@q(
+    "f6_update_flags",
+    """SELECT o_orderkey,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS inc,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 50 AS DOUBLE) AS dec
+       FROM orders WHERE o_orderkey % 13 = 0""",
+)
+def f6_update_flags(spark, sf_dir):
+    """F6: ADD/SUB update-flag arithmetic (TDHSCommon.UpdateFlag
+    :80-95) as set-based update previews."""
+    from adfs_spark.functions.scalar import counter_add
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    price = _dec("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        counter_add(price, F.lit(100)).cast("double").alias("inc"),
+        counter_add(price, F.lit(-50)).cast("double").alias("dec"),
+    )
+
+
+@q(
+    "u5_id_alloc",
+    """SELECT o_orderkey,
+              (SELECT max(o_orderkey) FROM orders)
+                + row_number() OVER (ORDER BY o_orderkey) AS new_id
+       FROM orders WHERE o_orderkey % 501 = 0""",
+)
+def u5_id_alloc(spark, sf_dir):
+    """U5: collision-free id allocation, set form — max(id) + dense
+    rank for a batch of inserts (replaces the reference's random-probe
+    loop, FileRepository.getUniqueIdAndLock :307-374).  The window runs
+    over the (small) insert batch only, never the table."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey").alias("_mx"))
+    batch = o.filter(F.col("o_orderkey") % 501 == 0)
+    return (
+        batch.join(F.broadcast(mx))
+        .withColumn(
+            "new_id",
+            (F.col("_mx") + F.row_number().over(Window.orderBy("o_orderkey"))).cast(
+                "long"
+            ),
+        )
+        .select("o_orderkey", "new_id")
+    )
+
+
 # =========================================================================
 # Driver-facing export: the harness verifies the FIRST 50 queries()
 # entries, so the full declared surface is consolidated into exactly 50
@@ -2334,6 +2458,7 @@ _suite(
         ("s1_composite_prefix", ["l_orderkey", "l_linenumber", "l_quantity"]),
         ("s1_composite_point", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]),
         ("p4_in_filter", ["o_orderkey", "o_orderstatus"]),
+        ("p3_null_probe", ["o_orderkey", "o_totalprice"]),
         ("s6_pagination_keyset", ["n_nationkey", "n_name"]),
         ("p5_tombstone_filter", ["o_orderkey", "version"]),
     ],
@@ -2462,10 +2587,11 @@ _suite(
     [
         ("u1_upsert_overwrite", ["o_orderkey", "price", "src"]),
         ("u2_masked_update", ["o_orderkey", "o_orderpriority", "updated"]),
+        ("u5_id_alloc", ["o_orderkey", "new_id"]),
     ],
     [
         ("o_orderkey", _L), ("price", _D), ("src", _S),
-        ("o_orderpriority", _S), ("updated", _L),
+        ("o_orderpriority", _S), ("updated", _L), ("new_id", _L),
     ],
 )
 
@@ -2474,10 +2600,16 @@ _suite(
     [
         ("f1_path_roundtrip", ["c_custkey", "depth", "root"]),
         ("f2_ip_pack_roundtrip", ["event_id", "user_id", "packed", "ip_back", "port_back"]),
+        ("f4_flags", ["id", "is_dir", "under_construction"]),
+        ("f5_name_guard", ["n_nationkey", "valid"]),
+        ("f6_update_flags", ["o_orderkey", "inc", "dec"]),
     ],
     [
         ("c_custkey", _L), ("depth", _L), ("root", _S), ("event_id", _L),
         ("user_id", _L), ("packed", _L), ("ip_back", _L), ("port_back", _L),
+        ("id", _L), ("is_dir", _L), ("under_construction", _L),
+        ("n_nationkey", _L), ("valid", _L), ("o_orderkey", _L),
+        ("inc", _D), ("dec", _D),
     ],
 )
 
