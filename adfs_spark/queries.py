@@ -2268,6 +2268,54 @@ def agg_hll_check(spark, sf_dir):
 
 
 @q(
+    "p7_validity_probe",
+    """SELECT CAST(least(count(*), 1) AS BIGINT) AS found_500,
+              (SELECT CAST(least(count(*), 1) AS BIGINT)
+               FROM orders WHERE o_orderkey = -1) AS found_missing
+       FROM orders WHERE o_orderkey = 500""",
+)
+def p7_validity_probe(spark, sf_dir):
+    """P7: row-validity probes in set form — a point find that returns
+    0/1 (isValid, FileRepository.java:140-147), one existing and one
+    missing key."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def probe(key):
+        return (
+            indexed_find(o, ["o_orderkey"], [key])
+            .limit(1)
+            .agg(F.least(F.count("*"), F.lit(1)).cast("long"))
+        )
+
+    hit = probe(500).toDF("found_500")
+    miss = probe(-1).toDF("found_missing")
+    return hit.join(miss)
+
+
+@q(
+    "u3_tombstone_preview",
+    f"""SELECT o_orderkey, -(1000000 + row_number() OVER (ORDER BY o_orderkey)) AS new_version
+        FROM (SELECT o_orderkey, {_VERSION_SQL} AS version FROM orders)
+        WHERE version >= 0 AND o_orderkey % 23 = 0""",
+)
+def u3_tombstone_preview(spark, sf_dir):
+    """U3: tombstone delete, set form — live rows matching the delete
+    predicate get the *negated* next versions (deleteInternal
+    :316-330).  Dense sequential stamping here (the engine's
+    _stamp_versions is bucket-parallel; the oracle needs a total
+    order, so this preview stamps by key order)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").withColumn("version", _version_col())
+    hit = live_view(o).filter(F.col("o_orderkey") % 23 == 0)
+    w = Window.orderBy("o_orderkey")
+    return hit.select(
+        "o_orderkey",
+        (-(F.lit(1000000) + F.row_number().over(w))).cast("long").alias("new_version"),
+    )
+
+
+@q(
     "p3_null_probe",
     """SELECT o_orderkey, o_totalprice FROM
        (SELECT o_orderkey, o_totalprice, nullif(o_orderstatus, 'P') AS statusN
@@ -2477,10 +2525,12 @@ _suite(
         ("s9_count", ["cnt"]),
         ("a5_global_stats", ["sum_qty", "n_rows", "n_parts", "avg_price"]),
         ("a7_max_version", ["max_version"]),
+        ("p7_validity_probe", ["found_500", "found_missing"]),
     ],
     [
         ("cnt", _L), ("sum_qty", _D), ("n_rows", _L), ("n_parts", _L),
         ("avg_price", _D), ("max_version", _L),
+        ("found_500", _L), ("found_missing", _L),
     ],
 )
 
@@ -2587,11 +2637,13 @@ _suite(
     [
         ("u1_upsert_overwrite", ["o_orderkey", "price", "src"]),
         ("u2_masked_update", ["o_orderkey", "o_orderpriority", "updated"]),
+        ("u3_tombstone_preview", ["o_orderkey", "new_version"]),
         ("u5_id_alloc", ["o_orderkey", "new_id"]),
     ],
     [
         ("o_orderkey", _L), ("price", _D), ("src", _S),
-        ("o_orderpriority", _S), ("updated", _L), ("new_id", _L),
+        ("o_orderpriority", _S), ("updated", _L), ("new_version", _L),
+        ("new_id", _L),
     ],
 )
 

@@ -101,6 +101,18 @@ def test_version_stamping_has_no_single_partition_exchange(spark):
     assert tuple(got) == (1, 10_000, 10_000)
 
 
+def test_suite_union_preserves_member_pushdowns(spark):
+    """The driver-facing tagged-union suites must not defeat member
+    scan pushdown: every point/range member's filter still reaches its
+    own FileScan through the Union."""
+    p = plan_of(spark, "s1_find_suite")
+    assert "Union" in p
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,500)]" in p
+    assert "GreaterThanOrEqual(o_orderkey,100)" in p
+    assert "EqualTo(l_linenumber,3)" in p
+    assert "In(o_orderstatus, [F,P])" in p
+
+
 def test_recursive_delete_keys_stay_distributed(spark, tmp_path):
     """H5 write path: the descendant key set feeds a LeftSemi join —
     never a collect()+isin literal (the round-1 scale bug)."""
