@@ -5,6 +5,14 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
+The harness verifies the FIRST 50 entries, so ``queries()`` exports
+exactly 50 (``adfs_spark.queries.EXPORTED``): standalone queries plus
+tagged-union suites whose oracles are composed from their members'
+oracles — every declared operator gets a driver-checked row (see
+COVERAGE.md for the member map).  48/50 carry full oracles; the two
+hyperplane-LSH ANN variants are genuinely approximate and run as
+rows-only checks with pytest recall floors.
+
 The real surface lives in :mod:`adfs_spark.queries`; this module is
 the thin driver-facing veneer.
 """
