@@ -137,6 +137,48 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(hashes)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the
+    context-length chunking step of a training-data pipeline.
+
+    Chunk i covers tokens [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap; the final chunk may be short; empty
+    documents yield no chunks.  Pure expression tree (tokenize →
+    sequence → slice → posexplode): the explode happens map-side, no
+    shuffle, no Python — at 100 TB this is a stateless projection
+    whose output size is input·(1 + overlap/stride).
+
+    Returns (id, chunk_index, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride) for n > 0
+    n_chunks = F.ceil((F.greatest(n - overlap, F.lit(1))) / F.lit(stride))
+    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    chunks = F.transform(
+        starts, lambda i: F.slice(toks, i * stride + 1, max_tokens)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_index", "_ctoks"),
+    ).filter(F.size("_ctoks") > 0)
+    return out.select(
+        id_col,
+        "chunk_index",
+        F.concat_ws(" ", "_ctoks").alias("chunk_text"),
+        F.size("_ctoks").alias("n_tokens"),
+    )
+
+
 def rolling_fingerprint_md5(text: Column, window: int = 8) -> Column:
     """Winnowing-style fingerprint with an engine-portable hash: min of
     md5-hex over ``window``-token shingles.  Same robust-to-small-edits

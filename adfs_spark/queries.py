@@ -2316,6 +2316,34 @@ def u3_tombstone_preview(spark, sf_dir):
 
 
 @q(
+    "pipeline_chunk_docs",
+    """WITH toks AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '), x -> x <> '') AS t
+                     FROM documents),
+            c AS (SELECT doc_id, i AS chunk_index,
+                         t[CAST(i*32+1 AS INT):CAST(i*32+40 AS INT)] AS ct
+                  FROM toks,
+                       UNNEST(range(0, CAST(ceil(greatest(len(t)-8, 1)/32.0) AS BIGINT))) r(i))
+       SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+              array_to_string(ct, ' ') AS chunk_text,
+              CAST(len(ct) AS BIGINT) AS n_tokens
+       FROM c WHERE len(ct) > 0""",
+)
+def pipeline_chunk_docs(spark, sf_dir):
+    """Context-length chunking: 40-token windows with 8-token overlap
+    (stride 32) per document — the pretraining chunking step as a
+    stateless map-side explode (text.chunk_documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = textf.chunk_documents(d, "doc_id", "text", max_tokens=40, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@q(
     "p3_null_probe",
     """SELECT o_orderkey, o_totalprice FROM
        (SELECT o_orderkey, o_totalprice, nullif(o_orderstatus, 'P') AS statusN
@@ -2700,10 +2728,12 @@ _suite(
         ("pipeline_weighted_mix", ["source", "n_kept"]),
         ("pipeline_pack_batches", ["source", "bin", "n_docs", "sum_tokens"]),
         ("pipeline_clean_corpus", ["source", "n_kept"]),
+        ("pipeline_chunk_docs", ["doc_id", "chunk_index", "chunk_text", "n_tokens"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
         ("n_kept", _L), ("bin", _L), ("n_docs", _L), ("sum_tokens", _L),
+        ("chunk_index", _L), ("chunk_text", _S), ("n_tokens", _L),
     ],
 )
 

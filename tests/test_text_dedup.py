@@ -14,6 +14,38 @@ from adfs_spark.functions.dedup import (
 from adfs_spark.functions.text import add_text_features, langid, token_count
 
 
+def test_chunk_documents(spark):
+    import pytest
+
+    from adfs_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),  # shorter than one window
+            (3, ""),  # empty → no chunks
+        ],
+        "doc_id: long, text: string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", max_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_index"]): r for r in out.collect()}
+    # doc 1: stride 3 → starts 0,3,6,9 → ceil((10-1)/3)=3 chunks at 0,3,6
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9" and rows[(1, 2)]["n_tokens"] == 4
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_tokens"] == 3
+    assert not any(k[0] == 3 for k in rows)
+    # every token of doc 1 appears in some chunk (no gaps)
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", max_tokens=4, overlap=4)
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([("hello world foo",), ("one",)], "text: string")
     got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
