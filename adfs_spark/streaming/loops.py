@@ -92,6 +92,49 @@ def heartbeat_applier(
     )
 
 
+def report_reconciler(
+    reports: DataFrame,
+    blocks: VersionedTable,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """D7: streaming block-report reconciliation — each micro-batch of
+    reported replica rows (datanodeId, id, length, generationStamp) is
+    classified against stored state with the J5 full-outer CASE
+    (processReport :2468-2620) and the per-datanode verdicts
+    (added/removed/corrupt/ok) append to ``out_path``.
+
+    One report batch may carry several datanodes; the classification
+    join is keyed (datanodeId, id), so the whole batch reconciles in a
+    single shuffle regardless of how many nodes reported.  Idempotent:
+    re-processing a batch appends the same verdicts (dedupe downstream
+    by (epoch, datanodeId, id) if exactly-once is needed)."""
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from adfs_spark.operators.joins import report_classify
+
+        reporting = [
+            r["datanodeId"] for r in batch.select("datanodeId").distinct().collect()
+        ]  # bounded: one row per reporting datanode in this batch
+        stored = blocks.live().filter(F.col("datanodeId").isin(reporting))
+        out = report_classify(
+            batch.select("datanodeId", "id", "length", "generationStamp"),
+            stored.select("datanodeId", "id", "length", "generationStamp"),
+            ["datanodeId", "id"],
+            ["generationStamp", "length"],
+        ).withColumn("_epoch", F.lit(epoch_id))
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        reports.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

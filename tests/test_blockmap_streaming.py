@@ -124,6 +124,39 @@ def test_heartbeat_applier_stream(spark, tmp_path):
     assert live == {1: 200, 2: 150}
 
 
+def test_report_reconciler_stream(bm, spark, tmp_path):
+    """D7 streaming form: block reports arriving as a stream are
+    classified added/removed/corrupt/ok against stored state."""
+    from adfs_spark.streaming.loops import report_reconciler
+
+    # stored: dn1 holds blocks 1 (gs=5) and 2 (gs=7)
+    bm.blocks.init(
+        spark.createDataFrame(
+            [(1, 1, 100, 5, 10, 0), (2, 1, 200, 7, 10, 1)],
+            BLOCK.struct_type(include_version=False),
+        )
+    )
+    # report: block 1 ok, block 2 stale genstamp, block 9 unknown
+    rep = spark.createDataFrame(
+        [(1, 1, 100, 5), (1, 2, 200, 6), (1, 9, 50, 1)],
+        "datanodeId: long, id: long, length: long, generationStamp: long",
+    )
+    src = str(tmp_path / "reports")
+    rep.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "datanodeId long, id long, length long, generationStamp long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "verdicts")
+    q = report_reconciler(stream, bm.blocks, out_path, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    got = {(r["datanodeId"], r["id"]): r["class"] for r in spark.read.parquet(out_path).collect()}
+    assert got == {(1, 1): "ok", (1, 2): "corrupt", (1, 9): "added"}
+
+
 def test_multimodal_resize_passthrough_for_undecodable(spark, tables):
     """resize_images is REAL for BMP payloads (round 2, pure-numpy
     decode); non-BMP payloads pass through unchanged instead of
