@@ -152,7 +152,9 @@ class RandomHyperplaneLSH:
         max_hamming: int = 1,
     ) -> DataFrame:
         """ANN top-k: probe only buckets within ``max_hamming`` of the
-        query signature (multi-probe LSH); exact cosine inside."""
+        query signature (multi-probe LSH); exact cosine inside.  The
+        probe count is C(bits,0..max_hamming) — the recall/scan-fraction
+        knob: at 8 bits, hamming ≤ 2 probes 37/256 ≈ 14% of the corpus."""
         qsig = 0
         for i, plane in enumerate(self.planes):
             if sum(p * float(v) for p, v in zip(plane, query_vec)) >= 0:
@@ -160,6 +162,12 @@ class RandomHyperplaneLSH:
         probes = [qsig]
         if max_hamming >= 1:
             probes += [qsig ^ (1 << i) for i in range(self.num_bits)]
+        if max_hamming >= 2:
+            probes += [
+                qsig ^ (1 << i) ^ (1 << j)
+                for i in range(self.num_bits)
+                for j in range(i + 1, self.num_bits)
+            ]
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             bucketed.filter(F.col("bucket").isin(probes))
