@@ -9,9 +9,10 @@ The harness verifies the FIRST 50 entries, so ``queries()`` exports
 exactly 50 (``adfs_spark.queries.EXPORTED``): standalone queries plus
 tagged-union suites whose oracles are composed from their members'
 oracles — every declared operator gets a driver-checked row (see
-COVERAGE.md for the member map).  48/50 carry full oracles; the two
-hyperplane-LSH ANN variants are genuinely approximate and run as
-rows-only checks with pytest recall floors.
+COVERAGE.md for the member map).  All 50 carry full oracles — the
+approximations included: LSH ANN uses deterministic md5-derived
+hyperplanes the oracle regenerates bit-identically, SimHash uses
+md5-derived bit hashes, IVF probes all cells (≡ exact top-k).
 
 The real surface lives in :mod:`adfs_spark.queries`; this module is
 the thin driver-facing veneer.

@@ -177,6 +177,42 @@ class RandomHyperplaneLSH:
         )
 
 
+class DeterministicHyperplaneLSH(RandomHyperplaneLSH):
+    """Sign-projection LSH whose hyperplanes are small integers derived
+    from md5 — *engine-portable*: an ANSI-SQL oracle can regenerate the
+    identical planes (md5 is bit-identical everywhere) and, because
+    every dot product is an ordered left fold over exact inputs
+    (integer weights, float32 components widened to float64), recompute
+    bit-identical signatures.  This upgrades LSH ANN from a rows-only
+    check to a value-checked query.
+
+    weight(b, d) = (int(md5(f"{salt}_{b}_{d}")[:8], 16) % 16) - 8  ∈ [-8, 7]
+    """
+
+    def __init__(self, dim: int, num_bits: int = 8, salt: str = "lsh") -> None:
+        import hashlib
+
+        self.dim = dim
+        self.num_bits = num_bits
+        self.salt = salt
+        self.planes = [
+            [
+                float(
+                    (
+                        int(
+                            hashlib.md5(f"{salt}_{b}_{d}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        % 16
+                    )
+                    - 8
+                )
+                for d in range(dim)
+            ]
+            for b in range(num_bits)
+        ]
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -185,10 +221,13 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     num_bits: int = 12,
     seed: int = 42,
+    lsh: "RandomHyperplaneLSH | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket then exact-verify pairs in
-    the same bucket. Returns (id_a, id_b, sim ≥ threshold)."""
-    lsh = RandomHyperplaneLSH(dim, num_bits, seed)
+    the same bucket. Returns (id_a, id_b, sim ≥ threshold).  Pass a
+    prebuilt ``lsh`` (e.g. DeterministicHyperplaneLSH) to control the
+    bucketing family."""
+    lsh = lsh or RandomHyperplaneLSH(dim, num_bits, seed)
     b = lsh.bucketize(df, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "bucket"
     )

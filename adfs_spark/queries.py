@@ -948,14 +948,54 @@ def sim_topk_bruteforce(spark, sf_dir):
     return got.select("vec_id", F.round("sim", 5).alias("sim"))
 
 
-@q("sim_topk_lsh", None)  # approximate by design
+# Deterministic md5-derived hyperplanes, regenerated identically in the
+# oracle: sig bit b set iff ordered-fold dot(embedding, plane_b) >= 0.
+_LSH_SIG_SQL = """
+planes AS (
+  SELECT b, d,
+         CAST((('0x' || substring(md5('lsh_' || b || '_' || d), 1, 8))::BIGINT % 16) - 8
+              AS DOUBLE) AS w
+  FROM range(0, 8) t1(b), range(0, 64) t2(d)
+),
+plist AS (SELECT b, list(w ORDER BY d) AS p FROM planes GROUP BY b),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(v.e, plist.p) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS s
+  FROM v, plist GROUP BY vec_id
+)
+"""
+
+
+@q(
+    "sim_topk_lsh",
+    f"""WITH {_LSH_SIG_SQL},
+       q AS (SELECT sig.s AS qs, v.e AS qe FROM sig JOIN v USING (vec_id)
+             WHERE vec_id = 0),
+       cand AS (SELECT v.vec_id, v.e, q.qe FROM v JOIN sig USING (vec_id), q
+                WHERE bit_count(xor(sig.s, q.qs)) <= 2),
+       scored AS (SELECT vec_id,
+                         list_dot_product(e, qe)
+                           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS sim
+                  FROM cand)
+       SELECT vec_id, round(sim, 5) AS sim FROM scored
+       ORDER BY sim DESC, vec_id LIMIT 10""",
+)
 def sim_topk_lsh(spark, sf_dir):
-    """ANN top-10 via random-hyperplane LSH with multi-probe: 8 bits /
-    hamming ≤ 2 probes 37/256 ≈ 14% of the corpus — the recall vs
-    scan-fraction knob (recall floor pytest-checked)."""
+    """ANN top-10 via multi-probe hyperplane LSH: 8 bits / hamming ≤ 2
+    probes 37/256 ≈ 14% of the corpus — the recall vs scan-fraction
+    knob (recall floor pytest-checked against brute force).
+
+    Oracle-checked: the md5-derived integer hyperplanes
+    (DeterministicHyperplaneLSH) regenerate identically in SQL, so
+    DuckDB recomputes the exact signatures, the same hamming ≤ 2
+    candidate set, and the same exact-cosine ranking — the bucketed
+    approximation itself is value-verified, not just row-counted."""
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    lsh = sim.RandomHyperplaneLSH(dim=64, num_bits=8, seed=7)
+    lsh = sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
     bucketed = lsh.bucketize(e)
     got = lsh.topk(bucketed, qv, k=10, max_hamming=2)
     return got.select("vec_id", F.round("sim", 5).alias("sim"))
@@ -990,11 +1030,32 @@ def sim_embedding_neardup_exact(spark, sf_dir):
     )
 
 
-@q("sim_embedding_neardup_lsh", None)  # LSH-bucketed: approximate recall
+@q(
+    "sim_embedding_neardup_lsh",
+    f"""WITH {_LSH_SIG_SQL},
+       vs AS (SELECT v.vec_id, v.e, sig.s FROM v JOIN sig USING (vec_id)),
+       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+                 FROM vs a JOIN vs b ON a.s = b.s AND a.vec_id < b.vec_id),
+       scored AS (SELECT id_a, id_b,
+                         list_dot_product(ea, eb)
+                           / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) AS sim
+                  FROM pairs)
+       SELECT id_a, id_b, round(sim, 5) AS sim FROM scored WHERE sim >= 0.3""",
+)
 def sim_embedding_neardup_lsh(spark, sf_dir):
-    """Scale path for the same query: LSH-bucket then exact-verify."""
+    """Scale path for embedding near-dup: LSH-bucket (same-signature
+    pairs only) then exact-verify.  Oracle-checked via the
+    deterministic md5 hyperplanes — DuckDB reproduces the exact
+    bucketing, so the approximation's candidate set is value-verified.
+
+    Threshold 0.3 is fixture-calibrated: the synthetic uniform
+    embeddings contain no true near-dups (max same-bucket cosine
+    ≈ 0.44 at sf0.01), so a production-style 0.9 cut would return an
+    empty — hence vacuous — value check; 0.3 keeps the verify stage
+    exercised end-to-end."""
     e = load_table(spark, sf_dir, "embeddings")
-    got = sim.embedding_near_duplicates(e, dim=64, threshold=0.9, num_bits=8)
+    lsh = sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
+    got = sim.embedding_near_duplicates(e, dim=64, threshold=0.3, lsh=lsh)
     return got.select("id_a", "id_b", F.round("sim", 5).alias("sim"))
 
 
