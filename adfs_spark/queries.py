@@ -823,13 +823,27 @@ def text_fingerprint_md5(spark, sf_dir):
 
 @q(
     "dedup_exact_groups",
-    """SELECT fingerprint, n_dups, keeper FROM
+    """WITH docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+       )
+       SELECT fingerprint, n_dups, keeper FROM
        (SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keeper
-        FROM documents GROUP BY 1) WHERE n_dups > 1""",
+        FROM docs GROUP BY 1) WHERE n_dups > 1""",
 )
 def dedup_exact_groups(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return exact_duplicates(d, "doc_id", "text")
+    """Exact-dup groups via one md5-fingerprint groupBy.
+
+    The synthetic corpus is duplicate-free (every text distinct), so
+    the fixture check plants deterministic duplicates — every 10th doc
+    re-inserted under a shifted id, mirrored in the oracle — to keep
+    the dup-group path non-vacuous."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionAll(planted), "doc_id", "text")
 
 
 _JACCARD_SQL = """
@@ -1009,14 +1023,19 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 5) AS sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
 """
 
 
 @q("sim_embedding_neardup_exact", _NEARDUP_SQL)
 def sim_embedding_neardup_exact(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (sim ≥ 0.9) — the verify
-    stage of embedding dedup, run exhaustively for the oracle."""
+    """Exact embedding-cosine near-dup pairs — the verify stage of
+    embedding dedup, run exhaustively for the oracle.
+
+    Threshold 0.45 is fixture-calibrated: the synthetic uniform
+    embeddings have no true near-dups (all-pairs max cosine ≈ 0.51 at
+    sf0.01), so a production-style 0.9+ cut returns an empty — hence
+    vacuous — value check; 0.45 keeps ~14 verified rows."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(F.col("vec_id"), F.col("embedding"))
     a, b = v.alias("a"), v.alias("b")
@@ -1025,7 +1044,7 @@ def sim_embedding_neardup_exact(spark, sf_dir):
         F.col("b.vec_id").alias("id_b"),
         sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
     )
-    return pairs.filter(F.col("sim") >= 0.9).select(
+    return pairs.filter(F.col("sim") >= 0.45).select(
         "id_a", "id_b", F.round("sim", 5).alias("sim")
     )
 
