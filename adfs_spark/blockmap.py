@@ -68,7 +68,12 @@ class BlockMap:
         replicas = self.blocks.live().filter(
             (F.col("fileId") == file_id) & (F.col("length") > 0)
         )
-        primary = group_argmax(replicas, ["id"], ["generationStamp", "version"])
+        primary = group_argmax(
+            replicas,
+            ["id"],
+            ["generationStamp", "version"],
+            payload_cols=["id", "length"],
+        )
         row = primary.agg(F.sum("length").alias("s")).first()
         return int(row["s"]) if row and row["s"] is not None else 0
 
@@ -137,7 +142,12 @@ class BlockMap:
         markBlockAsCorrupt path).  One shuffle on block id: replicas
         join the A2 argmax primary per block."""
         live = self.blocks.live()
-        primary = group_argmax(live, ["id"], ["generationStamp", "version"]).select(
+        primary = group_argmax(
+            live,
+            ["id"],
+            ["generationStamp", "version"],
+            payload_cols=["id", "generationStamp", "length"],
+        ).select(
             F.col("id").alias("_pid"),
             F.col("generationStamp").alias("_pgs"),
             F.col("length").alias("_plen"),

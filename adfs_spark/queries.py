@@ -294,7 +294,12 @@ def a2_group_argmax(spark, sf_dir):
     """A2/W1: BlockEntry primary-replica argmax(generationStamp, version)
     ≡ argmax(l_shipdate, l_linenumber) per order (BlockEntry.java:42-63)."""
     li = load_table(spark, sf_dir, "lineitem")
-    win = group_argmax(li, ["l_orderkey"], ["l_shipdate", "l_linenumber"])
+    win = group_argmax(
+        li,
+        ["l_orderkey"],
+        ["l_shipdate", "l_linenumber"],
+        payload_cols=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
     return win.select(
         "l_orderkey", "l_linenumber", _day("l_shipdate").alias("last_shipdate")
     )
@@ -1148,7 +1153,9 @@ def events_hourly_window(spark, sf_dir):
 def events_latest_per_user(spark, sf_dir):
     """D6 heartbeat-upsert semantics in batch: latest event per user."""
     e = load_table(spark, sf_dir, "events")
-    win = group_argmax(e, ["user_id"], ["ts", "event_id"])
+    win = group_argmax(
+        e, ["user_id"], ["ts", "event_id"], payload_cols=["user_id", "event_id", "ts"]
+    )
     return win.select(
         "user_id", "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
     )

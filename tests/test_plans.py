@@ -46,6 +46,11 @@ def test_argmax_is_partial_aggregate(spark):
     p = plan_of(spark, "a2_group_argmax")
     assert "partial_max_by" in p  # map-side combine, not a window
     assert "Window" not in p
+    # the payload struct defeats optimizer pruning, so the caller must
+    # pre-prune: only the 3 needed columns may reach the scan
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_shipdate" in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
 
 
 def test_topk_avoids_global_sort(spark):
