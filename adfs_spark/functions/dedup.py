@@ -436,3 +436,85 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# -- dedup grouping ------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair graph: (node, component)
+    with component = the minimum node id reachable — the pairs→groups
+    step every dedup pipeline ends with (keep ``component`` as the
+    canonical representative, drop the rest).
+
+    Iterative min-label propagation with pointer jumping: each round
+    (1) every node takes the min of its neighbors' labels, then
+    (2) every node follows its own label's label (path halving), so
+    convergence is O(log n) rounds on chains, not O(diameter).  Each
+    round is three key-partitioned shuffles — no row data ever reaches
+    the driver; the convergence probe is a distributed ``take(1)``.
+    Lineage truncates per round (``localCheckpoint``); on a real
+    cluster set ``spark.checkpoint.dir`` and use ``checkpoint`` for
+    fault tolerance past executor loss.
+
+    Nodes with no edges are absent (they are their own singleton
+    component by definition).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("component").alias("_nc")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_nc").alias("_m"))
+            .select(F.col("u").alias("node"), "_m")
+        )
+        new = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_m"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: follow the label's label
+        hop = new.select(
+            F.col("node").alias("_k"), F.col("component").alias("_kc")
+        )
+        new = (
+            new.join(hop, new["component"] == hop["_k"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_kc"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .take(1)
+        )
+        labels = new
+        if not changed:
+            break
+    return labels

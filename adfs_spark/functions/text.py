@@ -194,6 +194,44 @@ def rolling_fingerprint_md5(text: Column, window: int = 8) -> Column:
     return F.array_min(F.transform(shingles, F.md5))
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All n-token word n-grams (with multiplicity), as strings."""
+    toks = whitespace_tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", app. A1.1) per document: ``dup_ngram_frac`` — the
+    fraction of n-gram occurrences that are repeats — and
+    ``top_ngram_frac`` — the fraction covered by the single most
+    frequent n-gram.  (Occurrence fractions, not Gopher's character
+    fractions: same signal, simpler cross-engine arithmetic.)
+
+    Distributed shape: explode n-grams → count per (doc, gram) →
+    per-doc aggregate.  Two shuffles keyed by (doc, gram) then doc —
+    identical to tf·idf; pure expression tree, no Python, no windows.
+    """
+    g = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    counts = g.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_ngrams"),
+        (
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0)))
+            / F.sum("_c")
+        ).alias("dup_ngram_frac"),
+        (F.max("_c") / F.sum("_c")).alias("top_ngram_frac"),
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full feature set."""
     t = F.col(text_col)

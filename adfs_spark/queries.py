@@ -30,6 +30,7 @@ from adfs_spark.catalog import load_table
 from adfs_spark.functions import similarity as sim
 from adfs_spark.functions import text as textf
 from adfs_spark.functions.dedup import (
+    connected_components,
     exact_duplicates,
     jaccard_pairs,
     minhash_near_duplicates,
@@ -1081,6 +1082,35 @@ def sim_embedding_neardup_lsh(spark, sf_dir):
     lsh = sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
     got = sim.embedding_near_duplicates(e, dim=64, threshold=0.3, lsh=lsh)
     return got.select("id_a", "id_b", F.round("sim", 5).alias("sim"))
+
+
+@q(
+    "dedup_components",
+    f"""WITH RECURSIVE {_LSH_SIG_SQL},
+       vs AS (SELECT v.vec_id, v.e, sig.s FROM v JOIN sig USING (vec_id)),
+       prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+               FROM vs a JOIN vs b ON a.s = b.s AND a.vec_id < b.vec_id),
+       e2 AS (SELECT id_a, id_b FROM prs
+              WHERE list_dot_product(ea, eb)
+                    / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) >= 0.3),
+       sym AS (SELECT id_a AS u, id_b AS v FROM e2
+               UNION SELECT id_b, id_a FROM e2),
+       reach(u, v) AS (SELECT u, v FROM sym
+                       UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+       SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u""",
+)
+def dedup_components(spark, sf_dir):
+    """Dedup grouping: transitive closure of the near-dup pair graph
+    (the deterministic-LSH embedding pairs) into components with a
+    canonical min-id representative — the pairs→groups step a dedup
+    pipeline ends with.  Spark side is iterative min-label propagation
+    with pointer jumping (O(log n) rounds, three shuffles/round, no
+    driver-side row data); the oracle recomputes the closure with a
+    recursive CTE over the identical md5-plane candidate pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    lsh = sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
+    pairs = sim.embedding_near_duplicates(e, dim=64, threshold=0.3, lsh=lsh)
+    return connected_components(pairs.select("id_a", "id_b"))
 
 
 # =========================================================================
@@ -2270,7 +2300,15 @@ def u_lease_recovery_append(spark, sf_dir):
                             min(md5(array_to_string(t[i:i+7], ' '))) AS rolling_fp
                      FROM toks, UNNEST(range(1, greatest(len(t)-7, 1)+1)) r(i)
                      GROUP BY doc_id),
-            lang AS ({_langid_oracle_sql()})
+            lang AS ({_langid_oracle_sql()}),
+            grams AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                      FROM toks, UNNEST(range(1, greatest(len(t)-1, 1)+1)) r(i)),
+            gcnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            rep AS (SELECT doc_id,
+                           round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                                 / sum(c), 5) AS dup_2gram_frac,
+                           round(CAST(max(c) AS DOUBLE) / sum(c), 5) AS top_2gram_frac
+                    FROM gcnt GROUP BY doc_id)
        SELECT d.doc_id,
               len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens,
               round(CAST(len(list_filter(string_split(lower(d.text), ' '),
@@ -2281,18 +2319,28 @@ def u_lease_recovery_append(spark, sf_dir):
                     / greatest(length(d.text), 1), 5) AS punct_ratio,
               lang.lang_pred,
               md5(d.text) AS fingerprint,
-              roll.rolling_fp
+              roll.rolling_fp,
+              rep.dup_2gram_frac,
+              rep.top_2gram_frac
        FROM documents d
        JOIN lang ON lang.doc_id = d.doc_id
-       JOIN roll ON roll.doc_id = d.doc_id""",
+       JOIN roll ON roll.doc_id = d.doc_id
+       JOIN rep ON rep.doc_id = d.doc_id""",
 )
 def text_doc_features(spark, sf_dir):
     """The whole per-document text-analysis battery in ONE row per doc:
-    token count, quality ratios, language-ID, md5 fingerprint, and the
-    winnowing rolling fingerprint (md5 variant).  One projection — all
-    five features share a single scan, no Python."""
+    token count, quality ratios, language-ID, md5 fingerprint, the
+    winnowing rolling fingerprint (md5 variant), and Gopher-style
+    2-gram repetition fractions.  The scalar features share a single
+    scan (pure projection); the repetition aggregate joins back on
+    doc_id — no Python anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    rep = textf.repetition_stats(d, "doc_id", "text", n=2).select(
+        "doc_id",
+        F.round("dup_ngram_frac", 5).alias("dup_2gram_frac"),
+        F.round("top_ngram_frac", 5).alias("top_2gram_frac"),
+    )
+    feats = d.select(
         "doc_id",
         textf.token_count(F.col("text")).alias("n_tokens"),
         F.round(textf.stopword_ratio(F.col("text")), 5).alias("stopword_ratio"),
@@ -2301,6 +2349,7 @@ def text_doc_features(spark, sf_dir):
         textf.md5_fingerprint(F.col("text")).alias("fingerprint"),
         textf.rolling_fingerprint_md5(F.col("text"), window=8).alias("rolling_fp"),
     )
+    return feats.join(rep, "doc_id")
 
 
 @q(
@@ -2818,11 +2867,13 @@ _suite(
         ("pipeline_pack_batches", ["source", "bin", "n_docs", "sum_tokens"]),
         ("pipeline_clean_corpus", ["source", "n_kept"]),
         ("pipeline_chunk_docs", ["doc_id", "chunk_index", "chunk_text", "n_tokens"]),
+        ("dedup_components", ["node", "component"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
         ("n_kept", _L), ("bin", _L), ("n_docs", _L), ("sum_tokens", _L),
         ("chunk_index", _L), ("chunk_text", _S), ("n_tokens", _L),
+        ("node", _L), ("component", _L),
     ],
 )
 

@@ -165,3 +165,43 @@ def test_minhash_exact_collapse_guard(spark):
     # far doc pairs with nothing
     assert all(11 not in p for p in pairs)
     assert len(pairs) == 15 + 6
+
+
+def test_connected_components_hand_graph(spark):
+    from adfs_spark.functions.dedup import connected_components
+
+    # path 1-2-3-4-5 (exercises pointer jumping), triangle 10-11-12,
+    # pair 20-21; nodes without edges are absent by contract
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a: long, id_b: long",
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_repetition_stats_matches_python(spark):
+    from collections import Counter
+
+    from adfs_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a"),       # grams: "a b","b a","a b","b a" → all dup
+        (2, "x y z w"),          # grams all unique
+        (3, "q q q q q q"),      # one gram repeated 5x
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        c = Counter(grams)
+        total = sum(c.values())
+        dup = sum(v for v in c.values() if v > 1) / total
+        top = max(c.values()) / total
+        r = got[doc_id]
+        assert r["n_ngrams"] == total
+        assert abs(r["dup_ngram_frac"] - dup) < 1e-9
+        assert abs(r["top_ngram_frac"] - top) < 1e-9
