@@ -28,15 +28,58 @@ TPCH_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, which the Spark reader
-        # rejects unless surfaced as long nanos; set the (runtime-settable)
-        # legacy conf here so externally-created sessions work too, then
-        # convert to a proper timestamp (microsecond truncation is safe
-        # for the second-granularity thresholds the queries use).
+        # ts is TIMESTAMP(NANOS) in the driver's file, which the Spark
+        # reader rejects unless surfaced as long nanos; set the
+        # (runtime-settable) legacy conf so externally-created sessions
+        # work too, then convert to a proper timestamp (microsecond
+        # truncation is safe for the second-granularity thresholds the
+        # queries use).  Ingested copies already store a real
+        # timestamp, hence the schema check.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_INGEST_SPLIT_THRESHOLD = 1 << 20  # files below 1 MB stay single-part
+
+
+def ingest_native(
+    spark: SparkSession,
+    sf_dir: str,
+    dest_dir: str,
+    tables: tuple[str, ...] = TPCH_TABLES,
+    target_files: int | None = None,
+) -> str:
+    """One-time ingest of the fixture tables into the engine's native
+    multi-file layout (SCALE.md §2) — the same load-into-storage
+    operating model as the reference, which serves queries from its own
+    MySQL tables, never from interchange files.
+
+    The driver's fixtures are one single-row-group parquet file per
+    table; a row group is the atomic parquet split unit, so every scan
+    of such a file is ONE task no matter the cluster size.  Rewriting
+    big tables as ``target_files`` parts (default: the local CPU
+    count) restores source parallelism for all downstream scans.
+    Values are byte-identical; sub-megabyte dims stay single-part.
+    Idempotent: a marker file skips completed ingests.
+    """
+    marker = os.path.join(dest_dir, "_INGESTED")
+    if os.path.exists(marker):
+        return dest_dir
+    os.makedirs(dest_dir, exist_ok=True)
+    n_default = target_files or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for t in tables:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        n = n_default if os.path.getsize(src) >= _INGEST_SPLIT_THRESHOLD else 1
+        load_table(spark, sf_dir, t).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dest_dir, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return dest_dir
 
 
 def load_all(

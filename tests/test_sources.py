@@ -75,3 +75,24 @@ def test_partitioned_write(spark, tmp_path):
     p = str(tmp_path / "pt")
     write_table(df, spec, p, partition_by=("part",))
     assert {d for d in os.listdir(p) if d.startswith("part=")} == {"part=x", "part=y"}
+
+
+def test_ingest_native_preserves_values_and_splits(spark, tmp_path):
+    import os
+
+    from adfs_spark.catalog import ingest_native, load_table
+
+    sf = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "native")
+    ingest_native(spark, sf, dest, tables=("nation", "lineitem", "events"))
+    # idempotent: marker short-circuits the second call
+    ingest_native(spark, sf, dest, tables=("nation", "lineitem", "events"))
+    for t in ("nation", "lineitem", "events"):
+        src = load_table(spark, sf, t)
+        out = load_table(spark, dest, t)
+        assert out.schema == src.schema, t
+        assert out.count() == src.count(), t
+    # sub-megabyte tables stay single-part at sf0.001
+    parts = [f for f in os.listdir(os.path.join(dest, "nation.parquet"))
+             if f.endswith(".parquet")]
+    assert len(parts) == 1
