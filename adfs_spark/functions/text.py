@@ -232,6 +232,33 @@ def repetition_stats(
     )
 
 
+#: (pattern, replacement) masks applied in order.  Patterns stay inside
+#: the RE2-compatible subset (no lookaround, no backrefs) so the same
+#: regexes run identically on Java regex (Spark) and RE2-family engines
+#: (DuckDB, Go) — cross-engine parity is value-checked by the oracle.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{10,}\b", "<LONGNUM>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask common PII shapes (emails, IPv4 addresses, long digit runs)
+    with typed placeholder tokens — the standard pre-training scrub
+    pass.  A chain of JVM-side ``regexp_replace`` calls: whole-stage
+    codegen, no Python, no shuffle; cost is O(bytes scanned)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_mask_count(scrubbed: Column) -> Column:
+    """Number of PII placeholders in an already-scrubbed text."""
+    return F.regexp_count(scrubbed, F.lit("<EMAIL>|<IP>|<LONGNUM>"))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full feature set."""
     t = F.col(text_col)

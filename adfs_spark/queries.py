@@ -1742,6 +1742,55 @@ def pipeline_clean_corpus(spark, sf_dir):
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
+@q(
+    "pipeline_scrub_pii",
+    """WITH aug AS (
+         SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.7 ref 9' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS t
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                  '\\b\\d{10,}\\b', '<LONGNUM>', 'g') AS scrubbed
+         FROM aug)
+       SELECT doc_id, scrubbed,
+              len(regexp_extract_all(scrubbed, '<EMAIL>|<IP>|<LONGNUM>')) AS n_masked
+       FROM s""",
+)
+def pipeline_scrub_pii(spark, sf_dir):
+    """PII scrub pass: mask emails / IPv4s / long digit runs with typed
+    placeholders (text.scrub_pii), count masks per doc.  Pure
+    regexp_replace chain inside whole-stage codegen.
+
+    The fixture corpus contains no PII, so the check plants a
+    deterministic email+IP+number per doc (mirrored in the oracle);
+    the value compare then proves Java-regex/RE2 behavioral parity on
+    the masked output itself."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 9"),
+            F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+        ).alias("t"),
+    )
+    s = aug.select("doc_id", textf.scrub_pii(F.col("t")).alias("scrubbed"))
+    return s.select(
+        "doc_id", "scrubbed", textf.pii_mask_count(F.col("scrubbed")).alias("n_masked")
+    )
+
+
 @q("agg_hll_distinct", None)  # HLL sketch: engine-specific estimate
 def agg_hll_distinct(spark, sf_dir):
     """Mergeable-sketch distinct count (HyperLogLog++): unlike exact
@@ -2868,12 +2917,13 @@ _suite(
         ("pipeline_clean_corpus", ["source", "n_kept"]),
         ("pipeline_chunk_docs", ["doc_id", "chunk_index", "chunk_text", "n_tokens"]),
         ("dedup_components", ["node", "component"]),
+        ("pipeline_scrub_pii", ["doc_id", "scrubbed", "n_masked"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
         ("n_kept", _L), ("bin", _L), ("n_docs", _L), ("sum_tokens", _L),
         ("chunk_index", _L), ("chunk_text", _S), ("n_tokens", _L),
-        ("node", _L), ("component", _L),
+        ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
     ],
 )
 

@@ -205,3 +205,25 @@ def test_repetition_stats_matches_python(spark):
         assert r["n_ngrams"] == total
         assert abs(r["dup_ngram_frac"] - dup) < 1e-9
         assert abs(r["top_ngram_frac"] - top) < 1e-9
+
+
+def test_scrub_pii(spark):
+    from adfs_spark.functions.text import pii_mask_count, scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co now"),
+            (2, "host 192.168.0.1 and 999.1.2.3"),   # both match the shape mask
+            (3, "id 12345678901 but keep 123-456"),
+            (4, "clean text, no pii at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("s"),
+    ).withColumn("n", pii_mask_count(F.col("s"))).collect()}
+    assert out[1]["s"] == "mail <EMAIL> now" and out[1]["n"] == 1
+    assert out[2]["s"] == "host <IP> and <IP>" and out[2]["n"] == 2
+    assert out[3]["s"] == "id <LONGNUM> but keep 123-456" and out[3]["n"] == 1
+    assert out[4]["s"] == "clean text, no pii at all" and out[4]["n"] == 0
