@@ -2099,6 +2099,46 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@q(
+    "events_session_window",
+    """WITH marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM events),
+       numbered AS (
+         SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked)
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end_s,
+              count(*) AS n_events,
+              sum(value) AS sum_value
+       FROM numbered GROUP BY user_id, sid""",
+)
+def events_session_window(spark, sf_dir):
+    """Native ``session_window`` sessions (30-min gap) per user —
+    value-checked against classic lag-SQL sessionization, proving the
+    built-in's merge semantics (session = [first, last+gap); an event
+    at exactly last+gap opens a new session, hence the oracle's >=).
+    The same aggregate runs incrementally on a stream with state
+    evicted at the watermark (streaming pytest)."""
+    from adfs_spark.streaming.loops import sessionized_event_counts
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionized_event_counts(e, gap="30 minutes", watermark="2 hours")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
 _KNN_SQL = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
@@ -2887,11 +2927,13 @@ _suite(
         ("events_sliding_window", ["win_start", "n"]),
         ("events_latest_per_user", ["user_id", "event_id", "ts_s"]),
         ("events_json_extract", ["event_type", "sum_k", "n_with_k"]),
+        ("events_session_window", ["user_id", "session_start_s", "session_end_s", "n_events", "sum_value"]),
     ],
     [
         ("hour", _S), ("event_type", _S), ("n", _L), ("sum_value", _D),
         ("win_start", _S), ("user_id", _L), ("event_id", _L), ("ts_s", _S),
         ("sum_k", _L), ("n_with_k", _L),
+        ("session_start_s", _S), ("session_end_s", _S), ("n_events", _L),
     ],
 )
 

@@ -168,6 +168,36 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows per key: events within ``gap`` of each
+    other merge into one session (session end = last event + gap).
+    The native ``session_window`` keeps the merge inside the JVM state
+    store — unlike the batch lag()-based sessionizer
+    (``events_sessionize``), this form also runs incrementally on a
+    stream, with per-session state evicted once the watermark passes a
+    session's end.  Works on both batch and streaming DataFrames."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_file_stream(
     spark: SparkSession, events_dir: str, schema: T.StructType
 ) -> DataFrame:

@@ -251,3 +251,51 @@ def test_sliding_windows_and_watermark_eviction(spark, tmp_path):
     assert (T0 - dt.timedelta(hours=6)) not in starts
     # closed windows from the first batch were emitted exactly once
     assert all(r["n"] == 1 for r in rows)
+
+
+def test_session_windows_batch_and_streaming(spark, tmp_path):
+    """session_window merges events within the gap; session end = last
+    event + gap; streaming mode emits closed sessions incrementally."""
+    import datetime as dt
+
+    from adfs_spark.streaming.loops import sessionized_event_counts
+
+    T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = "ts timestamp, user_id long, value double"
+    rows = [
+        (T0, 1, 1.0),
+        (T0 + dt.timedelta(minutes=10), 1, 2.0),   # merges with t0 (gap 30m)
+        (T0 + dt.timedelta(minutes=50), 1, 4.0),   # new session
+        (T0 + dt.timedelta(minutes=5), 2, 8.0),    # lone session
+    ]
+    batch = spark.createDataFrame(rows, schema)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in sessionized_event_counts(batch, gap="30 minutes").collect()
+    }
+    g = dt.timedelta(minutes=30)
+    assert got[(1, T0, T0 + dt.timedelta(minutes=10) + g)] == (2, 3.0)
+    assert got[(1, T0 + dt.timedelta(minutes=50), T0 + dt.timedelta(minutes=50) + g)] == (1, 4.0)
+    assert got[(2, T0 + dt.timedelta(minutes=5), T0 + dt.timedelta(minutes=5) + g)] == (1, 8.0)
+
+    src = str(tmp_path / "sess_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sessionized_event_counts(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # append mode emits only watermark-closed sessions; what is emitted
+    # must be a subset of the batch answer
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    for k, v in emitted.items():
+        assert got[k] == v
