@@ -201,20 +201,12 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     the per-query shuffle entirely — the physical proof of the
     'co-locate via bucketing' claim."""
     from adfs_spark.catalog import load_table
+    from adfs_spark.sources.generic import write_bucketed_table
 
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
-    for name, df, key, sub in (
-        ("li_bkt", li, "l_orderkey", "li"),
-        ("o_bkt", o, "o_orderkey", "o"),
-    ):
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .option("path", str(tmp_path / sub))
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
+    write_bucketed_table(li, "li_bkt", ("l_orderkey",), num_buckets=8)
+    write_bucketed_table(o, "o_bkt", ("o_orderkey",), num_buckets=8)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -230,3 +222,5 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
