@@ -255,3 +255,36 @@ def range_join(
         *[l2[c] for c in left.columns],
         *[r2[out_names[c]] for c in rcols],
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi join: spread a hot join key over ``num_salts``
+    shuffle partitions.
+
+    AQE's skew-join splitting (on by default, SCALE.md §5) handles most
+    skew by splitting oversized *partitions*; it cannot split a single
+    monster key whose rows all hash to one task.  Salting can: the
+    skewed side gets a deterministic per-row salt
+    (pmod(hash(monotonic id), n)), the other side is replicated
+    ``num_salts``× via an explode, and the join key becomes
+    (key, salt) — the monster key now occupies ``num_salts`` tasks.
+
+    Use when one side has pathological key concentration (the
+    reference's analog: a datanode holding millions of blocks) and the
+    other side is too big to broadcast but small enough to replicate
+    ``num_salts``×.  Output column set matches a plain ``join(key)``.
+    """
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts))
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    out = salted.join(replicated, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -260,3 +260,21 @@ def test_table_diff_classification(spark):
         for r in table_diff(left, right, pk=["id"], compare_cols=["name"]).collect()
     }
     assert got2 == {3: "removed", 5: "added"}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from adfs_spark.operators.joins import salted_join
+
+    # one monster key (90% of rows) + a tail
+    skewed = spark.createDataFrame(
+        [(1 if i < 900 else i % 37, i) for i in range(1000)], "k: long, payload: long"
+    )
+    other = spark.createDataFrame([(i, f"d{i}") for i in range(40)], "k: long, attr: string")
+    got = salted_join(skewed, other, "k", num_salts=8)
+    want = skewed.join(other, "k")
+    assert got.columns == want.columns
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the physical join key is (k, _salt): the monster key spreads
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in p

@@ -179,3 +179,39 @@ def test_range_join_matches_bruteforce(spark, lrows, rrows, delta):
         if lk == rk and lt - delta < rt <= lt
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from adfs_spark.functions.dedup import connected_components
+
+    sdf = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a: long, id_b: long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(sdf, max_iter=12).collect()
+    }
+    # reference: driver-side union-find with min-id representatives
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {(n, find(n)) for n in parent}
+    assert got == want
