@@ -1825,6 +1825,23 @@ def agg_exact_quantiles(spark, sf_dir):
     )
 
 
+@q("agg_approx_quantiles", None)  # sketch: engine-specific estimate
+def agg_approx_quantiles(spark, sf_dir):
+    """The 100 TB quantile path: `approx_percentile` (KLL-style sketch)
+    partial-aggregates map-side and ships one bounded sketch per
+    (partition, group) — exact `percentile` must move every value to
+    its group's reducer.  Accuracy vs exact is pytest-bounded by the
+    sketch's rank-error contract; no cross-engine oracle because
+    DuckDB's approx_quantile uses a different estimator (same reason
+    as agg_hll_distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("quartiles_approx")
+    )
+
+
 # =========================================================================
 # Aggregation generalizations — SURVEY §2.4's "free upgrades" made real:
 # rollup/cube, distinct aggregates, and the subquery shapes (EXISTS /

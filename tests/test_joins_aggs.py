@@ -278,3 +278,20 @@ def test_salted_join_matches_plain_join(spark):
     # the physical join key is (k, _salt): the monster key spreads
     p = got._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in p
+
+
+def test_approx_quantiles_accuracy_and_plan(spark):
+    from adfs_spark.queries import QUERIES
+
+    fn, _ = QUERIES["agg_approx_quantiles"]
+    exact_fn, _ = QUERIES["agg_exact_quantiles"]
+    sf = "/root/testdata/sf0.001"
+    got = {r["o_orderstatus"]: r["quartiles_approx"] for r in fn(spark, sf).collect()}
+    exact = {r["o_orderstatus"]: r["quartiles"] for r in exact_fn(spark, sf).collect()}
+    for g, qs in exact.items():
+        for a, e in zip(got[g], qs):
+            assert abs(a - e) / max(abs(e), 1.0) < 0.02, (g, a, e)
+    # sketches merge map-side: one Exchange, partial aggregation present
+    p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert "partial_approx_percentile" in p
