@@ -206,3 +206,67 @@ def events_file_stream(
     return (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(events_dir)
     )
+
+
+def maintain_group_aggregate(
+    source: VersionedTable,
+    agg: VersionedTable,
+    group_col: str,
+    value_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Incremental view maintenance of a per-group (sum, count)
+    aggregate over a versioned table — the D-family extension that
+    keeps derived views fresh without full recomputes.
+
+    Each changelog micro-batch names the *affected groups*; only those
+    groups are recomputed from the live snapshot (semi-join prune on
+    the group key, which the storage layout clusters) and LWW-merged
+    into the aggregate table.  Groups whose last live row disappeared
+    are tombstoned.  Work per batch is O(rows of affected groups) —
+    independent of table size — and at-least-once replay is safe
+    because the per-group recompute is idempotent.
+
+    The aggregate table's spec must be (group_col pk, sum_{value_col}
+    double, n_rows long).
+    """
+    spark = source.spark
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # Affected groups = every group the batch's pks were EVER in,
+        # not just the batch rows' current group: a row moving from
+        # group a to b changes both aggregates, and the new-image row
+        # only names b.  The old memberships live in the changelog
+        # history of those pks (per-pk history is bounded by compaction).
+        pks = list(source.spec.primary_key)
+        touched = batch.select(*pks).distinct()
+        history = source.changelog().join(F.broadcast(touched), pks, "left_semi")
+        groups = (
+            batch.select(F.col(group_col))
+            .union(history.select(F.col(group_col)))
+            .distinct()
+        )
+        live = source.live()
+        fresh = (
+            live.join(F.broadcast(groups), group_col, "left_semi")
+            .groupBy(group_col)
+            .agg(
+                F.sum(value_col).alias(f"sum_{value_col}"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+        gone = groups.join(fresh, group_col, "left_anti")
+        if fresh.take(1):
+            agg.upsert(fresh, overwrite=True)
+        if gone.take(1):
+            agg.delete_where_keys(gone)
+
+    return (
+        changelog_stream(spark, source)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

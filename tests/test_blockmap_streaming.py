@@ -299,3 +299,58 @@ def test_session_windows_batch_and_streaming(spark, tmp_path):
     }
     for k, v in emitted.items():
         assert got[k] == v
+
+
+def test_maintain_group_aggregate_stream(spark, tmp_path):
+    """IVM: the per-group (sum, count) view tracks the source through
+    inserts, updates, and group-emptying deletes — equal to a full
+    recompute after every maintenance pass."""
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.streaming.loops import maintain_group_aggregate
+
+    src_spec = TableSpec(
+        "m_src",
+        (ColumnSpec("k", "long"), ColumnSpec("grp", "string"), ColumnSpec("val", "double")),
+        ("k",),
+        versioned=True,
+    )
+    agg_spec = TableSpec(
+        "m_agg",
+        (ColumnSpec("grp", "string"), ColumnSpec("sum_val", "double"), ColumnSpec("n_rows", "long")),
+        ("grp",),
+        versioned=True,
+    )
+    source = VersionedTable(spark, src_spec, str(tmp_path / "m_src"))
+    source.init(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+        "k: long, grp: string, val: double",
+    ))
+    agg = VersionedTable(spark, agg_spec, str(tmp_path / "m_agg"))
+    agg.init()
+
+    def recompute():
+        return {
+            r["grp"]: (r["sum_val"], r["n_rows"])
+            for r in source.live().groupBy("grp")
+            .agg(F.sum("val").alias("sum_val"), F.count("*").alias("n_rows"))
+            .collect()
+        }
+
+    def maintained():
+        return {r["grp"]: (r["sum_val"], r["n_rows"]) for r in agg.live().collect()}
+
+    ck = str(tmp_path / "m_ckpt")
+    maintain_group_aggregate(source, agg, "grp", "val", ck).awaitTermination(120)
+    assert maintained() == recompute() == {"a": (15.0, 2), "b": (7.0, 1)}
+
+    # update k=2 into group b, insert a new group c, empty group b later
+    source.upsert(spark.createDataFrame(
+        [(2, "b", 6.0), (4, "c", 1.0)], "k: long, grp: string, val: double"
+    ))
+    maintain_group_aggregate(source, agg, "grp", "val", ck).awaitTermination(120)
+    assert maintained() == recompute()
+
+    source.delete_where(F.col("grp") == "b")
+    maintain_group_aggregate(source, agg, "grp", "val", ck).awaitTermination(120)
+    got = maintained()
+    assert got == recompute() and "b" not in got
