@@ -270,3 +270,33 @@ def maintain_group_aggregate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: right events within
+    [left_ts, left_ts + upper] per key — the streaming twin of the
+    batch range/as-of join family (operators/joins.range_join).
+
+    Both sides carry watermarks and the join condition is time-bounded,
+    so the state store evicts rows once the watermark passes their
+    join-window upper bound: state is O(keys × window), not O(stream).
+    Right-side columns come back suffixed ``_r``.  Works on batch
+    DataFrames too (same plan, no state).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(f"{c}_r") for c in rw.columns])
+    cond = (
+        (F.col(key_col) == F.col(f"{key_col}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts))
+        & (F.col(f"{right_ts}_r") <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond)

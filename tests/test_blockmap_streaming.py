@@ -354,3 +354,51 @@ def test_maintain_group_aggregate_stream(spark, tmp_path):
     maintain_group_aggregate(source, agg, "grp", "val", ck).awaitTermination(120)
     got = maintained()
     assert got == recompute() and "b" not in got
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream time-bounded join: right rows within
+    [left_ts, left_ts+10m] per user; streaming output equals the batch
+    join on the same data."""
+    import datetime as dt
+
+    from adfs_spark.streaming.loops import interval_join_streams
+
+    T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = "ts timestamp, user_id long, value double"
+    errors = spark.createDataFrame(
+        [(T0, 1, 0.0), (T0 + dt.timedelta(minutes=40), 1, 0.0), (T0, 2, 0.0)], schema
+    )
+    clicks = spark.createDataFrame(
+        [
+            (T0 + dt.timedelta(minutes=5), 1, 1.0),    # joins error@T0
+            (T0 + dt.timedelta(minutes=45), 1, 2.0),   # joins error@T0+40 only
+            (T0 + dt.timedelta(minutes=20), 2, 3.0),   # outside 10m of err@T0
+            (T0 + dt.timedelta(minutes=9), 3, 4.0),    # no error for user 3
+        ],
+        schema,
+    )
+    batch = interval_join_streams(errors, clicks).select(
+        "user_id", "ts", "ts_r", "value_r"
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert {(r[0], r[3]) for r in want} == {(1, 1.0), (1, 2.0)}
+
+    edir, cdir = str(tmp_path / "err"), str(tmp_path / "clk")
+    errors.write.mode("overwrite").parquet(edir)
+    clicks.write.mode("overwrite").parquet(cdir)
+    es = spark.readStream.schema(errors.schema).parquet(edir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    q = (
+        interval_join_streams(es, cs)
+        .select("user_id", "ts", "ts_r", "value_r")
+        .writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from ij").collect()}
+    assert got == want
