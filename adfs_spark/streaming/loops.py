@@ -31,6 +31,16 @@ from pyspark.sql.streaming import StreamingQuery
 from adfs_spark.storage import OP_COL, VBUCKET_COL, VersionedTable
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce an event-time column to TIMESTAMP (LTZ) — Structured
+    Streaming rejects TIMESTAMP_NTZ watermarks, and parquet fixtures
+    written with the NTZ session default would otherwise fail at
+    ``withWatermark``.  No-op for already-LTZ columns."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def changelog_stream(spark: SparkSession, table: VersionedTable) -> DataFrame:
     """D1 as a stream: follow a table's change log (file source tails
     the version-bucketed directory)."""
@@ -155,7 +165,8 @@ def windowed_event_counts(
         else F.window(F.col(ts_col), window)
     )
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), F.col(key_col))
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
         .select(
@@ -183,7 +194,8 @@ def sessionized_event_counts(
     stream, with per-session state evicted once the watermark passes a
     session's end.  Works on both batch and streaming DataFrames."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col)
         )
@@ -291,8 +303,8 @@ def interval_join_streams(
     Right-side columns come back suffixed ``_r``.  Works on batch
     DataFrames too (same plan, no state).
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = _event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _event_time(right, right_ts).withWatermark(right_ts, watermark)
     rw = rw.select([F.col(c).alias(f"{c}_r") for c in rw.columns])
     cond = (
         (F.col(key_col) == F.col(f"{key_col}_r"))
