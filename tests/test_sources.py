@@ -96,3 +96,66 @@ def test_ingest_native_preserves_values_and_splits(spark, tmp_path):
     parts = [f for f in os.listdir(os.path.join(dest, "nation.parquet"))
              if f.endswith(".parquet")]
     assert len(parts) == 1
+
+
+def _file_coverage(spark, path, col):
+    """Mean per-file (max-min)/(global range) for ``col`` — the fraction
+    of the domain a scan filtered on ``col`` must read per file."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    g = df.agg(F.min(col), F.max(col)).first()
+    span = g[1] - g[0]
+    per = (
+        df.groupBy("_f")
+        .agg(((F.max(col) - F.min(col)) / F.lit(span)).alias("cov"))
+        .agg(F.avg("cov"))
+        .first()[0]
+    )
+    return per
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from adfs_spark.sources.generic import write_zordered, zorder_value
+
+    # two independent uniform dims: pk-sort can only prune on one
+    df = (
+        spark.range(40_000)
+        .withColumn("x", (F.col("id") * 2654435761) % 100_000)
+        .withColumn("y", (F.col("id") * 40503) % 100_000)
+    )
+    flat = str(tmp_path / "flat")
+    zord = str(tmp_path / "zord")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(flat)
+    cuts = write_zordered(df, zord, ("x", "y"), n_files=16, bits=8)
+
+    assert spark.read.parquet(zord).count() == 40_000
+    # x-sorted layout: x prunes hard, y not at all
+    assert _file_coverage(spark, flat, "x") < 0.15
+    assert _file_coverage(spark, flat, "y") > 0.8
+    # z-order: BOTH dims substantially narrowed per file
+    assert _file_coverage(spark, zord, "x") < 0.5
+    assert _file_coverage(spark, zord, "y") < 0.5
+
+    # cutpoints reusable: a later increment stamps onto the same curve
+    inc = df.limit(1000)
+    zdf, _ = zorder_value(inc, ("x", "y"), bits=8, cutpoints=cuts)
+    assert zdf.filter(F.col("_zvalue").isNull()).count() == 0
+
+
+def test_zorder_value_bounds(spark):
+    import pytest as _pytest
+
+    from adfs_spark.sources.generic import zorder_value
+
+    df = spark.range(10).withColumn("x", F_col_double())
+    with _pytest.raises(ValueError):
+        zorder_value(df, ("x",) * 8, bits=8)
+
+
+def F_col_double():
+    from pyspark.sql import functions as F
+
+    return F.col("id").cast("double")
