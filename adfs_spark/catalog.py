@@ -28,17 +28,19 @@ TPCH_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the driver's file, which the Spark
-        # reader rejects unless surfaced as long nanos; set the
-        # (runtime-settable) legacy conf so externally-created sessions
-        # work too, then convert to a proper timestamp (microsecond
-        # truncation is safe for the second-granularity thresholds the
-        # queries use).  Ingested copies already store a real
-        # timestamp, hence the schema check.
+        # Normalize ts to TIMESTAMP (LTZ) whatever the file stores —
+        # fixture generations have used TIMESTAMP(NANOS) (readable only
+        # as long nanos via the legacy conf) and TIMESTAMP_NTZ micros.
+        # The session timezone is UTC, so NTZ→LTZ preserves values, and
+        # epoch extraction (unix_micros) then matches the DuckDB
+        # oracle's epoch arithmetic on the same file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
