@@ -2711,6 +2711,91 @@ def u5_id_alloc(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        if numeric:
+            mn = f"CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        else:
+            mn = f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, CAST(MIN({c}) AS VARCHAR) AS min_str, CAST(MAX({c}) AS VARCHAR) AS max_str"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT({c}) AS n_nonnull, "
+            f"COUNT(*) - COUNT({c}) AS n_null, COUNT(DISTINCT {c}) AS n_distinct, {mn} FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@q("dq_profile_orders", _profile_oracle())
+def dq_profile_orders(spark, sf_dir):
+    """Column profiling (functions/audit.profile_columns): per-column
+    null/distinct counts and min/max from ONE aggregation pass — the
+    lake-side stand-in for the reference's InnoDB index statistics."""
+    from adfs_spark.functions.audit import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(o, [c for c, _ in _PROFILE_COLS])
+
+
+@q(
+    "dq_pk_dupes",
+    """WITH planted AS (
+         SELECT o_orderkey FROM orders
+         UNION ALL
+         SELECT o_orderkey FROM orders WHERE o_orderkey % 997 = 0
+       )
+       SELECT o_orderkey, COUNT(*) AS n_dup
+       FROM planted GROUP BY o_orderkey HAVING COUNT(*) > 1""",
+)
+def dq_pk_dupes(spark, sf_dir):
+    """UNIQUE-key audit (audit.pk_duplicates) over a corpus with
+    planted duplicates (the fixture itself is clean — same pattern as
+    dedup_exact_groups): the batch form of the reference's UNIQUE index
+    rejection (insertInternal :281-296).  One groupBy shuffle."""
+    from adfs_spark.functions.audit import pk_duplicates
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    planted = o.unionByName(o.filter(F.col("o_orderkey") % 997 == 0))
+    return pk_duplicates(planted, ["o_orderkey"])
+
+
+@q(
+    "dq_fk_orphans",
+    """WITH child AS (
+         SELECT l_orderkey + CASE WHEN l_orderkey % 97 = 0 THEN 100000000 ELSE 0 END AS l_orderkey
+         FROM lineitem
+       )
+       SELECT l_orderkey, COUNT(*) AS n_rows
+       FROM child
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       GROUP BY l_orderkey""",
+)
+def dq_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit (audit.fk_orphans) with planted
+    orphans: child keys shifted out of the parent domain for 1/97 of
+    rows (lineitem→orders is valid in the fixture).  The anti-join is
+    the same shape as J5's "reported but unknown" class; at 100 TB it
+    broadcasts when the parent is a dimension."""
+    from adfs_spark.functions.audit import fk_orphans
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_orderkey")
+            + F.when(F.col("l_orderkey") % 97 == 0, F.lit(100000000)).otherwise(0)
+        ).alias("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return fk_orphans(li, o, ["l_orderkey"], ["o_orderkey"])
+
+
 # =========================================================================
 # Driver-facing export: the harness verifies the FIRST 50 queries()
 # entries, so the full declared surface is consolidated into exactly 50
@@ -2995,6 +3080,7 @@ _suite(
         ("agg_count_distinct", ["o_orderpriority", "n_customers", "n_orders"]),
         ("agg_quantile_rows", ["o_orderstatus", "q", "quantile_value"]),
         ("agg_hll_check", ["o_orderpriority", "n_exact", "within_tol"]),
+        ("dq_profile_orders", ["col_name", "n_nonnull", "n_null", "n_distinct", "min_num", "max_num", "min_str", "max_str"]),
     ],
     [
         ("o_orderstatus", _S), ("urgent", _L), ("high", _L), ("medium", _L),
@@ -3002,6 +3088,8 @@ _suite(
         ("l_returnflag", _S), ("l_linestatus", _S), ("n", _L), ("sum_qty", _D),
         ("n_customers", _L), ("q", _L), ("quantile_value", _D),
         ("n_exact", _L), ("within_tol", _L),
+        ("col_name", _S), ("n_nonnull", _L), ("n_null", _L), ("n_distinct", _L),
+        ("min_num", _D), ("max_num", _D), ("min_str", _S), ("max_str", _S),
     ],
 )
 
@@ -3012,11 +3100,15 @@ _suite(
         ("sq_not_exists_inactive", ["c_nationkey", "n_customers", "sum_acctbal"]),
         ("sq_scalar_small_quantity", ["sum_price", "n"]),
         ("set_ops_customers", ["tag", "o_custkey"]),
+        ("dq_pk_dupes", ["o_orderkey", "n_dup"]),
+        ("dq_fk_orphans", ["l_orderkey", "n_rows"]),
     ],
     [
         ("o_orderpriority", _S), ("n_orders", _L), ("c_nationkey", _L),
         ("n_customers", _L), ("sum_acctbal", _D), ("sum_price", _D),
         ("n", _L), ("tag", _S), ("o_custkey", _L),
+        ("o_orderkey", _L), ("n_dup", _L),
+        ("l_orderkey", _L), ("n_rows", _L),
     ],
 )
 

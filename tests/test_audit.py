@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adfs_spark.functions.audit import fk_orphans, pk_duplicates, profile_columns
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+        "id: long, s: string, v: double",
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df, ["id", "s", "v"]).collect()}
+    assert prof["id"]["n_nonnull"] == 3
+    assert prof["id"]["n_null"] == 0
+    assert prof["id"]["n_distinct"] == 2
+    assert prof["id"]["min_num"] == 1.0 and prof["id"]["max_num"] == 2.0
+    assert prof["id"]["min_str"] is None
+    assert prof["s"]["n_null"] == 1
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["s"]["min_num"] is None
+    assert prof["v"]["n_nonnull"] == 2
+    assert prof["v"]["min_num"] == 1.5 and prof["v"]["max_num"] == 3.5
+
+
+def test_profile_approx_distinct(spark):
+    df = spark.range(1000).withColumn("k", F.col("id") % 100)
+    r = {r["col_name"]: r for r in profile_columns(df, ["k"], approx_distinct=True).collect()}
+    assert abs(r["k"]["n_distinct"] - 100) <= 5
+
+
+def test_pk_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (3, "v"), (3, "u")],
+        "id: long, val: string",
+    )
+    got = {(r["id"], r["n_dup"]) for r in pk_duplicates(df, ["id"]).collect()}
+    assert got == {(1, 2), (3, 3)}
+
+
+def test_fk_orphans(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (98,)], "fk: long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk: long")
+    got = {
+        (r["fk"], r["n_rows"])
+        for r in fk_orphans(child, parent, ["fk"], ["pk"], broadcast_parent=True).collect()
+    }
+    assert got == {(99, 2), (98, 1)}
