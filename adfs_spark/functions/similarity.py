@@ -345,3 +345,120 @@ def kmeans_train(
             new[r["ivf_cell"]] = [float(x) for x in r["centroid"]]
         centroids = new
     return centroids
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training: split the vector into
+    ``m`` contiguous subvectors and train a ``k``-centroid k-means per
+    subspace (reusing :func:`kmeans_train`'s deterministic distributed
+    Lloyd's).  Returns ``codebooks[m][k][dim/m]`` — m·k·(dim/m) floats,
+    the only thing that reaches the driver.
+
+    The 100 TB story: a 768-dim float32 embedding is ~3 KB; its PQ code
+    is ``m`` small ints.  At m=96/k=256 that is a 32× storage/scan-IO
+    reduction, which is what makes full-corpus similarity scans
+    affordable — IVF prunes *which* rows to scan, PQ shrinks *what* is
+    scanned per row; composed they are the standard IVF-PQ layout.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        books.append(kmeans_train(sliced, k, iters=iters, id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def _sub_dist2(vec_col: str, j: int, sub: int, cent: Sequence[float]):
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col), j * sub + 1, sub),
+            F.array(*[F.lit(float(x)) for x in cent]),
+            lambda a_, b_: (a_.cast("double") - b_) * (a_.cast("double") - b_),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col``: array<int> of length m, each element the
+    argmin subspace centroid.  Pure codegen'd expression tree
+    (broadcast-by-literal codebooks), no UDFs, no shuffle — encoding is
+    a map-only pass over the corpus."""
+    dim = sum(len(b[0]) for b in codebooks)
+    m = len(codebooks)
+    sub = dim // m
+    codes = []
+    for j, book in enumerate(codebooks):
+        dists = F.array(*[_sub_dist2(vec_col, j, sub, cent) for cent in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query builds an m×k lookup
+    table of exact subspace distances driver-side (tiny), and each
+    row's approximate squared L2 distance is the sum of m table
+    lookups on its code — no embedding column is read at all, so the
+    scan touches only the code bytes.  TakeOrderedAndProject keeps the
+    top-k selection fully distributed.
+
+    Pass ``rerank_with`` (the full-vector table) for the standard
+    two-stage deployment: ADC selects a ``shortlist`` (cheap, codes
+    only), then exact cosine re-ranks just those rows — recall of the
+    exact scan at a fraction of its IO, since only |shortlist|
+    embeddings are ever read."""
+    q = [float(x) for x in query_vec]
+    m = len(codebooks)
+    sub = len(q) // m
+    dist = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        qs = q[j * sub : (j + 1) * sub]
+        lut = [
+            sum((a - b) * (a - b) for a, b in zip(cent, qs)) for cent in book
+        ]
+        dist = dist + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        )
+    adc = (
+        encoded.select(F.col(id_col), dist.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.col(id_col))
+        .limit(shortlist if rerank_with is not None else k)
+    )
+    if rerank_with is None:
+        return adc
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        rerank_with.join(F.broadcast(adc.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

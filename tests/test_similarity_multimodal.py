@@ -120,3 +120,79 @@ def test_kmeans_recovers_planted_clusters(spark):
         mapping.setdefault(r["planted"], set()).add(r["ivf_cell"])
     assert all(len(v) == 1 for v in mapping.values())
     assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+
+def test_pq_roundtrip_recovers_planted_clusters(spark):
+    import random
+
+    from adfs_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = random.Random(7)
+    # 20 well-separated direction anchors, 10 members each: the top-10
+    # for a query near anchor 2 is exactly that cluster under both
+    # cosine and L2, so PQ vs exact comparison is tie-free
+    anchors = []
+    for i in range(20):
+        a = [0.0] * 8
+        a[i % 8] = 10.0
+        a[(i * 3 + 1) % 8] += 5.0 + i
+        anchors.append(a)
+    rows = []
+    for i in range(200):
+        a = anchors[i % 20]
+        rows.append((i, [x + rng.uniform(-0.3, 0.3) for x in a]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    books = pq_train(df, m=4, k=8, iters=3)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    enc = pq_encode(df, books).select("vec_id", "pq_code")
+    assert enc.schema["pq_code"].dataType.simpleString() == "array<int>"
+
+    q = [x + 0.05 for x in anchors[2]]
+    got = {r["vec_id"] for r in pq_topk(enc, books, q, k=10).collect()}
+    exact = {
+        r["vec_id"]
+        for r in brute_force_topk(df, q, k=10, id_col="vec_id").collect()
+    }
+    cluster2 = {i for i in range(200) if i % 20 == 2}
+    assert exact == cluster2
+    assert got == cluster2
+
+    # deterministic: retrain gives identical codebooks
+    books2 = pq_train(df, m=4, k=8, iters=3)
+    assert books == books2
+
+
+def test_pq_rerank_matches_exact(spark):
+    from adfs_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    from adfs_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    row = emb.first()
+    q = [float(x) for x in row["embedding"]]
+    books = pq_train(emb, m=4, k=8, iters=2)
+    enc = pq_encode(emb, books)
+    got = [
+        r["vec_id"]
+        for r in pq_topk(
+            enc, books, q, k=5, rerank_with=emb, shortlist=100
+        ).collect()
+    ]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()]
+    # shortlist of 100 out of tiny sf0.001 covers nearly everything:
+    # re-rank must reproduce the exact ranking
+    n = emb.count()
+    assert got[0] == row["vec_id"]
+    if n <= 100:
+        assert got == exact
