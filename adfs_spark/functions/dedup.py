@@ -524,3 +524,56 @@ def connected_components(
         if not changed:
             break
     return labels
+
+
+# -- decontamination -----------------------------------------------------
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Test-set decontamination, stage 1: per training document, how
+    many distinct n-gram shingles it shares with the evaluation corpus
+    — the standard overlap check every LLM data pipeline runs before
+    training (eval n-grams leaking into train data inflate benchmarks).
+
+    Shape at 100 TB: the eval side is tiny (benchmarks are KBs-MBs), so
+    its distinct shingle set broadcasts; the train side explodes
+    shingles map-side and the hit count is one groupBy on ``id_col``.
+    No shuffle ever carries the corpus text itself.
+    """
+    ev = (
+        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("_s"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
+    )
+    return (
+        doc_sh.join(ev, "_s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop training documents sharing more than ``max_hits`` distinct
+    n-grams with the eval corpus (stage 2 of decontamination: one
+    anti-join against the flagged id set)."""
+    hits = contamination_hits(docs, eval_docs, id_col, text_col, n)
+    flagged = hits.filter(F.col("n_hits") > max_hits).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")

@@ -315,3 +315,59 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("_id").alias(id_col), "term", "score", "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality score, reduced to its
+    simplest deterministic form: train a unigram model on the corpus
+    itself (token → count over all documents) and score each document
+    by its mean token log-probability ``avg(ln c_tok − ln N)``.
+    Low scores flag word-salad / boilerplate outliers exactly like
+    CCNet's KenLM perplexity buckets, with no external model artifact.
+
+    Distributed shape: one explode → token-count groupBy (the model),
+    one broadcast of the scalar total, one join back to the exploded
+    tokens, one per-doc aggregate — two shuffles, all expression-tree.
+    At 100 TB the model table is |vocabulary|-sized; for web-scale
+    vocabularies feed ``min_count`` to prune the hapax tail before the
+    join.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("_tok")
+    )
+    model = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        toks.join(model, "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("_c")) - F.log(F.col("_n"))).alias("avg_logprob"),
+        )
+    )
+
+
+def extract_domain(url: Column) -> Column:
+    """Registrable host from a URL (scheme and path stripped) — the
+    key for per-domain corpus policies (blocklists, caps, dedup)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose URL host is on the blocklist: one broadcast
+    anti-join (blocklists are dimension-sized).  The C4/RefinedWeb
+    source-policy stage."""
+    d = extract_domain(F.col(url_col)).alias(domain_col)
+    keys = F.broadcast(blocked_domains.select(F.col(domain_col)))
+    return (
+        df.withColumn(domain_col, d)
+        .join(keys, domain_col, "left_anti")
+    )

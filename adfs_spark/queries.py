@@ -2796,6 +2796,92 @@ def dq_fk_orphans(spark, sf_dir):
     return fk_orphans(li, o, ["l_orderkey"], ["o_orderkey"])
 
 
+@q(
+    "pipeline_decontaminate",
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         FROM documents
+       ),
+       sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         FROM toks, UNNEST(range(1, greatest(len(t)-2, 1)+1)) AS r(i)
+       ),
+       ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0)
+       SELECT doc_id, count(*) AS n_hits
+       FROM sh JOIN ev USING (s)
+       WHERE doc_id % 53 <> 0
+       GROUP BY doc_id""",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Test-set decontamination (dedup.contamination_hits): per train
+    document, distinct 3-gram overlap with a held-out eval slice
+    (doc_id % 53).  Eval shingles broadcast; one groupBy shuffle."""
+    from adfs_spark.functions.dedup import contamination_hits
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 53 == 0)
+    train = d.filter(F.col("doc_id") % 53 != 0)
+    return contamination_hits(train, ev, n=3)
+
+
+@q(
+    "pipeline_lm_score",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         FROM documents),
+       model AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       total AS (SELECT count(*) AS n FROM toks)
+       SELECT doc_id, count(*) AS n_tokens,
+              round(avg(ln(c) - ln(n)), 6) AS avg_logprob
+       FROM toks JOIN model USING (tok), total
+       GROUP BY doc_id""",
+)
+def pipeline_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring (text.unigram_logprob): mean token
+    log-probability under a corpus-trained unigram model — the
+    deterministic reduction of CCNet's perplexity filter."""
+    from adfs_spark.functions.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    s = unigram_logprob(d)
+    return s.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+_BLOCKED_DOMAINS = ("src3.example.com", "src7.example.com", "src12.example.com")
+
+
+_BLOCKED_SQL = ", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)
+
+
+@q(
+    "pipeline_url_filter",
+    f"""WITH u AS (
+         SELECT doc_id,
+                'https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) AS url
+         FROM documents),
+       d AS (SELECT doc_id,
+                    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain
+             FROM u)
+       SELECT domain, count(*) AS n_docs FROM d
+       WHERE domain NOT IN ({_BLOCKED_SQL})
+       GROUP BY domain""",
+)
+def pipeline_url_filter(spark, sf_dir):
+    """Domain blocklist filtering (text.extract_domain +
+    domain_blocklist_filter): URL host extraction, broadcast anti-join
+    against the blocklist, per-domain survivor counts."""
+    from adfs_spark.functions.text import domain_blocklist_filter
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("doc_id").cast("string")),
+    )
+    blocked = spark.createDataFrame([(b,) for b in _BLOCKED_DOMAINS], "domain: string")
+    kept = domain_blocklist_filter(d, "url", blocked)
+    return kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # =========================================================================
 # Driver-facing export: the harness verifies the FIRST 50 queries()
 # entries, so the full declared surface is consolidated into exactly 50
@@ -3062,12 +3148,16 @@ _suite(
         ("pipeline_chunk_docs", ["doc_id", "chunk_index", "chunk_text", "n_tokens"]),
         ("dedup_components", ["node", "component"]),
         ("pipeline_scrub_pii", ["doc_id", "scrubbed", "n_masked"]),
+        ("pipeline_decontaminate", ["doc_id", "n_hits"]),
+        ("pipeline_lm_score", ["doc_id", "n_tokens", "avg_logprob"]),
+        ("pipeline_url_filter", ["domain", "n_docs"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
         ("n_kept", _L), ("bin", _L), ("n_docs", _L), ("sum_tokens", _L),
         ("chunk_index", _L), ("chunk_text", _S), ("n_tokens", _L),
         ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
+        ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
     ],
 )
 

@@ -227,3 +227,64 @@ def test_scrub_pii(spark):
     assert out[2]["s"] == "host <IP> and <IP>" and out[2]["n"] == 2
     assert out[3]["s"] == "id <LONGNUM> but keep 123-456" and out[3]["n"] == 1
     assert out[4]["s"] == "clean text, no pii at all" and out[4]["n"] == 0
+
+
+def test_decontaminate(spark):
+    from adfs_spark.functions.dedup import contamination_hits, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence with different words"),
+            (3, "quick brown fox phrase appears here too"),
+        ],
+        "doc_id: long, text: string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox ran")], "doc_id: long, text: string"
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in contamination_hits(docs, ev, n=3).collect()}
+    # docs 1 and 3 share the 3-gram "quick brown fox" with the eval set
+    assert set(hits) == {1, 3}
+    clean = decontaminate(docs, ev, n=3)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from adfs_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id: long, text: string"
+    )
+    # corpus: a=2, b=1, c=1, N=4
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    exp1 = (2 * math.log(2 / 4) + math.log(1 / 4)) / 3
+    assert abs(got[1]["avg_logprob"] - exp1) < 1e-12
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[2]["avg_logprob"] - math.log(1 / 4)) < 1e-12
+    # rarer-token doc scores lower
+    assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
+
+
+def test_domain_blocklist_filter(spark):
+    from pyspark.sql import functions as F
+
+    from adfs_spark.functions.text import domain_blocklist_filter, extract_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://bad.example.com/page?q=1"),
+            (2, "http://good.example.com:8080/x"),
+            (3, "https://good.example.com/y#frag"),
+        ],
+        "id: long, url: string",
+    )
+    doms = df.select(extract_domain(F.col("url")).alias("d")).collect()
+    assert [r["d"] for r in doms] == [
+        "bad.example.com", "good.example.com", "good.example.com",
+    ]
+    blocked = spark.createDataFrame([("bad.example.com",)], "domain: string")
+    kept = domain_blocklist_filter(df, "url", blocked)
+    assert {r["id"] for r in kept.collect()} == {2, 3}
