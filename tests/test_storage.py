@@ -165,3 +165,19 @@ def test_version_range(spark):
     )
     got = sorted(r["k"] for r in version_range(log, 2, 3).collect())
     assert got == [2, 3]
+
+
+def test_observed_op_counters(spark):
+    from pyspark.sql import functions as F
+
+    from adfs_spark.metrics import collect_metrics, observed
+
+    df = spark.range(100).withColumn(
+        "version", F.when(F.col("id") % 10 == 0, -F.col("id") - 1).otherwise(F.col("id"))
+    )
+    wrapped, obs = observed(df, "scan", version_col="version")
+    assert wrapped.count() == 100  # action triggers metric collection
+    got = collect_metrics(obs)
+    assert got["n_rows"] == 100
+    assert got["n_live"] == 90
+    assert got["n_tombstone"] == 10
