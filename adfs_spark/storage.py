@@ -361,11 +361,39 @@ class VersionedTable:
         delta = other.delta(my_v + 1, other.max_version()).drop(OP_COL)
         self.apply_directly(delta)
 
-    def compact(self) -> None:
-        """Rewrite current state sorted by pk (restores the 'index'
-        layout: parquet min/max stats on pk columns make point finds
-        prune row groups)."""
-        self._write_current(self.snapshot())
+    def compact(
+        self, zorder_cols: Sequence[str] | None = None, bits: int = 8
+    ) -> None:
+        """Rewrite current state for read efficiency.
+
+        Default: pk-sorted files (row-group stats = the pk "index").
+        With ``zorder_cols``: z-order layout (sources.generic) so
+        row-group stats also prune scans on every listed column — the
+        reference's secondary indexes (File.java LEASE_HOLDER etc.) as
+        one physical layout.  Bucketed tables keep their pk-hash bucket
+        dirs (pk partition pruning is preserved) and z-sort *within*
+        buckets; unbucketed tables range-repartition on the curve.
+        """
+        snap = self.snapshot()
+        sort_cols: tuple[str, ...] | None = None
+        if zorder_cols:
+            from adfs_spark.sources.generic import zorder_value
+
+            snap, _ = zorder_value(snap, tuple(zorder_cols), bits=bits)
+            sort_cols = ("_zvalue",)
+            if not self.num_buckets:
+                n = max(self.spark.sparkContext.defaultParallelism, 1)
+                snap = snap.repartitionByRange(n, "_zvalue")
+        if self.num_buckets:
+            # MUST keep the bucket partition column: a plain
+            # _write_current here leaves current/ unpartitioned while
+            # readers expect _kb dirs — later bucket-pruned merges then
+            # match nothing and drop the table's other rows.
+            self._write_partitions(
+                snap.withColumn(KBUCKET_COL, self._kbucket()), sort_cols=sort_cols
+            )
+        else:
+            self._write_current(snap, sort_cols=sort_cols)
 
     # -- internals ---------------------------------------------------------
 
@@ -390,13 +418,15 @@ class VersionedTable:
         merged = _latest_by_abs_version(cur.unionByName(with_kb), pk)
         self._write_partitions(merged)
 
-    def _write_partitions(self, df_with_kb: DataFrame) -> None:
+    def _write_partitions(
+        self, df_with_kb: DataFrame, sort_cols: Sequence[str] | None = None
+    ) -> None:
         """Write (a subset of) bucket partitions; dynamic overwrite
         replaces only the partitions present in ``df_with_kb``."""
         tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
-        df_with_kb.sortWithinPartitions(*self.spec.primary_key).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        df_with_kb.sortWithinPartitions(
+            *(sort_cols or self.spec.primary_key)
+        ).write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.schema(self._full_schema()).parquet(tmp)
         (
             staged.write.mode("overwrite")
@@ -406,13 +436,15 @@ class VersionedTable:
         )
         shutil.rmtree(tmp, ignore_errors=True)
 
-    def _write_current(self, df: DataFrame) -> None:
+    def _write_current(
+        self, df: DataFrame, sort_cols: Sequence[str] | None = None
+    ) -> None:
         # Two-phase: materialize to a tmp dir first because ``df`` may be
         # derived from a read of current_path (overwrite-while-reading is
         # undefined).  On a real deployment this layer is a transactional
         # table format; plain parquet + tmp-swap keeps the semantics.
         tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
-        out = df.sortWithinPartitions(*self.spec.primary_key)
+        out = df.sortWithinPartitions(*(sort_cols or self.spec.primary_key))
         writer = out.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

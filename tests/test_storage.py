@@ -181,3 +181,65 @@ def test_observed_op_counters(spark):
     assert got["n_rows"] == 100
     assert got["n_live"] == 90
     assert got["n_tombstone"] == 10
+
+
+def test_compact_preserves_bucketed_layout(spark, tmp_path):
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+
+    spec = TableSpec(
+        name="t",
+        columns=(
+            ColumnSpec("id", "long", nullable=False),
+            ColumnSpec("val", "string"),
+            ColumnSpec("version", "long"),
+        ),
+        primary_key=("id",),
+    )
+    vt = VersionedTable(spark, spec, str(tmp_path / "t"), num_buckets=4)
+    vt.init(
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id: long, val: string")
+    )
+    vt.compact()
+    assert vt.live().count() == 100
+    # the regression: a bucket-pruned merge after compact must still
+    # see the other 99 rows
+    vt.upsert(spark.createDataFrame([(5, "NEW")], "id: long, val: string"), overwrite=True)
+    assert vt.live().count() == 100
+    assert vt.live().filter("id=5").first()["val"] == "NEW"
+
+
+def test_compact_zorder(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+
+    spec = TableSpec(
+        name="t",
+        columns=(
+            ColumnSpec("id", "long", nullable=False),
+            ColumnSpec("x", "long"),
+            ColumnSpec("y", "long"),
+            ColumnSpec("version", "long"),
+        ),
+        primary_key=("id",),
+    )
+    rows = spark.range(2000).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000).alias("x"),
+        ((F.col("id") * 40503) % 1000).alias("y"),
+    )
+    for buckets in (0, 4):
+        vt = VersionedTable(
+            spark, spec, str(tmp_path / f"t{buckets}"), num_buckets=buckets
+        )
+        vt.init(rows)
+        vt.compact(zorder_cols=("x", "y"))
+        assert vt.live().count() == 2000
+        assert vt.live().filter("x = 7").count() == rows.filter("x = 7").count()
+        vt.upsert(
+            spark.createDataFrame([(3, 1, 1)], "id: long, x: long, y: long"),
+            overwrite=True,
+        )
+        assert vt.live().count() == 2000
