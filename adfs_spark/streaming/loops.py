@@ -21,7 +21,7 @@ at-least-once batch replay is safe; watermark state is bounded by
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -207,6 +207,29 @@ def sessionized_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def streaming_dedupe_native(
+    events: DataFrame,
+    id_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event admission with bounded state, the built-in
+    way: ``dropDuplicatesWithinWatermark`` keeps per-key state in the
+    JVM state store and evicts it once the watermark passes — unlike a
+    global ``dropDuplicates``, state is O(keys per watermark window),
+    not O(stream history).  This is the native-operator tier of
+    ``stateful.streaming_dedupe`` (which keeps custom per-key state in
+    Python); prefer this one when "first occurrence wins within the
+    late-data horizon" is the whole requirement.  Works on batch frames
+    too (plain dropDuplicates semantics)."""
+    ev = _event_time(events, ts_col)
+    if not ev.isStreaming:
+        return ev.dropDuplicates(list(id_cols))
+    return ev.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
     )
 
 

@@ -107,3 +107,40 @@ def test_liveness_transitions_unit():
     st.hasTimedOut = False
     out = list(fn((7,), [pd.DataFrame({"hb_ms": [99000]})], st))
     assert out[0].iloc[0]["status"] == "ALIVE" and st.get == (99000, True)
+
+
+def test_streaming_dedupe_native(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from adfs_spark.streaming.loops import streaming_dedupe_native
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    # duplicate event ids across two files (redelivery within watermark)
+    a = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:01", 1.0), (2, "2026-01-01 00:00:02", 2.0)],
+        "event_id: long, ts_s: string, value: double",
+    ).withColumn("ts", F.to_timestamp_ntz("ts_s")).drop("ts_s")
+    b = spark.createDataFrame(
+        [(2, "2026-01-01 00:00:02", 2.0), (3, "2026-01-01 00:00:03", 3.0)],
+        "event_id: long, ts_s: string, value: double",
+    ).withColumn("ts", F.to_timestamp_ntz("ts_s")).drop("ts_s")
+    a.write.mode("append").parquet(src)
+    b.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(a.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_dedupe_native(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedupe_native")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("select event_id from dedupe_native").collect())
+    assert got == [1, 2, 3]
+
+    # batch fallback
+    assert streaming_dedupe_native(a.unionAll(b), ["event_id"]).count() == 3
