@@ -114,3 +114,32 @@ def fk_orphans(
         .groupBy(*fk)
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, sketch: bool = False
+) -> DataFrame:
+    """Top-``k`` most frequent values of ``col`` as (item, n) — skew
+    diagnosis (which join keys will hot-spot), blocklist candidates,
+    vocabulary heads.
+
+    Exact tier: one groupBy + TakeOrderedAndProject (deterministic
+    tie-break: count desc, then value) — the shuffle carries one row
+    per distinct value.  Sketch tier: the ``approx_top_k`` aggregate, a
+    single-pass map-side-mergeable sketch whose shuffle carries one
+    sketch per partition regardless of cardinality — the right tier
+    when the distinct count itself is huge."""
+    if sketch:
+        exploded = df.agg(
+            F.expr(f"approx_top_k({col}, {k})").alias("_tk")
+        ).select(F.explode("_tk").alias("_e"))
+        return exploded.select(
+            F.col("_e.item").cast("string").alias("item"),
+            F.col("_e.count").alias("n"),
+        )
+    return (
+        df.groupBy(F.col(col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(k)
+    )

@@ -2848,6 +2848,23 @@ def pipeline_lm_score(spark, sf_dir):
     return s.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+@q(
+    "dq_heavy_hitters",
+    """SELECT CAST(l_suppkey AS VARCHAR) AS item, COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY n DESC, item LIMIT 20""",
+)
+def dq_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter detection (audit.heavy_hitters, exact tier): the
+    top-20 hottest lineitem supplier keys — the skew-diagnosis query
+    run before choosing a join strategy.  One groupBy +
+    TakeOrderedAndProject; the approx_top_k sketch tier is
+    pytest-verified against this."""
+    from adfs_spark.functions.audit import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_suppkey", k=20)
+
+
 _BLOCKED_DOMAINS = ("src3.example.com", "src7.example.com", "src12.example.com")
 
 
@@ -3171,6 +3188,7 @@ _suite(
         ("agg_quantile_rows", ["o_orderstatus", "q", "quantile_value"]),
         ("agg_hll_check", ["o_orderpriority", "n_exact", "within_tol"]),
         ("dq_profile_orders", ["col_name", "n_nonnull", "n_null", "n_distinct", "min_num", "max_num", "min_str", "max_str"]),
+        ("dq_heavy_hitters", ["item", "n"]),
     ],
     [
         ("o_orderstatus", _S), ("urgent", _L), ("high", _L), ("medium", _L),
@@ -3180,6 +3198,7 @@ _suite(
         ("n_exact", _L), ("within_tol", _L),
         ("col_name", _S), ("n_nonnull", _L), ("n_null", _L), ("n_distinct", _L),
         ("min_num", _D), ("max_num", _D), ("min_str", _S), ("max_str", _S),
+        ("item", _S),
     ],
 )
 

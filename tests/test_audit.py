@@ -48,3 +48,13 @@ def test_fk_orphans(spark):
         for r in fk_orphans(child, parent, ["fk"], ["pk"], broadcast_parent=True).collect()
     }
     assert got == {(99, 2), (98, 1)}
+
+
+def test_heavy_hitters_exact_and_sketch(spark):
+    rows = [(v,) for v in ["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5]
+    df = spark.createDataFrame(rows, "k: string")
+    exact = [(r["item"], r["n"]) for r in __import__("adfs_spark.functions.audit", fromlist=["heavy_hitters"]).heavy_hitters(df, "k", k=3).collect()]
+    assert exact == [("a", 50), ("b", 30), ("c", 15)]
+    sk = {r["item"]: r["n"] for r in __import__("adfs_spark.functions.audit", fromlist=["heavy_hitters"]).heavy_hitters(df, "k", k=3, sketch=True).collect()}
+    # sketch tier must find the same heads with exact counts at this scale
+    assert sk == {"a": 50, "b": 30, "c": 15}
