@@ -224,3 +224,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS o_bkt")
 
 
+
+
+def test_heavy_hitters_is_takeordered(spark):
+    p = plan_of(spark, "dq_heavy_hitters")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_fk_orphans_anti_join_and_partial_agg(spark):
+    p = plan_of(spark, "dq_fk_orphans")
+    assert "LeftAnti" in p
+    assert "partial_count" in p
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    p = plan_of(spark, "pipeline_decontaminate")
+    # the eval side must broadcast (it's KB-scale); the corpus text
+    # must never shuffle — only (doc_id, shingle) rows do
+    assert "BroadcastHashJoin" in p
+
+
+def test_profile_is_single_scan(spark):
+    p = plan_of(spark, "dq_profile_orders")
+    # one pass over the table: exactly one parquet scan even with 5
+    # profiled columns (the distinct expand reuses it)
+    assert p.count("Scan parquet") == 1
+
+
+def test_url_filter_broadcast_anti(spark):
+    p = plan_of(spark, "pipeline_url_filter")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
