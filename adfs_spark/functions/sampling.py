@@ -14,7 +14,7 @@ projection — no shuffle, no driver involvement, fully pushdown-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,3 +81,52 @@ def weighted_mix(
         # basis points for every representable weight
         thr = F.when(F.col(strata_col) == stratum, F.lit(round(w * 10000))).otherwise(thr)
     return df.filter(b < thr)
+
+
+_SHUFFLE_BUCKETS = 64
+
+
+def shuffle_order(
+    df: DataFrame, key_col: str, seed: str = "epoch0"
+) -> DataFrame:
+    """Deterministic global training order: dense rank of every row by
+    the md5 of its (salted) key.  Reproducible across engines, re-runs
+    and repartitioning — change ``seed`` per epoch for a fresh
+    permutation every job of the run agrees on.
+
+    A naive ``row_number().over(Window.orderBy(hash))`` funnels the
+    corpus through ONE task; this uses two-pass partition-offset
+    numbering instead (the version-stamping scheme): rows range-bucket
+    on the hash prefix via driver-side quantile cutpoints (≤64 longs of
+    metadata), per-bucket counts become cumulative offsets, and each
+    bucket ranks locally — one hash-partitioned exchange, no global
+    funnel."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    skn = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    tagged = df.withColumn("_sh", h).withColumn("_skn", skn)
+    nb = _SHUFFLE_BUCKETS
+    cuts = tagged.approxQuantile("_skn", [i / nb for i in range(1, nb)], 0.001)
+    cut_arr = ",".join(repr(int(v)) + "L" for v in cuts)
+    bucket = F.expr(
+        f"aggregate(array({cut_arr}), 0L, (_acc, _c) -> _acc + IF(_c <= _skn, 1L, 0L))"
+    )
+    tagged = tagged.withColumn("_sb", bucket)
+    counts = {
+        r["_sb"]: r["count"] for r in tagged.groupBy("_sb").count().collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = (
+        F.create_map(*[F.lit(x) for bo in offsets.items() for x in bo])[F.col("_sb")]
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_sb").orderBy("_sh", key_col)
+    return (
+        tagged.withColumn(
+            "train_order", (off + F.row_number().over(w)).cast("long")
+        )
+        .drop("_sh", "_skn", "_sb")
+    )

@@ -2849,6 +2849,24 @@ def pipeline_lm_score(spark, sf_dir):
 
 
 @q(
+    "pipeline_shuffle_order",
+    """SELECT doc_id,
+              row_number() OVER (
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch0'), doc_id
+              ) AS train_order
+       FROM documents""",
+)
+def pipeline_shuffle_order(spark, sf_dir):
+    """Deterministic training-order shuffle (sampling.shuffle_order):
+    every engine and re-run agrees on the epoch permutation.  Ranked
+    without a single-partition window (two-pass offset numbering)."""
+    from adfs_spark.functions.sampling import shuffle_order
+
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_order(d, "doc_id").select("doc_id", "train_order")
+
+
+@q(
     "dq_heavy_hitters",
     """SELECT CAST(l_suppkey AS VARCHAR) AS item, COUNT(*) AS n
        FROM lineitem GROUP BY 1 ORDER BY n DESC, item LIMIT 20""",
@@ -3168,6 +3186,7 @@ _suite(
         ("pipeline_decontaminate", ["doc_id", "n_hits"]),
         ("pipeline_lm_score", ["doc_id", "n_tokens", "avg_logprob"]),
         ("pipeline_url_filter", ["domain", "n_docs"]),
+        ("pipeline_shuffle_order", ["doc_id", "train_order"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -3175,6 +3194,7 @@ _suite(
         ("chunk_index", _L), ("chunk_text", _S), ("n_tokens", _L),
         ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
+        ("train_order", _L),
     ],
 )
 

@@ -58,3 +58,27 @@ def test_heavy_hitters_exact_and_sketch(spark):
     sk = {r["item"]: r["n"] for r in __import__("adfs_spark.functions.audit", fromlist=["heavy_hitters"]).heavy_hitters(df, "k", k=3, sketch=True).collect()}
     # sketch tier must find the same heads with exact counts at this scale
     assert sk == {"a": 50, "b": 30, "c": 15}
+
+
+def test_shuffle_order_is_deterministic_permutation(spark):
+    from adfs_spark.functions.sampling import shuffle_order
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = shuffle_order(df, "k")
+    orders = [r["train_order"] for r in a.collect()]
+    assert sorted(orders) == list(range(1, 501))  # dense 1..n permutation
+    b = {r["k"]: r["train_order"] for r in shuffle_order(df, "k").collect()}
+    am = {r["k"]: r["train_order"] for r in a.collect()}
+    assert am == b  # re-run identical
+    c = {r["k"]: r["train_order"] for r in shuffle_order(df, "k", seed="epoch1").collect()}
+    assert c != am  # new epoch → new permutation
+    assert sorted(c.values()) == list(range(1, 501))
+
+
+def test_shuffle_order_plan_has_no_global_funnel(spark):
+    from adfs_spark.functions.sampling import shuffle_order
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    plan = shuffle_order(df, "k")._jdf.queryExecution().executedPlan().toString()
+    # the rank window partitions by bucket — never a single-partition sort
+    assert "SinglePartition" not in plan
