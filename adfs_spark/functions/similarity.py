@@ -462,3 +462,44 @@ def pq_topk(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    assigned_encoded: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The standard IVF-PQ composition: IVF prunes *which* rows are
+    considered (``n_probe`` nearest cells — at scale a partition-pruned
+    read when the table is written partitioned by ``ivf_cell``), PQ
+    prunes *what* each considered row costs (ADC over code bytes, no
+    embedding read).  ``assigned_encoded`` carries both ``ivf_cell``
+    (from :func:`ivf_assign`) and ``code_col`` (from
+    :func:`pq_encode`); pass ``rerank_with`` for the exact re-rank
+    tier over the shortlist."""
+    q = [float(x) for x in query_vec]
+    d2 = [
+        sum((float(a) - b) * (float(a) - b) for a, b in zip(cent, q))
+        for cent in centroids
+    ]
+    cells = [i for i, _ in sorted(enumerate(d2), key=lambda t: t[1])[:n_probe]]
+    probed = assigned_encoded.filter(F.col("ivf_cell").isin(cells))
+    return pq_topk(
+        probed,
+        codebooks,
+        q,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+        rerank_with=rerank_with,
+        shortlist=shortlist,
+        vec_col=vec_col,
+    )

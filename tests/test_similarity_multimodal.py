@@ -196,3 +196,42 @@ def test_pq_rerank_matches_exact(spark):
     assert got[0] == row["vec_id"]
     if n <= 100:
         assert got == exact
+
+
+def test_ivf_pq_composition(spark):
+    import random
+
+    from adfs_spark.functions.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        kmeans_train,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = random.Random(3)
+    anchors = []
+    for i in range(8):
+        a = [0.0] * 8
+        a[i] = 20.0
+        anchors.append(a)
+    rows = [
+        (i, [x + rng.uniform(-0.4, 0.4) for x in anchors[i % 8]])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    cents = kmeans_train(df, k=8, iters=4)
+    books = pq_train(df, m=4, k=8, iters=3)
+    table = pq_encode(ivf_assign(df, cents), books)
+
+    q = [x + 0.05 for x in anchors[5]]
+    got = {
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            table, cents, books, q, k=10, n_probe=2, rerank_with=df, shortlist=50
+        ).collect()
+    }
+    cluster5 = {i for i in range(400) if i % 8 == 5}
+    assert len(got) == 10
+    assert got <= cluster5
