@@ -2849,6 +2849,55 @@ def pipeline_lm_score(spark, sf_dir):
 
 
 @q(
+    "events_funnel",
+    """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'signup' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+       SELECT 'signup' AS step, 0 AS step_index, count(*) AS n_users FROM s0
+       UNION ALL
+       SELECT 'view', 1, count(*) FROM s1
+       UNION ALL
+       SELECT 'click', 2, count(*) FROM s2
+       UNION ALL
+       SELECT 'purchase', 3, count(*) FROM s3""",
+)
+def events_funnel(spark, sf_dir):
+    """Strictly-ordered conversion funnel (functions/events.funnel_counts):
+    signup → view → click → purchase, each step anchored after the
+    user's earliest qualifying previous step."""
+    from adfs_spark.functions.events import funnel_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(e, ["signup", "view", "click", "purchase"])
+
+
+@q(
+    "events_retention",
+    """WITH first AS (SELECT user_id, min(ts) AS f FROM events GROUP BY 1)
+       SELECT strftime(date_trunc('week', f), '%Y-%m-%d') AS cohort_week,
+              date_diff('day', CAST(f AS DATE), CAST(e.ts AS DATE)) // 7 AS week_offset,
+              count(DISTINCT e.user_id) AS n_active
+       FROM events e JOIN first USING (user_id)
+       GROUP BY 1, 2""",
+)
+def events_retention(spark, sf_dir):
+    """Weekly retention triangle (functions/events.retention_cohorts):
+    cohort by first-seen week, count distinct actives per week offset."""
+    from adfs_spark.functions.events import retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(e)
+
+
+@q(
     "pipeline_shuffle_order",
     """SELECT doc_id,
               row_number() OVER (
@@ -3151,12 +3200,16 @@ _suite(
         ("events_latest_per_user", ["user_id", "event_id", "ts_s"]),
         ("events_json_extract", ["event_type", "sum_k", "n_with_k"]),
         ("events_session_window", ["user_id", "session_start_s", "session_end_s", "n_events", "sum_value"]),
+        ("events_funnel", ["step", "step_index", "n_users"]),
+        ("events_retention", ["cohort_week", "week_offset", "n_active"]),
     ],
     [
         ("hour", _S), ("event_type", _S), ("n", _L), ("sum_value", _D),
         ("win_start", _S), ("user_id", _L), ("event_id", _L), ("ts_s", _S),
         ("sum_k", _L), ("n_with_k", _L),
         ("session_start_s", _S), ("session_end_s", _S), ("n_events", _L),
+        ("step", _S), ("step_index", _L), ("n_users", _L),
+        ("cohort_week", _S), ("week_offset", _L), ("n_active", _L),
     ],
 )
 

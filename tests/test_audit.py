@@ -82,3 +82,45 @@ def test_shuffle_order_plan_has_no_global_funnel(spark):
     plan = shuffle_order(df, "k")._jdf.queryExecution().executedPlan().toString()
     # the rank window partitions by bucket — never a single-partition sort
     assert "SinglePartition" not in plan
+
+
+def test_funnel_counts(spark):
+    from adfs_spark.functions.events import funnel_counts
+
+    rows = [
+        # u1 completes signup->view->click in order
+        (1, "signup", "2026-01-01 00:00:00"),
+        (1, "view", "2026-01-01 01:00:00"),
+        (1, "click", "2026-01-01 02:00:00"),
+        # u2 views BEFORE signup: must not count past step 0
+        (2, "view", "2026-01-01 00:00:00"),
+        (2, "signup", "2026-01-01 01:00:00"),
+        # u3 signup only
+        (3, "signup", "2026-01-01 00:00:00"),
+    ]
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(rows, "user_id: long, event_type: string, ts_s: string") \
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    got = {r["step"]: r["n_users"] for r in funnel_counts(e, ["signup", "view", "click"]).collect()}
+    assert got == {"signup": 3, "view": 1, "click": 1}
+
+
+def test_retention_cohorts(spark):
+    from pyspark.sql import functions as F
+
+    from adfs_spark.functions.events import retention_cohorts
+
+    rows = [
+        (1, "2026-01-05 00:00:00"),  # Monday — cohort week 2026-01-05
+        (1, "2026-01-14 00:00:00"),  # 9 days later → offset 1
+        (2, "2026-01-06 00:00:00"),  # same cohort week
+    ]
+    e = spark.createDataFrame(rows, "user_id: long, ts_s: string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in retention_cohorts(e).collect()
+    }
+    assert got == {("2026-01-05", 0): 2, ("2026-01-05", 1): 1}
