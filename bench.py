@@ -69,11 +69,12 @@ def main() -> int:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
 
-    # Best-of-3 timed passes: single-shot timings at sub-second scale
-    # swing 2-4x on JVM GC pauses and host noise; the min is the
-    # reproducible cost of the plan itself.
+    # Best-of-5 timed passes: single-shot timings at sub-second scale
+    # swing 2-4x on JVM GC pauses and host co-tenancy noise (observed
+    # ±35% on identical runs minutes apart); the min over 5 passes is
+    # the reproducible cost of the plan itself.
     timings: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(5):
         for name in BENCH_QUERIES:
             fn, _ = QUERIES[name]
             t0 = time.time()
