@@ -215,3 +215,86 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[hi] = lo
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),  # user
+            st.sampled_from(["a", "b", "c"]),  # event type
+            st.integers(0, 50),  # ts offset seconds
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_counts_monotone_and_matches_bruteforce(spark, rows):
+    from adfs_spark.functions.events import funnel_counts
+
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows], "user_id: long, event_type: string, s: long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("s")))
+    steps = ["a", "b", "c"]
+    got = {
+        r["step_index"]: r["n_users"] for r in funnel_counts(df, steps).collect()
+    }
+    # brute-force replay per user
+    expect = {0: 0, 1: 0, 2: 0}
+    by_user: dict = {}
+    for u, t, s in rows:
+        by_user.setdefault(u, []).append((s, t))
+    for evs in by_user.values():
+        evs.sort()
+        t_prev = None
+        for i, step in enumerate(steps):
+            cand = [s for s, t in evs if t == step and (t_prev is None or s > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            expect[i] += 1
+    assert got == expect
+    # monotone: each step's survivors never exceed the previous step's
+    assert got[0] >= got[1] >= got[2]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    nparts=st.integers(1, 6),
+)
+def test_shuffle_order_invariant_under_repartitioning(spark, keys, nparts):
+    from adfs_spark.functions.sampling import shuffle_order
+
+    df = spark.createDataFrame([(k,) for k in keys], "k: long")
+    base = {r["k"]: r["train_order"] for r in shuffle_order(df, "k").collect()}
+    rep = {
+        r["k"]: r["train_order"]
+        for r in shuffle_order(df.repartition(nparts), "k").collect()
+    }
+    assert base == rep
+    assert sorted(base.values()) == list(range(1, len(keys) + 1))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=4,
+        max_size=60,
+    ),
+    bits=st.integers(2, 6),
+)
+def test_zorder_value_bounds_and_determinism(spark, vals, bits):
+    from adfs_spark.sources.generic import zorder_value
+
+    df = spark.createDataFrame(vals, "x: long, y: long")
+    z1, cuts = zorder_value(df, ("x", "y"), bits=bits)
+    rows = z1.select("x", "y", "_zvalue").collect()
+    hi = 1 << (2 * bits)
+    assert all(0 <= r["_zvalue"] < hi for r in rows)
+    # same cutpoints → identical curve positions on re-stamp
+    z2, _ = zorder_value(df, ("x", "y"), bits=bits, cutpoints=cuts)
+    assert {(r["x"], r["y"], r["_zvalue"]) for r in z2.collect()} == {
+        (r["x"], r["y"], r["_zvalue"]) for r in rows
+    }
