@@ -5,18 +5,21 @@ metadata struct alongside (modality, mime, width/height/duration, …).
 Heavy per-item work (decode, resize, frame-sample, feature-extract)
 runs in Arrow-batched ``mapInPandas``.
 
-Two modalities decode FOR REAL in pure Python/numpy — no codec
+Three formats decode FOR REAL in pure Python/numpy — no codec
 libraries needed:
 
 - **BMP** (uncompressed 24/32-bit): full header parse + pixel decode
   (:func:`decode_bmp`), numpy nearest-neighbor resize + re-encode
   (:func:`resize_images`);
+- **PNG** (8-bit gray/RGB/palette/alpha, non-interlaced): chunk walk,
+  zlib inflate, all five scanline filters undone
+  (:func:`decode_png`), filter-0 re-encode (:func:`encode_png`);
 - **WAV** (PCM 8/16-bit): RIFF/fmt/data chunk walk → sample array
   (:func:`decode_wav`), audio features (duration/RMS/zero-crossings).
 
-Payloads that are neither (e.g. JPEG — entropy decode genuinely needs
-a codec library) fall back to a deterministic hash pseudo-feature,
-clearly tagged ``decoded=False``.
+Payloads that are none of these (e.g. JPEG — entropy decode genuinely
+needs a codec library) fall back to a deterministic hash
+pseudo-feature, clearly tagged ``decoded=False``.
 
 Scale notes: payload tables should be written with
 ``spark.sql.files.maxPartitionBytes`` sized so one task holds a few
@@ -29,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -173,6 +177,122 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return int(rate), x
 
 
+def is_png(payload: bytes) -> bool:
+    return len(payload) > 8 and payload[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (grayscale / RGB / palette /
+    gray+alpha / RGBA) to an (h, w, 3) uint8 RGB array — pure zlib +
+    numpy.  Chunk walk → zlib-inflate the IDAT stream → undo the five
+    scanline filters (None/Sub/Up/Average/Paeth) → color-normalize.
+    Alpha is dropped (training features want pixels, not compositing).
+    """
+    if not is_png(payload):
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= n:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes, data = lines[:, 0], lines[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft, line = int(ftypes[y]), data[y].copy()
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: vectorize as per-channel cumsum mod 256
+            rec = line.reshape(w, c).cumsum(axis=0).reshape(stride)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft == 3:  # Average
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                # reconstructed bytes must wrap per pixel: the left
+                # neighbor feeds the next prediction as a byte
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        rec = rec & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, c)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return palette[px[:, :, 0]]
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    return px.copy()
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a non-interlaced 8-bit
+    RGB PNG (filter 0 scanlines, one zlib IDAT)."""
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(cid + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _image_features(rgb: np.ndarray, dim: int) -> list[float]:
     """Deterministic image descriptor: dims, per-channel means/stds,
     then a coarse 2×2 luminance grid — padded/truncated to ``dim``."""
@@ -212,6 +332,8 @@ def _extract_one(payload: bytes, dim: int) -> tuple[bool, list[float]]:
     try:
         if is_bmp(payload):
             return True, _image_features(decode_bmp(payload), dim)
+        if is_png(payload):
+            return True, _image_features(decode_png(payload), dim)
         if is_wav(payload):
             rate, x = decode_wav(payload)
             return True, _audio_features(rate, x, dim)
@@ -253,24 +375,31 @@ def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize for BMP payloads: decode → numpy nearest-
-    neighbor resample → re-encode, all inside Arrow batches.  Non-BMP
-    payloads pass through unchanged with their original meta (decode of
-    compressed formats needs a codec library)."""
+    """REAL image resize for BMP and PNG payloads: decode → numpy
+    nearest-neighbor resample → re-encode (same container), all inside
+    Arrow batches.  Other payloads pass through unchanged with their
+    original meta (decode of entropy-coded formats like JPEG needs a
+    codec library)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_meta = [], []
             for b, meta in zip(pdf["payload"], pdf["meta"]):
                 b = bytes(b)
+                codec = None
                 if is_bmp(b):
+                    codec = (decode_bmp, encode_bmp, "image/bmp")
+                elif is_png(b):
+                    codec = (decode_png, encode_png, "image/png")
+                if codec:
+                    dec, enc, mime = codec
                     try:
-                        resized = resize_nearest(decode_bmp(b), width, height)
-                        out_payload.append(encode_bmp(resized))
+                        resized = resize_nearest(dec(b), width, height)
+                        out_payload.append(enc(resized))
                         out_meta.append(
                             {
                                 "modality": "image",
-                                "mime": "image/bmp",
+                                "mime": mime,
                                 "width": width,
                                 "height": height,
                                 "duration_ms": None,
