@@ -5,7 +5,7 @@ metadata struct alongside (modality, mime, width/height/duration, …).
 Heavy per-item work (decode, resize, frame-sample, feature-extract)
 runs in Arrow-batched ``mapInPandas``.
 
-Three formats decode FOR REAL in pure Python/numpy — no codec
+Four formats decode FOR REAL in pure Python/numpy — no codec
 libraries needed:
 
 - **BMP** (uncompressed 24/32-bit): full header parse + pixel decode
@@ -15,7 +15,10 @@ libraries needed:
   zlib inflate, all five scanline filters undone
   (:func:`decode_png`), filter-0 re-encode (:func:`encode_png`);
 - **WAV** (PCM 8/16-bit): RIFF/fmt/data chunk walk → sample array
-  (:func:`decode_wav`), audio features (duration/RMS/zero-crossings).
+  (:func:`decode_wav`), audio features (duration/RMS/zero-crossings);
+- **AVI** (uncompressed raw-DIB video, what ``ffmpeg -c:v rawvideo``
+  writes): RIFF walk → per-frame RGB arrays (:func:`decode_avi`),
+  real wall-clock frame sampling (:func:`sample_frames`).
 
 Payloads that are none of these (e.g. JPEG — entropy decode genuinely
 needs a codec library) fall back to a deterministic hash
@@ -293,6 +296,98 @@ def encode_png(rgb: np.ndarray) -> bytes:
     )
 
 
+def is_avi(payload: bytes) -> bool:
+    return len(payload) > 24 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """Decode an uncompressed (raw DIB '00db') AVI to
+    ``(micro_sec_per_frame, [frame RGB arrays])`` — a RIFF chunk walk
+    like :func:`decode_wav`: 'avih' gives the frame period and dims,
+    'strf' (BITMAPINFOHEADER) the bit depth, the 'movi' list the
+    bottom-up BGR frame payloads.  Compressed AVIs (anything but
+    biCompression=0) raise — entropy codecs need a codec library."""
+    if not is_avi(payload):
+        raise ValueError("not an AVI payload")
+    us_per_frame = width = height = bpp = None
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame, width, height, bpp
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip subtype
+            elif cid == b"avih":
+                us_per_frame = struct.unpack_from("<I", payload, body_start)[0]
+                width, height = struct.unpack_from("<II", payload, body_start + 32)
+            elif cid == b"strf" and bpp is None:
+                # BITMAPINFOHEADER: biSize,biWidth,biHeight,planes,biBitCount,biCompression
+                _, bw, bh, _, bits, compression = struct.unpack_from(
+                    "<IiiHHI", payload, body_start
+                )
+                if compression != 0 or bits not in (24, 32):
+                    raise ValueError(
+                        f"unsupported AVI stream (compression={compression}, bpp={bits})"
+                    )
+                bpp = bits
+            elif cid[2:4] == b"db":  # '00db': uncompressed DIB frame
+                if not (width and height and bpp):
+                    raise ValueError("AVI frame before headers")
+                bytes_pp = bpp // 8
+                stride = (width * bytes_pp + 3) & ~3
+                rows = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * height, offset=body_start
+                ).reshape(height, stride)
+                px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+                frames.append(px[::-1, :, 2::-1].copy())  # bottom-up BGR → RGB
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if us_per_frame is None or not frames:
+        raise ValueError("AVI missing avih header or frames")
+    return int(us_per_frame), frames
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode RGB frames as an uncompressed raw-DIB AVI (the format
+    ``ffmpeg -c:v rawvideo`` emits) — test/fixture counterpart of
+    :func:`decode_avi`."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    frame_bodies = []
+    for f in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[:, :, ::-1].reshape(h, w * 3)
+        frame_bodies.append(chunk(b"00db", rows[::-1].tobytes()))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"\x00" * 4, 0, 0, 0, 0, 1, fps, 0, len(frames), stride * h, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(frame_bodies))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _image_features(rgb: np.ndarray, dim: int) -> list[float]:
     """Deterministic image descriptor: dims, per-channel means/stds,
     then a coarse 2×2 luminance grid — padded/truncated to ``dim``."""
@@ -418,9 +513,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame sampling — STUB (no ffmpeg in container): emits one
-    deterministic fake frame per payload so downstream plumbing and
-    schema flow can be exercised end-to-end."""
+    """Video frame sampling at a wall-clock interval.  Uncompressed
+    raw-DIB AVIs decode FOR REAL (:func:`decode_avi`): the frame period
+    from 'avih' picks every ``every_ms``-th frame, emitted as BMP
+    bytes.  Compressed containers (entropy codecs need a codec library)
+    fall back to one deterministic sha256 pseudo-frame so the plumbing
+    still flows — distinguishable by frame size (32 bytes)."""
 
     frame_schema = T.StructType(
         [
@@ -432,14 +530,25 @@ def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                if is_avi(b):
+                    try:
+                        us, frames = decode_avi(b)
+                        step = max(1, round(every_ms * 1000 / us)) if us else 1
+                        for i in range(0, len(frames), step):
+                            ids.append(mid)
+                            idxs.append(i)
+                            blobs.append(encode_bmp(frames[i]))
+                        continue
+                    except ValueError:
+                        pass
+                ids.append(mid)
+                idxs.append(0)
+                blobs.append(hashlib.sha256(b).digest())
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frame_index": 0,
-                    "frame": pdf["payload"].map(
-                        lambda b: hashlib.sha256(b).digest()
-                    ),
-                }
+                {"media_id": ids, "frame_index": idxs, "frame": blobs}
             )
 
     return media.mapInPandas(run, schema=frame_schema)

@@ -343,3 +343,45 @@ def test_png_in_spark_paths(spark):
     for r in resized:
         assert r["meta"]["mime"] == "image/png"
         assert decode_png(bytes(r["payload"])).shape == (4, 4, 3)
+
+
+def test_avi_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from adfs_spark.functions.multimodal import (
+        decode_avi,
+        decode_bmp,
+        encode_avi,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(10)
+    ]
+    payload = encode_avi(frames, fps=10)  # 100 ms per frame
+    us, back = decode_avi(payload)
+    assert us == 100_000 and len(back) == 10
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id: long, payload: binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/x-msvideo").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+    # every 300 ms at 10 fps → every 3rd frame: indices 0,3,6,9
+    got = sample_frames(media, every_ms=300).collect()
+    assert [r["frame_index"] for r in got] == [0, 3, 6, 9]
+    # frames are REAL decoded pixels re-encoded as BMP
+    for r in got:
+        rgb = decode_bmp(bytes(r["frame"]))
+        assert np.array_equal(rgb, frames[r["frame_index"]])
