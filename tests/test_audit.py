@@ -124,3 +124,32 @@ def test_retention_cohorts(spark):
         for r in retention_cohorts(e).collect()
     }
     assert got == {("2026-01-05", 0): 2, ("2026-01-05", 1): 1}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from adfs_spark.functions.graph import pagerank
+
+    # small directed graph with a dangling node (3) and a hub (0)
+    edges = [(1, 0), (2, 0), (2, 1), (0, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=20).collect()}
+
+    # numpy reference: same un-normalized convention, dangling → uniform
+    n = 4
+    out = {0: [3], 1: [0, 3], 2: [0, 1], 3: []}
+    r = np.ones(n)
+    d = 0.85
+    for _ in range(20):
+        nxt = np.zeros(n)
+        dangling = sum(r[u] for u in range(n) if not out[u])
+        for u in range(n):
+            for v in out[u]:
+                nxt[v] += d * r[u] / len(out[u])
+        nxt += (1 - d) + d * dangling / n
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9
+    # conservation: total rank mass == node count
+    assert abs(sum(got.values()) - n) < 1e-9
