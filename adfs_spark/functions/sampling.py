@@ -83,6 +83,44 @@ def weighted_mix(
     return df.filter(b < thr)
 
 
+def temperature_weights(
+    counts: dict[str, int], temperature: float = 1.0, budget_fraction: float = 1.0
+) -> dict[str, float]:
+    """Per-source keep-fractions for temperature-based corpus mixing
+    (the standard multilingual/multi-source scheme: sampling
+    probability ∝ count^(1/T), T > 1 upweights small sources).
+
+    Driver-side planning over per-source *counts* (a handful of
+    scalars — get them from one groupBy), returning weights to feed
+    :func:`weighted_mix`, which applies them as a stateless
+    hash-filter.  ``budget_fraction`` scales the total kept rows to
+    that fraction of the corpus; rates cap at 1 and the excess mass is
+    iteratively redistributed to uncapped sources (waterfilling), so
+    the realized total matches the budget whenever feasible."""
+    if not counts or budget_fraction <= 0:
+        return {k: 0.0 for k in counts}
+    total = sum(counts.values())
+    budget = budget_fraction * total
+    probs = {k: c ** (1.0 / temperature) for k, c in counts.items()}
+    rates: dict[str, float] = {}
+    remaining = dict(probs)
+    while remaining:
+        z = sum(remaining.values())
+        capped = False
+        for k in list(remaining):
+            target = budget * remaining[k] / z
+            if target >= counts[k]:
+                rates[k] = 1.0
+                budget -= counts[k]
+                del remaining[k]
+                capped = True
+        if not capped:
+            for k, p in remaining.items():
+                rates[k] = max(0.0, min(1.0, budget * p / z / counts[k]))
+            break
+    return rates
+
+
 _SHUFFLE_BUCKETS = 64
 
 

@@ -153,3 +153,33 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9
     # conservation: total rank mass == node count
     assert abs(sum(got.values()) - n) < 1e-9
+
+
+def test_temperature_weights_and_mix(spark):
+    from pyspark.sql import functions as F
+
+    from adfs_spark.functions.sampling import temperature_weights, weighted_mix
+
+    counts = {"big": 8000, "mid": 1500, "small": 500}
+    # T=1: proportional sampling at half budget → every rate 0.5
+    w1 = temperature_weights(counts, temperature=1.0, budget_fraction=0.5)
+    assert all(abs(v - 0.5) < 1e-9 for v in w1.values())
+    # high T flattens: small sources upweighted relative to big ones
+    w2 = temperature_weights(counts, temperature=3.0, budget_fraction=0.5)
+    assert w2["small"] > w1["small"] and w2["big"] < w1["big"]
+    # realized budget ≈ requested
+    kept = sum(w2[k] * counts[k] for k in counts)
+    assert abs(kept - 0.5 * sum(counts.values())) < 1.0
+    # waterfilling: tiny source caps at 1.0, budget still honored
+    w3 = temperature_weights({"a": 10, "b": 10000}, temperature=5.0, budget_fraction=0.5)
+    assert w3["a"] == 1.0
+    assert abs(w3["a"] * 10 + w3["b"] * 10000 - 0.5 * 10010) < 1.0
+
+    # end-to-end through weighted_mix on a real frame
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "small")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    cts = {r["source"]: r["n"] for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    rates = temperature_weights(cts, temperature=2.0, budget_fraction=0.4)
+    kept_df = weighted_mix(df, rates, "source", "doc_id")
+    n_kept = kept_df.count()
+    assert abs(n_kept - 400) < 60  # hash-bucket realization noise
