@@ -395,6 +395,76 @@ class VersionedTable:
         else:
             self._write_current(snap, sort_cols=sort_cols)
 
+    def vacuum(
+        self, before_version: int, prune_changelog: bool = False
+    ) -> int:
+        """``deletePhysically`` analog (DistributedDataRepositoryBase-
+        OnTable.java:393-418): physically drop tombstone rows whose
+        ``abs(version) <= before_version`` from current state — run
+        once every consumer (replica sync, delta reader) has passed the
+        horizon, exactly like the reference GCs tombstones after
+        replication catch-up.  Returns the number of rows removed.
+
+        ``prune_changelog`` additionally deletes changelog version-
+        bucket directories that lie entirely below the horizon (a
+        driver-side metadata op — at scale this is the transactional
+        format's retention job).  After a vacuum, time travel
+        (``snapshot_as_of``) to versions at or below the horizon is no
+        longer exact — the same retention trade every versioned store
+        makes.
+        """
+        cond = (F.col(VERSION_COL) < 0) & (
+            F.abs(F.col(VERSION_COL)) <= before_version
+        )
+        snap = self.snapshot()
+        n = snap.filter(cond).count()
+        if n:
+            kept = snap.filter(~cond)
+            if self.num_buckets:
+                gone_buckets = {
+                    r[0]
+                    for r in snap.filter(cond)
+                    .select(self._kbucket().alias("_b"))
+                    .distinct()
+                    .collect()
+                }
+                kept_kb = kept.withColumn(KBUCKET_COL, self._kbucket())
+                still = {
+                    r[0]
+                    for r in kept_kb.select(KBUCKET_COL).distinct().collect()
+                }
+                rewrite = gone_buckets & still
+                if rewrite:
+                    self._write_partitions(
+                        kept_kb.filter(F.col(KBUCKET_COL).isin(list(rewrite)))
+                    )
+                # dynamic overwrite cannot write an EMPTY partition: a
+                # bucket whose every row was a vacuumed tombstone must
+                # have its directory removed outright
+                for b in sorted(gone_buckets - still):
+                    shutil.rmtree(
+                        os.path.join(self.current_path, f"{KBUCKET_COL}={b}"),
+                        ignore_errors=True,
+                    )
+            else:
+                self._write_current(kept)
+        if prune_changelog:
+            horizon_bucket = before_version // VBUCKET_SIZE
+            if os.path.isdir(self.changelog_path):
+                for d in os.listdir(self.changelog_path):
+                    if d.startswith(f"{VBUCKET_COL}="):
+                        try:
+                            vb = int(d.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        # only buckets ENTIRELY below the horizon
+                        if (vb + 1) * VBUCKET_SIZE <= before_version + 1:
+                            shutil.rmtree(
+                                os.path.join(self.changelog_path, d),
+                                ignore_errors=True,
+                            )
+        return n
+
     # -- internals ---------------------------------------------------------
 
     def _merge_write(self, delta_rows: DataFrame) -> None:

@@ -243,3 +243,67 @@ def test_compact_zorder(spark, tmp_path):
             overwrite=True,
         )
         assert vt.live().count() == 2000
+
+
+def test_vacuum_drops_tombstones_physically(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+
+    spec = TableSpec(
+        name="t",
+        columns=(
+            ColumnSpec("id", "long", nullable=False),
+            ColumnSpec("val", "string"),
+            ColumnSpec("version", "long"),
+        ),
+        primary_key=("id",),
+    )
+    for buckets in (0, 4):
+        vt = VersionedTable(spark, spec, str(tmp_path / f"v{buckets}"), num_buckets=buckets)
+        vt.init(spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id: long, val: string"))
+        vt.delete_where(F.col("id") % 4 == 0)  # 10 tombstones
+        assert vt.live().count() == 30
+        assert vt.snapshot().count() == 40  # tombstones physically present
+        horizon = vt.max_version()
+        removed = vt.vacuum(horizon)
+        assert removed == 10
+        assert vt.snapshot().count() == 30  # physically gone
+        assert vt.live().count() == 30  # live view unchanged
+        # table still writable afterwards
+        vt.upsert(spark.createDataFrame([(0, "back")], "id: long, val: string"), overwrite=True)
+        assert vt.live().count() == 31
+
+
+def test_vacuum_fully_tombstoned_bucket_and_changelog_prune(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VBUCKET_SIZE, VersionedTable
+
+    spec = TableSpec(
+        name="t",
+        columns=(
+            ColumnSpec("id", "long", nullable=False),
+            ColumnSpec("val", "string"),
+            ColumnSpec("version", "long"),
+        ),
+        primary_key=("id",),
+    )
+    vt = VersionedTable(spark, spec, str(tmp_path / "t"), num_buckets=2)
+    vt.init(spark.createDataFrame([(i, "x") for i in range(20)], "id: long, val: string"))
+    # tombstone EVERYTHING: both buckets become pure-tombstone
+    vt.delete_where(F.lit(True))
+    assert vt.live().count() == 0 and vt.snapshot().count() == 20
+    removed = vt.vacuum(vt.max_version(), prune_changelog=True)
+    assert removed == 20
+    assert vt.snapshot().count() == 0
+    # changelog horizon: version buckets fully below horizon would be
+    # pruned (all versions here are far below one VBUCKET_SIZE, so the
+    # single bucket 0 survives unless the horizon covers it entirely)
+    assert vt.max_version() >= 0  # table still readable
+    vt.upsert(spark.createDataFrame([(1, "y")], "id: long, val: string"), overwrite=True)
+    assert vt.live().count() == 1
