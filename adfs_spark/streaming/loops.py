@@ -315,6 +315,7 @@ def interval_join_streams(
     right_ts: str = "ts",
     upper: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: right events within
     [left_ts, left_ts + upper] per key — the streaming twin of the
@@ -325,6 +326,11 @@ def interval_join_streams(
     join-window upper bound: state is O(keys × window), not O(stream).
     Right-side columns come back suffixed ``_r``.  Works on batch
     DataFrames too (same plan, no state).
+
+    ``how='leftOuter'`` emits unmatched left rows with NULL right
+    columns — on a stream these surface only once the watermark passes
+    the row's join window (the engine must prove no match can still
+    arrive), the standard outer-join latency trade.
     """
     lw = _event_time(left, left_ts).withWatermark(left_ts, watermark)
     rw = _event_time(right, right_ts).withWatermark(right_ts, watermark)
@@ -334,4 +340,4 @@ def interval_join_streams(
         & (F.col(f"{right_ts}_r") >= F.col(left_ts))
         & (F.col(f"{right_ts}_r") <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)

@@ -144,3 +144,43 @@ def test_streaming_dedupe_native(spark, tmp_path):
 
     # batch fallback
     assert streaming_dedupe_native(a.unionAll(b), ["event_id"]).count() == 3
+
+
+def test_interval_join_left_outer(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from adfs_spark.streaming.loops import interval_join_streams
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "user_id: long, ts_s: string, event_id: long"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    # left user 1 matches; left user 2 has no right row at all
+    left = frame([(1, "2026-01-01 00:10:00", 100), (2, "2026-01-01 00:11:00", 200)])
+    right = frame([(1, "2026-01-01 00:12:00", 900)])
+    # batch form: outer semantics immediately
+    got = interval_join_streams(left, right, upper="5 minutes", how="leftOuter").collect()
+    by_id = {r["event_id"]: r for r in got}
+    assert set(by_id) == {100, 200}
+    assert by_id[100]["event_id_r"] == 900
+    assert by_id[200]["event_id_r"] is None
+
+    # streaming form: a far-future sentinel on both sides pushes the
+    # watermark past user 2's join window so the unmatched row emits
+    sentinel_l = frame([(99, "2026-01-01 06:00:00", 1)])
+    sentinel_r = frame([(99, "2026-01-01 06:00:00", 2)])
+    ldir, rdir, ck = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "ck")
+    left.write.parquet(ldir); sentinel_l.write.mode("append").parquet(ldir)
+    right.write.parquet(rdir); sentinel_r.write.mode("append").parquet(rdir)
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    q = (
+        interval_join_streams(ls, rs, upper="5 minutes", watermark="10 minutes", how="leftOuter")
+        .writeStream.format("memory").queryName("ivjlo").outputMode("append")
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = {r["event_id"]: r for r in spark.sql("select * from ivjlo").collect()}
+    assert rows[100]["event_id_r"] == 900
+    assert 200 in rows and rows[200]["event_id_r"] is None
