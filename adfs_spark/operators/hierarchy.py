@@ -208,3 +208,67 @@ def recursive_delete_set(
         raise ValueError(f"directory {target_id} is not empty; recursive=False")
     desc = descendants(ns, [target_id], id_col=id_col, parent_col=parent_col, include_self=True)
     return desc.select(id_col)
+
+
+def ancestor_closure(
+    ns: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parentId",
+    root_id: int = 0,
+    max_depth: int = 64,
+) -> DataFrame:
+    """(node, anc) pairs for every proper ancestor of every node — the
+    transitive closure of the parent edges, built by a depth-bounded
+    iterative join (each round hops one more level toward the root).
+    Closure size is |nodes| × depth; depth is tree height, so at
+    namespace scale this is the same budget as the path column (H2).
+    """
+    edges = ns.select(
+        F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
+    ).filter(F.col(parent_col).isNotNull())
+    hop = ns.select(
+        F.col(id_col).alias("_h_id"), F.col(parent_col).alias("_h_parent")
+    )
+    out = edges
+    cur = edges
+    for _ in range(max_depth):
+        cur = (
+            cur.filter(F.col("anc") != root_id)
+            .join(hop, cur["anc"] == hop["_h_id"])
+            .select("node", F.col("_h_parent").alias("anc"))
+        )
+        cur = cur.persist()
+        if not cur.take(1):
+            break
+        out = out.unionByName(cur)
+    return out
+
+
+def rollup_sizes(
+    ns: DataFrame,
+    sizes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parentId",
+    size_col: str = "size",
+    root_id: int = 0,
+) -> DataFrame:
+    """All-directories ``du``: total size and leaf count for EVERY
+    node, not just one queried subtree — the analytics upgrade of the
+    reference's per-path getContentSummary (FSNamesystem.java:
+    1462-1473, which walks ONE subtree per RPC).  One ancestor-closure
+    build (depth iterative joins) + one join + one groupBy; every
+    directory's rollup materializes in a single pass instead of one
+    recursive walk per directory.  Returns (id, n_files, total_size)
+    for every node having at least one sized descendant."""
+    anc = ancestor_closure(ns, id_col, parent_col, root_id=root_id)
+    contrib = anc.join(
+        sizes.select(F.col(id_col).alias("node"), F.col(size_col).alias("_sz")),
+        "node",
+    )
+    return (
+        contrib.groupBy(F.col("anc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_sz").alias("total_size"),
+        )
+    )

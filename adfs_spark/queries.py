@@ -2849,6 +2849,43 @@ def pipeline_lm_score(spark, sf_dir):
 
 
 @q(
+    "h_du_rollup",
+    f"""WITH RECURSIVE ns AS ({_NS_SQL}),
+       anc AS (
+         SELECT id AS node, parentId AS anc FROM ns
+         UNION ALL
+         SELECT a.node, f.parentId
+         FROM anc a JOIN ns f ON a.anc = f.id
+         WHERE a.anc <> 0
+       ),
+       sizes AS (SELECT 10000 + c_custkey AS node,
+                        CAST(c_acctbal AS DECIMAL(18,2)) AS sz
+                 FROM customer)
+       SELECT anc AS id, count(*) AS n_files,
+              CAST(sum(sz) AS DOUBLE) AS total_size
+       FROM anc JOIN sizes USING (node)
+       GROUP BY anc""",
+)
+def h_du_rollup(spark, sf_dir):
+    """All-directories du (hierarchy.rollup_sizes): per-node total
+    account balance + leaf count for EVERY tree node in one pass —
+    the batch-analytics form of per-path getContentSummary
+    (FSNamesystem.java:1462-1473)."""
+    from adfs_spark.operators.hierarchy import rollup_sizes
+
+    ns = _namespace(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    sizes = c.select(
+        (F.col("c_custkey") + 10000).cast("long").alias("id"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("size"),
+    )
+    out = rollup_sizes(ns, sizes)
+    return out.select(
+        "id", "n_files", F.col("total_size").cast("double").alias("total_size")
+    )
+
+
+@q(
     "events_funnel",
     """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
                    WHERE event_type = 'signup' GROUP BY 1),
@@ -3146,8 +3183,12 @@ _suite(
     [
         ("h3_listing_children", ["c_custkey", "c_name"]),
         ("h4_descendants", ["id", "name", "level"]),
+        ("h_du_rollup", ["id", "n_files", "total_size"]),
     ],
-    [("c_custkey", _L), ("c_name", _S), ("id", _L), ("name", _S), ("level", _L)],
+    [
+        ("c_custkey", _L), ("c_name", _S), ("id", _L), ("name", _S),
+        ("level", _L), ("n_files", _L), ("total_size", _D),
+    ],
 )
 
 _suite(

@@ -70,3 +70,29 @@ def test_recursive_delete_guard(ns):
         recursive_delete_set(ns, 1, recursive=False)
     ids = sorted(r["id"] for r in recursive_delete_set(ns, 1, recursive=True).collect())
     assert ids == [1, 2, 3, 4]
+
+
+def test_rollup_sizes_all_directories(spark):
+    from adfs_spark.operators.hierarchy import ancestor_closure, rollup_sizes
+
+    #      0
+    #    1   2
+    #  3 4     5(file under 2)
+    # files: 3->10, 4->20, 5->7
+    ns = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "f1"), (4, 1, "f2"), (5, 2, "f3")],
+        "id: long, parentId: long, name: string",
+    )
+    sizes = spark.createDataFrame(
+        [(3, 10.0), (4, 20.0), (5, 7.0)], "id: long, size: double"
+    )
+    got = {
+        r["id"]: (r["n_files"], r["total_size"])
+        for r in rollup_sizes(ns, sizes).collect()
+    }
+    assert got == {1: (2, 30.0), 2: (1, 7.0), 0: (3, 37.0)}
+    # closure sanity: node 3's ancestors are exactly {1, 0}
+    anc = {
+        (r["node"], r["anc"]) for r in ancestor_closure(ns).collect() if r["node"] == 3
+    }
+    assert anc == {(3, 1), (3, 0)}
