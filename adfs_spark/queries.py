@@ -2849,6 +2849,25 @@ def pipeline_lm_score(spark, sf_dir):
 
 
 @q(
+    "events_hourly_unique_users",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1""",
+)
+def events_hourly_unique_users(spark, sf_dir):
+    """Hourly distinct-user counts — the unique-visitors twin of the
+    hourly event counts (two-phase distinct: map-side dedupe per
+    (hour, user), then count; plan-tested shape)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q(
     "h_du_rollup",
     f"""WITH RECURSIVE ns AS ({_NS_SQL}),
        anc AS (
@@ -3243,6 +3262,7 @@ _suite(
         ("events_session_window", ["user_id", "session_start_s", "session_end_s", "n_events", "sum_value"]),
         ("events_funnel", ["step", "step_index", "n_users"]),
         ("events_retention", ["cohort_week", "week_offset", "n_active"]),
+        ("events_hourly_unique_users", ["hour", "n_users"]),
     ],
     [
         ("hour", _S), ("event_type", _S), ("n", _L), ("sum_value", _D),
