@@ -2849,6 +2849,42 @@ def pipeline_lm_score(spark, sf_dir):
 
 
 @q(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20.  Fact⋈fact join on the shared orderkey (AQE decides the
+    strategy), decimal-exact revenue, TakeOrderedAndProject top-k with
+    a deterministic tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
     "events_hourly_unique_users",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               count(DISTINCT user_id) AS n_users
@@ -3323,6 +3359,7 @@ _suite(
         ("agg_hll_check", ["o_orderpriority", "n_exact", "within_tol"]),
         ("dq_profile_orders", ["col_name", "n_nonnull", "n_null", "n_distinct", "min_num", "max_num", "min_str", "max_str"]),
         ("dq_heavy_hitters", ["item", "n"]),
+        ("q10_returned_items", ["c_custkey", "c_name", "revenue"]),
     ],
     [
         ("o_orderstatus", _S), ("urgent", _L), ("high", _L), ("medium", _L),
@@ -3332,7 +3369,7 @@ _suite(
         ("n_exact", _L), ("within_tol", _L),
         ("col_name", _S), ("n_nonnull", _L), ("n_null", _L), ("n_distinct", _L),
         ("min_num", _D), ("max_num", _D), ("min_str", _S), ("max_str", _S),
-        ("item", _S),
+        ("item", _S), ("c_custkey", _L), ("c_name", _S), ("revenue", _D),
     ],
 )
 
