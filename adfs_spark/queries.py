@@ -2849,6 +2849,27 @@ def pipeline_lm_score(spark, sf_dir):
 
 
 @q(
+    "agg_grouping_sets",
+    """SELECT o_orderstatus AS gs_status, o_orderpriority AS gs_priority,
+              count(*) AS n_orders
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the grouping shape ROLLUP/CUBE don't
+    express: disjoint marginals + grand total in one pass).  Plans as
+    a single Expand + one shuffle, same as the rollup family."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """SELECT o_orderstatus AS gs_status, o_orderpriority AS gs_priority,
+                  count(*) AS n_orders
+           FROM _gs_orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+@q(
     "q10_returned_items",
     """SELECT c_custkey, c_name,
               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -3360,6 +3381,7 @@ _suite(
         ("dq_profile_orders", ["col_name", "n_nonnull", "n_null", "n_distinct", "min_num", "max_num", "min_str", "max_str"]),
         ("dq_heavy_hitters", ["item", "n"]),
         ("q10_returned_items", ["c_custkey", "c_name", "revenue"]),
+        ("agg_grouping_sets", ["gs_status", "gs_priority", "n_orders"]),
     ],
     [
         ("o_orderstatus", _S), ("urgent", _L), ("high", _L), ("medium", _L),
@@ -3370,6 +3392,7 @@ _suite(
         ("col_name", _S), ("n_nonnull", _L), ("n_null", _L), ("n_distinct", _L),
         ("min_num", _D), ("max_num", _D), ("min_str", _S), ("max_str", _S),
         ("item", _S), ("c_custkey", _L), ("c_name", _S), ("revenue", _D),
+        ("gs_status", _S), ("gs_priority", _S),
     ],
 )
 
