@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
+def _is_numeric(dtype: str) -> bool:
+    # decimal renders as 'decimal(p,s)' so membership alone misses it
+    return dtype in _NUMERIC or dtype.startswith("decimal")
+
+
 def profile_columns(
     df: DataFrame, cols: Sequence[str], approx_distinct: bool = False
 ) -> DataFrame:
@@ -60,7 +65,7 @@ def profile_columns(
 
     def _minmax(c: str, which: str):
         base = F.col(f"{c}__{which}")
-        if dtypes[c] in _NUMERIC:
+        if _is_numeric(dtypes[c]):
             return base.cast("double"), F.lit(None).cast("string")
         return F.lit(None).cast("double"), base.cast("string")
 

@@ -310,10 +310,11 @@ def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
     if not is_avi(payload):
         raise ValueError("not an AVI payload")
     us_per_frame = width = height = bpp = None
+    stream_type = None  # fccType of the most recent 'strh' in this 'strl'
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal us_per_frame, width, height, bpp
+        nonlocal us_per_frame, width, height, bpp, stream_type
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -323,7 +324,12 @@ def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
             elif cid == b"avih":
                 us_per_frame = struct.unpack_from("<I", payload, body_start)[0]
                 width, height = struct.unpack_from("<II", payload, body_start + 32)
-            elif cid == b"strf" and bpp is None:
+            elif cid == b"strh":
+                stream_type = payload[body_start : body_start + 4]
+            elif cid == b"strf" and bpp is None and stream_type == b"vids":
+                # Only a video stream's strf is a BITMAPINFOHEADER — an
+                # audio stream's strf is a WAVEFORMATEX and must be
+                # skipped, not misparsed as bit depth.
                 # BITMAPINFOHEADER: biSize,biWidth,biHeight,planes,biBitCount,biCompression
                 _, bw, bh, _, bits, compression = struct.unpack_from(
                     "<IiiHHI", payload, body_start

@@ -97,6 +97,8 @@ def temperature_weights(
     that fraction of the corpus; rates cap at 1 and the excess mass is
     iteratively redistributed to uncapped sources (waterfilling), so
     the realized total matches the budget whenever feasible."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     if not counts or budget_fraction <= 0:
         return {k: 0.0 for k in counts}
     total = sum(counts.values())
@@ -106,6 +108,10 @@ def temperature_weights(
     remaining = dict(probs)
     while remaining:
         z = sum(remaining.values())
+        if z == 0:  # no probability mass left (e.g. all-zero counts)
+            for k in remaining:
+                rates[k] = 0.0
+            break
         capped = False
         for k in list(remaining):
             target = budget * remaining[k] / z
@@ -144,10 +150,15 @@ def shuffle_order(
     tagged = df.withColumn("_sh", h).withColumn("_skn", skn)
     nb = _SHUFFLE_BUCKETS
     cuts = tagged.approxQuantile("_skn", [i / nb for i in range(1, nb)], 0.001)
-    cut_arr = ",".join(repr(int(v)) + "L" for v in cuts)
-    bucket = F.expr(
-        f"aggregate(array({cut_arr}), 0L, (_acc, _c) -> _acc + IF(_c <= _skn, 1L, 0L))"
-    )
+    if cuts:
+        cut_arr = ",".join(repr(int(v)) + "L" for v in cuts)
+        bucket = F.expr(
+            f"aggregate(array({cut_arr}), 0L, (_acc, _c) -> _acc + IF(_c <= _skn, 1L, 0L))"
+        )
+    else:
+        # empty input → no quantiles; array() would be typed
+        # array<string> and the lambda comparison ill-typed
+        bucket = F.lit(0).cast("long")
     tagged = tagged.withColumn("_sb", bucket)
     counts = {
         r["_sb"]: r["count"] for r in tagged.groupBy("_sb").count().collect()

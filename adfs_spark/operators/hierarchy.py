@@ -95,7 +95,7 @@ def resolve_paths_batch(
         ).select(
             "_path", "_parts", "_n", F.col("_nid").alias("_cur"), (F.col("_d") + 1).alias("_d")
         )
-        frontier = step.persist()
+        frontier = step.localCheckpoint(eager=True)
         done = frontier.filter(F.col("_d") == F.col("_n")).select(
             "_path", F.col("_cur").alias(id_col)
         )
@@ -138,7 +138,7 @@ def descendants(
             parent_col,
             "left_semi",
         )
-        nxt = nxt.persist()
+        nxt = nxt.localCheckpoint(eager=True)
         if not nxt.take(1):
             break
         leveled = nxt.withColumn("level", F.lit(level))
@@ -186,7 +186,7 @@ def path_column(
             F.col("_ppid").alias("_walk"),
             F.concat_ws("/", "_pname", "_acc").alias("_acc"),
         )
-        acc = done.unionByName(stepped).persist()
+        acc = done.unionByName(stepped).localCheckpoint(eager=True)
     paths = acc.select(
         F.col("_tid").alias(id_col), F.concat(F.lit("/"), F.col("_acc")).alias(out_col)
     )
@@ -237,7 +237,14 @@ def ancestor_closure(
             .join(hop, cur["anc"] == hop["_h_id"])
             .select("node", F.col("_h_parent").alias("anc"))
         )
-        cur = cur.persist()
+        # localCheckpoint (not persist): truncates the join-chain
+        # lineage that otherwise grows one level per round, and its
+        # blocks are released by the ContextCleaner once the returned
+        # closure is consumed and GC'd — persist() would pin every
+        # round's frame in the cache for the life of the session.
+        # (unpersist-as-we-go is NOT safe here: ``out`` accumulates
+        # unions that still reference each round's blocks.)
+        cur = cur.localCheckpoint(eager=True)
         if not cur.take(1):
             break
         out = out.unionByName(cur)

@@ -183,3 +183,35 @@ def test_temperature_weights_and_mix(spark):
     kept_df = weighted_mix(df, rates, "source", "doc_id")
     n_kept = kept_df.count()
     assert abs(n_kept - 400) < 60  # hash-bucket realization noise
+
+
+def test_profile_columns_decimal_is_numeric(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id: long").select(
+        F.col("id").cast("decimal(10,2)").alias("d")
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df, ["d"]).collect()}
+    assert prof["d"]["min_num"] == 1.0 and prof["d"]["max_num"] == 2.0
+    assert prof["d"]["min_str"] is None
+
+
+def test_temperature_weights_validates_inputs():
+    import pytest
+
+    from adfs_spark.functions.sampling import temperature_weights
+
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 10}, temperature=0.0)
+    # all-zero counts: no probability mass, every rate 0, no crash
+    assert temperature_weights({"a": 0, "b": 0}, temperature=2.0) == {
+        "a": 0.0,
+        "b": 0.0,
+    }
+
+
+def test_shuffle_order_empty_input(spark):
+    from adfs_spark.functions.sampling import shuffle_order
+
+    df = spark.createDataFrame([], "k: string")
+    out = shuffle_order(df, "k")
+    assert out.count() == 0
+    assert "train_order" in out.columns

@@ -385,3 +385,45 @@ def test_avi_roundtrip_and_frame_sampling(spark):
     for r in got:
         rgb = decode_bmp(bytes(r["frame"]))
         assert np.array_equal(rgb, frames[r["frame_index"]])
+
+
+def test_decode_avi_skips_audio_stream_strf():
+    """An AVI whose first 'strl' is an audio stream (WAVEFORMATEX strf)
+    must not be misparsed as BITMAPINFOHEADER — the video stream that
+    follows supplies the bit depth."""
+    import struct
+
+    import numpy as np
+
+    from adfs_spark.functions.multimodal import decode_avi, encode_avi
+
+    frames = [np.full((4, 6, 3), 7, dtype=np.uint8)]
+    base = encode_avi(frames, fps=5)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype, body):
+        return chunk(b"LIST", subtype + body)
+
+    # audio strl: strh fccType='auds', strf=WAVEFORMATEX (PCM, 16-bit)
+    auds_strh = struct.pack(
+        "<4s4sIHHIIIIIIIhhhhh",
+        b"auds", b"\x00" * 4, 0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    )
+    wavefmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", wavefmt))
+
+    # splice the audio strl into the hdrl LIST ahead of the video strl
+    hdr_pos = base.index(b"LIST", 12)
+    (hdr_size,) = struct.unpack_from("<I", base, hdr_pos + 4)
+    hdr_end = hdr_pos + 8 + hdr_size
+    hdr_body = base[hdr_pos + 8 + 4 : hdr_end]  # after 'hdrl' subtype
+    new_hdrl = lst(b"hdrl", hdr_body + audio_strl)
+    patched = base[:hdr_pos] + new_hdrl + base[hdr_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+
+    us, decoded = decode_avi(patched)
+    assert len(decoded) == 1
+    assert np.array_equal(decoded[0], frames[0])
