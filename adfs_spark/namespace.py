@@ -51,6 +51,8 @@ from adfs_spark.schema import FILE, TableSpec
 from adfs_spark.storage import VersionedTable
 
 DIR_LENGTH = -1  # File.isDir: length == -1 (File.java:144-146)
+DIR_PERM = 0o755  # default mode bits (HDFS FsPermission defaults)
+FILE_PERM = 0o644
 
 
 class NamespaceError(Exception):
@@ -69,7 +71,7 @@ class Namespace:
         FileRepository.createMeta :99-107)."""
         t = VersionedTable(spark, FILE, root)
         root_row = spark.createDataFrame(
-            [(ROOT_ID, ROOT_ID, "", DIR_LENGTH, 0, 0, 0, 0, 0, None, 0, -1, -1)],
+            [(ROOT_ID, ROOT_ID, "", DIR_LENGTH, 0, 0, 0, 0, 0, DIR_PERM, None, 0, -1, -1)],
             FILE.struct_type(include_version=False),
         )
         t.init(root_row)
@@ -243,6 +245,7 @@ class Namespace:
                     now,
                     now,
                     0,
+                    DIR_PERM if length == DIR_LENGTH else FILE_PERM,
                     lease_holder,
                     0,
                     -1,
@@ -325,6 +328,28 @@ class Namespace:
         self.table.update_where(
             F.col("id") == row["id"],
             {"mtime": F.lit(mtime).cast("long"), "atime": F.lit(atime).cast("long")},
+        )
+
+    def set_owner(self, path: str, owner: int) -> None:
+        """setOwner (FileProtocol.java:26-60 verb surface) — U2 masked
+        update of the File.java owner int."""
+        row = self._resolve(path)
+        if row is None:
+            raise NamespaceError(f"no such path: {path}")
+        self.table.update_where(
+            F.col("id") == row["id"], {"owner": F.lit(owner).cast("int")}
+        )
+
+    def set_permission(self, path: str, permission: int) -> None:
+        """setPermission (FileProtocol.java:26-60) — U2 masked update of
+        the POSIX mode bits (FsPermission short)."""
+        if not 0 <= permission <= 0o7777:
+            raise NamespaceError(f"invalid permission {permission:o}")
+        row = self._resolve(path)
+        if row is None:
+            raise NamespaceError(f"no such path: {path}")
+        self.table.update_where(
+            F.col("id") == row["id"], {"permission": F.lit(permission).cast("short")}
         )
 
     def complete_file(self, path: str, length: int) -> None:

@@ -21,6 +21,7 @@ Column-role binding onto the TPC-H-ish fixtures follows FIXTURES.md §6
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -3080,6 +3081,200 @@ def pipeline_url_filter(spark, sf_dir):
 
 
 # =========================================================================
+# Round-3 members: real-write-path rows (S10/D3 sync, D5 editlog
+# convergence), the F7 block-locations projection, and the IVF-PQ ANN
+# tier — each driver-verified against a relational oracle.
+# =========================================================================
+
+_KV_BASE_SQL = """SELECT o_orderkey AS k,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+       FROM orders WHERE o_orderkey % 20 = 0"""
+
+
+def _kv_spec():
+    from adfs_spark.schema import ColumnSpec, TableSpec
+
+    return TableSpec(
+        name="kv_sync",
+        columns=(ColumnSpec("k", "long"), ColumnSpec("v", "double")),
+        primary_key=("k",),
+        versioned=True,
+    )
+
+
+def _kv_base(spark, sf_dir) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        F.col("o_orderkey").alias("k"), _dec("o_totalprice").cast("double").alias("v")
+    )
+
+
+@q(
+    "u_sync_roundtrip",
+    f"""WITH base AS ({_KV_BASE_SQL}),
+         final AS (SELECT k, CASE WHEN k % 60 = 0 THEN v + 111.0 ELSE v END AS v
+                   FROM base WHERE k % 100 <> 0)
+        SELECT 'incr' AS mode, k, v FROM final
+        UNION ALL
+        SELECT 'full', k, v FROM final""",
+)
+def u_sync_roundtrip(spark, sf_dir):
+    """S10/D3 on the REAL write path: a master VersionedTable is
+    seeded, a replica full-restores from it, the master mutates
+    (masked update + tombstone delete), the replica catches up via the
+    version-range delta + idempotent LWW merge
+    (restoreIncrementFromMasterServerInternal :677-716,
+    MysqlServerController.getData :42-132), and a second replica
+    full-restores the final state.  Both replicas' live views must
+    equal the relational final state — the oracle never sees the
+    tables, only the algebra they must converge to."""
+    import tempfile
+
+    from adfs_spark.storage import VersionedTable
+
+    spec = _kv_spec()
+    root = tempfile.mkdtemp(prefix="adfs_sync_")
+    master = VersionedTable(spark, spec, os.path.join(root, "master"))
+    master.init(_kv_base(spark, sf_dir))
+
+    incr = VersionedTable(spark, spec, os.path.join(root, "incr"))
+    incr.init()
+    incr.sync_from(master)  # full-restore path (empty replica)
+
+    master.update_where(F.col("k") % 60 == 0, {"v": F.col("v") + 111.0})
+    master.delete_where(F.col("k") % 100 == 0)
+    incr.sync_from(master)  # incremental delta path
+
+    full = VersionedTable(spark, spec, os.path.join(root, "full"))
+    full.init()
+    full.sync_from(master)  # full-restore of the final state
+
+    out_i = incr.live().select(F.lit("incr").alias("mode"), "k", "v")
+    out_f = full.live().select(F.lit("full").alias("mode"), "k", "v")
+    return out_i.unionByName(out_f)
+
+
+@q(
+    "d5_editlog_converged",
+    f"""WITH base AS ({_KV_BASE_SQL})
+        SELECT k, CASE WHEN k % 3 = 0 THEN v + 55.0 ELSE v END AS v
+        FROM base WHERE k % 7 <> 0""",
+)
+def d5_editlog_converged(spark, sf_dir):
+    """D5 as a driver row: the Structured-Streaming edit-log applier
+    (DistributedEditLogger.java:83-116 semantics) tails a master's
+    changelog (init + update + delete ops) and idempotently merges
+    every micro-batch into a replica; after ``availableNow``
+    convergence the replica's live view must equal the batch LWW
+    result — the oracle is the pure relational final state, so the
+    whole streaming loop (file source, micro-batching, at-least-once
+    merge) is value-checked, not just row-counted."""
+    import tempfile
+
+    from adfs_spark.storage import VersionedTable
+    from adfs_spark.streaming.loops import replicate
+
+    spec = _kv_spec()
+    root = tempfile.mkdtemp(prefix="adfs_d5_")
+    master = VersionedTable(spark, spec, os.path.join(root, "master"))
+    master.init(_kv_base(spark, sf_dir))
+    master.update_where(F.col("k") % 3 == 0, {"v": F.col("v") + 55.0})
+    master.delete_where(F.col("k") % 7 == 0)
+
+    replica = VersionedTable(spark, spec, os.path.join(root, "replica"))
+    replica.init()
+    sq = replicate(master, replica, os.path.join(root, "ckpt"))
+    sq.awaitTermination()
+    return replica.live().select("k", "v")
+
+
+@q(
+    "f7_block_locations",
+    """WITH reps AS (
+         SELECT l_orderkey * 10 + l_linenumber AS block_id,
+                l_orderkey AS file_id,
+                l_linenumber AS file_index,
+                (l_partkey + 7 * r) % 25 AS datanode_id,
+                (l_partkey + 3 * r) % 11 AS gs,
+                r AS version
+         FROM lineitem, UNNEST([0, 1, 2]) t(r)
+         WHERE l_orderkey % 500 = 0),
+       primary_rep AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY block_id
+                     ORDER BY gs DESC, version DESC, datanode_id DESC) AS rn
+           FROM reps)
+         WHERE rn = 1)
+       SELECT p.block_id, p.file_id, p.file_index, p.datanode_id,
+              n.n_name AS datanode_name
+       FROM primary_rep p JOIN nation n ON n.n_nationkey = p.datanode_id""",
+)
+def f7_block_locations(spark, sf_dir):
+    """F7, the getBlockLocations read path as one distributed plan
+    (FSNamesystem.getBlockLocations :596-717,
+    StateManager.adfsFileToHdfsFileStatus :844-848): replica rows →
+    per-block primary-replica argmax (A2 on generationStamp, version)
+    → datanode broadcast join (J2) → ordered (file, fileIndex)
+    projection.  Replicas are synthesized 3-per-block from lineitem;
+    datanodes are the nation dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    reps = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("block_id"),
+        F.col("l_orderkey").alias("file_id"),
+        F.col("l_linenumber").cast("long").alias("file_index"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+        F.col("l_partkey"),
+    ).select(
+        "block_id",
+        "file_id",
+        "file_index",
+        ((F.col("l_partkey") + 7 * F.col("r")) % 25).cast("long").alias("datanode_id"),
+        ((F.col("l_partkey") + 3 * F.col("r")) % 11).cast("long").alias("gs"),
+        F.col("r").cast("long").alias("version"),
+    )
+    # datanode_id joins the sort key to make the argmax total: the
+    # synthetic fixture has colliding (l_orderkey, l_linenumber) pairs,
+    # so (gs, version) alone can tie across distinct replica rows
+    primary = group_argmax(reps, ["block_id"], ["gs", "version", "datanode_id"])
+    dn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("dn_id"),
+        F.col("n_name").alias("datanode_name"),
+    )
+    located = fk_join(primary, dn, "datanode_id", "dn_id", broadcast_parent=True)
+    return located.select(
+        "block_id", "file_id", "file_index", "datanode_id", "datanode_name"
+    )
+
+
+@q("sim_ivfpq_topk", _COS_SQL)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ, full path (the 100 TB ANN tier): distributed k-means
+    centroids, per-subspace PQ codebooks, codes-only ADC scan, exact
+    cosine re-rank.  Probing all cells with an uncapped shortlist makes
+    the re-ranked result exactly the brute-force top-k, so the entire
+    train→encode→ADC→re-rank pipeline is value-checked against the
+    exact cosine oracle; recall at n_probe/shortlist below exact is
+    covered by the planted-cluster pytest."""
+    from adfs_spark.functions.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        kmeans_train,
+        pq_encode,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = kmeans_train(e, k=4, iters=2)
+    books = pq_train(e, m=4, k=8, iters=2)
+    enc = pq_encode(ivf_assign(e, cents), books)
+    got = ivf_pq_topk(
+        enc, cents, books, qv, k=10, n_probe=4, rerank_with=e, shortlist=1 << 30
+    )
+    return got.select("vec_id", F.round("sim", 5).alias("sim"))
+
+
+# =========================================================================
 # Driver-facing export: the harness verifies the FIRST 50 queries()
 # entries, so the full declared surface is consolidated into exactly 50
 # — single queries where the operator stands alone, tagged-union
@@ -3129,7 +3324,11 @@ def _tagged_union_sql(members: list[tuple[str, list[str]]], cols: list[tuple[str
     return "\nUNION ALL\n".join(parts)
 
 
+SUITE_MEMBERS: dict[str, list[str]] = {}
+
+
 def _suite(name: str, members: list[tuple[str, list[str]]], cols: list[tuple[str, str]]):
+    SUITE_MEMBERS[name] = [m for m, _ in members]
     QUERIES[name] = (
         _tagged_union_fn(members, cols),
         _tagged_union_sql(members, cols),
@@ -3272,8 +3471,13 @@ _suite(
     [
         ("d1_changelog_classify", ["o_orderkey", "version", "op"]),
         ("d2_delta_range", ["o_orderkey", "version"]),
+        ("u_sync_roundtrip", ["mode", "k", "v"]),
+        ("d5_editlog_converged", ["k", "v"]),
     ],
-    [("o_orderkey", _L), ("version", _L), ("op", _S)],
+    [
+        ("o_orderkey", _L), ("version", _L), ("op", _S),
+        ("mode", _S), ("k", _L), ("v", _D),
+    ],
 )
 
 _suite(
@@ -3299,6 +3503,7 @@ _suite(
         ("f4_flags", ["id", "is_dir", "under_construction"]),
         ("f5_name_guard", ["n_nationkey", "valid"]),
         ("f6_update_flags", ["o_orderkey", "inc", "dec"]),
+        ("f7_block_locations", ["block_id", "file_id", "file_index", "datanode_id", "datanode_name"]),
     ],
     [
         ("c_custkey", _L), ("depth", _L), ("root", _S), ("event_id", _L),
@@ -3306,7 +3511,18 @@ _suite(
         ("id", _L), ("is_dir", _L), ("under_construction", _L),
         ("n_nationkey", _L), ("valid", _L), ("o_orderkey", _L),
         ("inc", _D), ("dec", _D),
+        ("block_id", _L), ("file_id", _L), ("file_index", _L),
+        ("datanode_id", _L), ("datanode_name", _S),
     ],
+)
+
+_suite(
+    "sim_ivf_suite",
+    [
+        ("sim_ivf_topk", ["vec_id", "sim"]),
+        ("sim_ivfpq_topk", ["vec_id", "sim"]),
+    ],
+    [("vec_id", _L), ("sim", _D)],
 )
 
 _suite(
@@ -3454,7 +3670,7 @@ EXPORTED: list[str] = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_knn_join",
-    "sim_ivf_topk",
+    "sim_ivf_suite",
     "sim_embedding_neardup_exact",
     "mm_feature_extract",
     "events_window_suite",
@@ -3473,6 +3689,33 @@ EXPORTED: list[str] = [
 ]
 assert len(EXPORTED) == 50, f"driver cap is 50, got {len(EXPORTED)}"
 assert all(n in QUERIES for n in EXPORTED)
+
+# Closure declarations (enforced by tests/test_driver_contract.py):
+# every registered query must be driver-reachable — EXPORTED itself, a
+# member of an EXPORTED suite, folded into a reachable query's columns,
+# or an engine-specific sketch whose oracle-checked twin is named here.
+# A new query that is none of these fails CI until it is wired in.
+
+FOLDED_INTO: dict[str, str] = {
+    # per-doc text battery: each standalone query's output is a column
+    # of the oracle-checked text_doc_features row
+    "text_token_count": "text_doc_features",
+    "text_quality_ratios": "text_doc_features",
+    "text_langid_heuristic": "text_doc_features",
+    "text_fingerprint_md5": "text_doc_features",
+    # exact-quantile twin of the agg_suite member
+    "agg_exact_quantiles": "agg_quantile_rows",
+    # payload size is the `size` column of mm_feature_extract
+    "mm_payload_size": "mm_feature_extract",
+}
+
+SKETCH_ONLY: dict[str, str] = {
+    # engine-specific estimates (value depends on the sketch impl);
+    # each names its oracle-checked exact/tolerance twin
+    "agg_approx_quantiles": "agg_quantile_rows",
+    "agg_hll_distinct": "agg_hll_check",
+    "text_rolling_fingerprint": "text_doc_features",
+}
 
 
 def queries() -> dict[str, QueryFn]:

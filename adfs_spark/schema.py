@@ -114,6 +114,12 @@ FILE = TableSpec(
         ("atime", "long"),
         ("mtime", "long"),
         ("owner", "int"),
+        # POSIX mode bits (FsPermission short).  The fork's FileProtocol
+        # declares setOwner/setPermission in the verb surface
+        # (FileProtocol.java:26-60) but File.java:30-58 carries only the
+        # int owner; the analytics engine stores both so the verbs are
+        # real masked updates, not no-ops.
+        ("permission", "short"),
         ("leaseHolder", "string"),  # non-null ⇒ under construction
         ("leaseRecoveryTime", "long"),
         # Quota columns (FileProtocol.setQuota verb surface,

@@ -15,11 +15,14 @@ surface (D1-D3) on plain parquet:
   history.
 
 Concurrency stance: the reference serializes writers with a per-key
-lock manager (U6, DistributedLocker.java) because many RPC threads
-mutate one MySQL instance.  In this engine a table has a single logical
-writer (Spark job); replication (D3/D4) is subsumed by the shared,
-durable file system, so "full restore" is a parquet copy and
-"incremental restore" is a delta read + idempotent merge.
+lock manager (U6, DistributedLocker.java:103-160) because many RPC
+threads mutate one MySQL instance.  Here concurrent *jobs* are
+serialized by an optimistic commit sequence (``_commits/`` sidecar,
+atomic put-if-absent reservation — see the commit-sequence section
+below): the loser retries against the winner's state, versions never
+overlap.  Replication (D3/D4) is subsumed by the shared, durable file
+system, so "full restore" is a parquet copy and "incremental restore"
+is a delta read + idempotent merge.
 
 Scale notes: with ``num_buckets > 0`` the current state is
 hash-partitioned on the primary key and every write is an incremental
@@ -34,11 +37,13 @@ periodically.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -51,6 +56,15 @@ VBUCKET_COL = "_vbucket"
 VBUCKET_SIZE = 1_000_000
 KBUCKET_COL = "_kb"  # pk-hash bucket (partition column of current/)
 VSTAMP_BUCKETS = 64  # parallelism of version stamping (see _stamp_versions)
+
+COMMITS_DIR = "_commits"
+LOCK_TTL_SEC = 600.0  # a .lock older than this is a crashed writer's lease
+_MAX_COMMIT_RETRIES = 50
+
+
+class WriteConflictError(RuntimeError):
+    """A concurrent writer held the table's commit sequence for longer
+    than the retry budget."""
 
 
 def _latest_by_abs_version(df: DataFrame, pk: Sequence[str]) -> DataFrame:
@@ -143,17 +157,20 @@ class VersionedTable:
     def init(self, rows: DataFrame | None = None, start_version: int = 1) -> None:
         """Create the table, optionally seeding initial rows (stamped
         with consecutive versions starting at ``start_version``)."""
-        schema = self.spec.struct_type()
-        if rows is None:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = _stamp_versions(rows, list(self.spec.primary_key), start_version - 1)
-        if self.num_buckets:
-            self._write_partitions(df.withColumn(KBUCKET_COL, self._kbucket()))
-        else:
-            self._write_current(df)
-        ops = df.withColumn(OP_COL, F.lit("INSERT"))
-        self._append_changelog(ops)
+        def body() -> None:
+            schema = self.spec.struct_type()
+            if rows is None:
+                df = self.spark.createDataFrame([], schema)
+            else:
+                df = _stamp_versions(rows, list(self.spec.primary_key), start_version - 1)
+            if self.num_buckets:
+                self._write_partitions(df.withColumn(KBUCKET_COL, self._kbucket()))
+            else:
+                self._write_current(df)
+            ops = df.withColumn(OP_COL, F.lit("INSERT"))
+            self._append_changelog(ops)
+
+        self._transact(body, "INIT")
 
     # -- reads -------------------------------------------------------------
 
@@ -188,6 +205,89 @@ class VersionedTable:
         make recount cheap enough."""
         return self.live().count()
 
+    # -- optimistic commit sequence (U6 analog) ----------------------------
+    #
+    # The reference serializes concurrent RPC writers with a per-key
+    # lock manager (DistributedLocker.java:103-160).  Here concurrent
+    # *jobs* (e.g. two ingest pipelines) are serialized by a monotonic
+    # commit sequence in a ``_commits/`` sidecar: each write reserves
+    # commit id N+1 via an atomic put-if-absent (O_CREAT|O_EXCL — the
+    # same primitive a transactional table format uses on HDFS/local;
+    # on S3 it is a conditional PUT), runs its read-merge-write against
+    # state that provably contains every committed write (no commit can
+    # land without the reservation we now hold), then finalizes the
+    # reservation into ``N+1.commit`` (atomic rename).  A loser's
+    # reservation fails; it backs off and retries the WHOLE operation —
+    # recomputing versions and merges against the winner's state — so
+    # interleaved writers all land, none lost.
+    #
+    # The reservation is taken BEFORE the bucket overwrite on purpose:
+    # validate-at-publish ("check the token moved, then write") is
+    # unsound on overwrite storage — by the time the token mismatch is
+    # seen the stale merge has already clobbered the winner's bucket
+    # and there is nothing to roll back to.  Reserve-then-write keeps
+    # the data write exclusive; a writer that dies mid-commit leaves a
+    # ``.lock`` whose lease expires after LOCK_TTL_SEC and is stolen.
+
+    @property
+    def commits_path(self) -> str:
+        return os.path.join(self.root, COMMITS_DIR)
+
+    def last_commit_id(self) -> int:
+        if not os.path.isdir(self.commits_path):
+            return 0
+        ids = [
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.commits_path)
+            if f.endswith(".commit")
+        ]
+        return max(ids, default=0)
+
+    def _reserve_commit(self, cid: int) -> str | None:
+        os.makedirs(self.commits_path, exist_ok=True)
+        lock = os.path.join(self.commits_path, f"{cid}.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:  # steal a crashed writer's expired lease
+                if time.time() - os.path.getmtime(lock) > LOCK_TTL_SEC:
+                    os.unlink(lock)
+            except OSError:
+                pass
+            return None
+        os.write(fd, f"pid={os.getpid()} ts={time.time()}\n".encode())
+        os.close(fd)
+        return lock
+
+    def _transact(self, body: Callable[[], object], op: str) -> object:
+        """Run ``body`` (the full read-stamp-merge-write of one write
+        op) holding the next commit reservation; retry with backoff
+        when a concurrent writer holds it."""
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            nxt = self.last_commit_id() + 1
+            lock = self._reserve_commit(nxt)
+            if lock is None:
+                time.sleep(min(0.05 * (attempt + 1), 1.0))
+                continue
+            try:
+                result = body()
+            except BaseException:
+                # failed writes release the reservation (no commit id
+                # is burned; the changelog may hold a partial batch but
+                # its versions never enter current state)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                raise
+            with open(lock, "a") as f:
+                f.write(json.dumps({"op": op, "v": self.max_version()}) + "\n")
+            os.replace(lock, os.path.join(self.commits_path, f"{nxt}.commit"))
+            return result
+        raise WriteConflictError(
+            f"could not reserve commit after {_MAX_COMMIT_RETRIES} attempts"
+        )
+
     # -- writes (U1-U4) ----------------------------------------------------
 
     def upsert(self, rows: DataFrame, overwrite: bool = True) -> int:
@@ -198,50 +298,62 @@ class VersionedTable:
         replaced.  Returns the new max version (the watermark after
         this write — safe as a delta()/sync_from cursor).
         """
-        pk = list(self.spec.primary_key)
-        cur = self.snapshot()
-        if not overwrite:
-            clash = rows.join(cur.filter(F.col(VERSION_COL) >= 0), pk, "left_semi")
-            if clash.take(1):
-                raise ValueError("upsert(overwrite=False): key already exists")
-        base = self.max_version()
-        stamped = _stamp_versions(rows, pk, base).select(*self.spec.column_names())
-        self._append_changelog(stamped.withColumn(OP_COL, F.lit("UPSERT")))
-        self._merge_write(stamped)
-        return self.max_version()
+
+        def body() -> int:
+            pk = list(self.spec.primary_key)
+            cur = self.snapshot()
+            if not overwrite:
+                clash = rows.join(cur.filter(F.col(VERSION_COL) >= 0), pk, "left_semi")
+                if clash.take(1):
+                    raise ValueError("upsert(overwrite=False): key already exists")
+            base = self.max_version()
+            stamped = _stamp_versions(rows, pk, base).select(*self.spec.column_names())
+            self._append_changelog(stamped.withColumn(OP_COL, F.lit("UPSERT")))
+            self._merge_write(stamped)
+            return self.max_version()
+
+        return self._transact(body, "UPSERT")  # type: ignore[return-value]
 
     def update_where(self, predicate, assignments: dict[str, object]) -> int:
         """U2: field-masked update — read-modify-write of matching rows,
         version bumped (updateInternal :298-314; the bitmask of
         File.update :118-134 becomes the ``assignments`` dict).
         Returns the new max version (post-write watermark)."""
-        pk = list(self.spec.primary_key)
-        cur = self.snapshot()
-        live = cur.filter(F.col(VERSION_COL) >= 0)
-        hit = live.filter(predicate)
-        base = self.max_version()
-        upd = hit
-        for col, val in assignments.items():
-            upd = upd.withColumn(col, val if hasattr(val, "_jc") else F.lit(val))
-        upd = _stamp_versions(upd, pk, base).select(*self.spec.column_names())
-        self._append_changelog(upd.withColumn(OP_COL, F.lit("UPDATE")))
-        self._merge_write(upd)
-        return self.max_version()
+
+        def body() -> int:
+            pk = list(self.spec.primary_key)
+            cur = self.snapshot()
+            live = cur.filter(F.col(VERSION_COL) >= 0)
+            hit = live.filter(predicate)
+            base = self.max_version()
+            upd = hit
+            for col, val in assignments.items():
+                upd = upd.withColumn(col, val if hasattr(val, "_jc") else F.lit(val))
+            upd = _stamp_versions(upd, pk, base).select(*self.spec.column_names())
+            self._append_changelog(upd.withColumn(OP_COL, F.lit("UPDATE")))
+            self._merge_write(upd)
+            return self.max_version()
+
+        return self._transact(body, "UPDATE")  # type: ignore[return-value]
 
     def delete_where(self, predicate) -> int:
         """U3: tombstone delete — matching live rows get version =
         −(next version) and stay (deleteInternal :316-330).
         Returns the new max version (post-write watermark)."""
-        pk = list(self.spec.primary_key)
-        cur = self.snapshot()
-        hit = cur.filter(F.col(VERSION_COL) >= 0).filter(predicate)
-        base = self.max_version()
-        tomb = _stamp_versions(hit, pk, base, negate=True).select(
-            *self.spec.column_names()
-        )
-        self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
-        self._merge_write(tomb)
-        return self.max_version()
+
+        def body() -> int:
+            pk = list(self.spec.primary_key)
+            cur = self.snapshot()
+            hit = cur.filter(F.col(VERSION_COL) >= 0).filter(predicate)
+            base = self.max_version()
+            tomb = _stamp_versions(hit, pk, base, negate=True).select(
+                *self.spec.column_names()
+            )
+            self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
+            self._merge_write(tomb)
+            return self.max_version()
+
+        return self._transact(body, "DELETE")  # type: ignore[return-value]
 
     def _tombstones_for_keys(self, keys: DataFrame) -> DataFrame:
         """The delete set for :meth:`delete_where_keys`: live rows
@@ -265,22 +377,30 @@ class VersionedTable:
         :604-632) done as a semi-join — the key set never visits the
         driver, unlike a collect()+isin literal.  Returns the number of
         rows tombstoned."""
-        tomb = self._tombstones_for_keys(keys)
-        n = tomb.count()
-        if n == 0:
-            return 0
-        self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
-        self._merge_write(tomb)
-        return n
+
+        def body() -> int:
+            tomb = self._tombstones_for_keys(keys)
+            n = tomb.count()
+            if n == 0:
+                return 0
+            self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
+            self._merge_write(tomb)
+            return n
+
+        return self._transact(body, "DELETE")  # type: ignore[return-value]
 
     def apply_directly(self, ops: DataFrame) -> None:
         """U4: idempotent replay — apply incoming rows only where
         |incoming version| ≥ |stored version| (last-writer-wins;
         insert/update/deleteDirectly :420-470).  ``ops`` must carry the
         full row schema including signed ``version``."""
-        rows = ops.select(*self.spec.column_names())
-        self._append_changelog(rows.withColumn(OP_COL, F.lit("APPLY")))
-        self._merge_write(rows)
+
+        def body() -> None:
+            rows = ops.select(*self.spec.column_names())
+            self._append_changelog(rows.withColumn(OP_COL, F.lit("APPLY")))
+            self._merge_write(rows)
+
+        self._transact(body, "APPLY")
 
     # -- CDC / delta (D1-D3) ----------------------------------------------
 
@@ -374,26 +494,29 @@ class VersionedTable:
         dirs (pk partition pruning is preserved) and z-sort *within*
         buckets; unbucketed tables range-repartition on the curve.
         """
-        snap = self.snapshot()
-        sort_cols: tuple[str, ...] | None = None
-        if zorder_cols:
-            from adfs_spark.sources.generic import zorder_value
+        def body() -> None:
+            snap = self.snapshot()
+            sort_cols: tuple[str, ...] | None = None
+            if zorder_cols:
+                from adfs_spark.sources.generic import zorder_value
 
-            snap, _ = zorder_value(snap, tuple(zorder_cols), bits=bits)
-            sort_cols = ("_zvalue",)
-            if not self.num_buckets:
-                n = max(self.spark.sparkContext.defaultParallelism, 1)
-                snap = snap.repartitionByRange(n, "_zvalue")
-        if self.num_buckets:
-            # MUST keep the bucket partition column: a plain
-            # _write_current here leaves current/ unpartitioned while
-            # readers expect _kb dirs — later bucket-pruned merges then
-            # match nothing and drop the table's other rows.
-            self._write_partitions(
-                snap.withColumn(KBUCKET_COL, self._kbucket()), sort_cols=sort_cols
-            )
-        else:
-            self._write_current(snap, sort_cols=sort_cols)
+                snap, _ = zorder_value(snap, tuple(zorder_cols), bits=bits)
+                sort_cols = ("_zvalue",)
+                if not self.num_buckets:
+                    n = max(self.spark.sparkContext.defaultParallelism, 1)
+                    snap = snap.repartitionByRange(n, "_zvalue")
+            if self.num_buckets:
+                # MUST keep the bucket partition column: a plain
+                # _write_current here leaves current/ unpartitioned while
+                # readers expect _kb dirs — later bucket-pruned merges then
+                # match nothing and drop the table's other rows.
+                self._write_partitions(
+                    snap.withColumn(KBUCKET_COL, self._kbucket()), sort_cols=sort_cols
+                )
+            else:
+                self._write_current(snap, sort_cols=sort_cols)
+
+        self._transact(body, "COMPACT")
 
     def vacuum(
         self, before_version: int, prune_changelog: bool = False
@@ -413,6 +536,12 @@ class VersionedTable:
         longer exact — the same retention trade every versioned store
         makes.
         """
+        def body() -> int:
+            return self._vacuum_body(before_version, prune_changelog)
+
+        return self._transact(body, "VACUUM")  # type: ignore[return-value]
+
+    def _vacuum_body(self, before_version: int, prune_changelog: bool) -> int:
         cond = (F.col(VERSION_COL) < 0) & (
             F.abs(F.col(VERSION_COL)) <= before_version
         )

@@ -46,6 +46,66 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_writes(spark) -> dict[str, float]:
+    """Write-path benchmarks over the bucketed VersionedTable (the
+    engine's most novel storage code): bulk init, a uniform 1% upsert
+    (touches every bucket — worst-case rewrite amplification), a
+    10-key point upsert (bucket pruning pays: only the touched pk-hash
+    partitions are read+rewritten), a 2% tombstone delete, and a
+    compact.  One shot each — writes are not idempotent, so no
+    best-of-N; treat ±35% host noise accordingly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from adfs_spark.catalog import load_table
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+
+    spec = TableSpec(
+        name="bench_kv",
+        columns=(
+            ColumnSpec("k", "long"),
+            ColumnSpec("v", "double"),
+            ColumnSpec("s", "string"),
+        ),
+        primary_key=("k",),
+        versioned=True,
+    )
+    rows = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").alias("s"),
+    )
+    root = tempfile.mkdtemp(prefix="adfs_bench_w_")
+    t = VersionedTable(spark, spec, root, num_buckets=64)
+    out: dict[str, float] = {}
+
+    def step(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+
+    step("w_bulk_init", lambda: t.init(rows))
+    step(
+        "w_upsert_1pct",
+        lambda: t.upsert(
+            rows.filter(F.col("k") % 100 == 0).withColumn("v", F.col("v") + 1.0)
+        ),
+    )
+    step(
+        "w_upsert_point",
+        lambda: t.upsert(
+            rows.filter(F.col("k") < 10).withColumn("v", F.col("v") + 2.0)
+        ),
+    )
+    step("w_delete_2pct", lambda: t.delete_where(F.col("k") % 50 == 1))
+    step("w_compact", lambda: t.compact())
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     from adfs_spark.queries import QUERIES
     from adfs_spark.session import get_spark
@@ -83,6 +143,8 @@ def main() -> int:
             t = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
 
+    writes = bench_writes(spark)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -92,6 +154,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "writes": writes,
+                "write_total_sec": round(sum(writes.values()), 3),
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }

@@ -115,3 +115,23 @@ def test_paths(ns):
     ns.create("/p/q/f")
     paths = {r["path"] for r in ns.paths().collect()}
     assert "/p/q/f" in paths
+
+
+def test_set_owner_and_permission(ns):
+    ns.mkdirs("/own")
+    ns.create("/own/f.txt")
+    # defaults: 755 dirs, 644 files
+    assert ns.get_file_info("/own")["permission"] == 0o755
+    assert ns.get_file_info("/own/f.txt")["permission"] == 0o644
+    ns.set_owner("/own/f.txt", 42)
+    ns.set_permission("/own/f.txt", 0o600)
+    row = ns.get_file_info("/own/f.txt")
+    assert row["owner"] == 42 and row["permission"] == 0o600
+    import pytest as _pytest
+
+    from adfs_spark.namespace import NamespaceError
+
+    with _pytest.raises(NamespaceError):
+        ns.set_permission("/own/f.txt", 0o10000)
+    with _pytest.raises(NamespaceError):
+        ns.set_owner("/nope", 1)

@@ -255,3 +255,47 @@ def test_profile_is_single_scan(spark):
 def test_url_filter_broadcast_anti(spark):
     p = plan_of(spark, "pipeline_url_filter")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_salted_join_bounds_skewed_partition_input(spark):
+    """SCALE.md §5 skew demonstration: a zipf-shaped fixture (one
+    monster key with 20k rows, a uniform tail) joined plainly funnels
+    the monster key through ONE shuffle task; salted_join spreads it
+    over num_salts tasks.  Pins (a) the salted plan shuffles on
+    (key, _salt) — the monster key occupies num_salts partitions by
+    construction — and (b) a quantified bound: the max per-(key,salt)
+    group is within 2x of monster/num_salts, a 16x reduction of the
+    max task input vs the plain join."""
+    from pyspark.sql import functions as F
+
+    from adfs_spark.operators.joins import salted_join
+
+    n_monster, num_salts = 20_000, 16
+    monster = spark.range(n_monster).select(F.lit(0).cast("long").alias("k"), F.col("id").alias("payload"))
+    tail = spark.range(5_000).select((F.col("id") % 500 + 1).alias("k"), F.col("id").alias("payload"))
+    skewed = monster.unionByName(tail)
+    dim = spark.range(501).select(F.col("id").alias("k"), (F.col("id") * 7).alias("attr"))
+
+    # (a) plan: the salted join's exchange hashes on the salt too
+    out = salted_join(skewed, dim, "k", num_salts=num_salts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "salted join must shuffle on (key, _salt)"
+
+    # equality with the plain join
+    plain = skewed.join(dim, "k")
+    assert out.count() == plain.count() == 25_000
+
+    # (b) quantified: same salt expression as salted_join
+    salted_counts = (
+        skewed.withColumn(
+            "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts))
+        )
+        .groupBy("k", "_salt")
+        .count()
+    )
+    max_bucket = salted_counts.agg(F.max("count")).first()[0]
+    plain_max = skewed.groupBy("k").count().agg(F.max("count")).first()[0]
+    assert plain_max == n_monster  # the monster key IS one task plainly
+    assert max_bucket <= (n_monster / num_salts) * 2, (
+        f"salting failed to spread the monster key: max bucket {max_bucket}"
+    )

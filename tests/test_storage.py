@@ -307,3 +307,51 @@ def test_vacuum_fully_tombstoned_bucket_and_changelog_prune(spark, tmp_path):
     assert vt.max_version() >= 0  # table still readable
     vt.upsert(spark.createDataFrame([(1, "y")], "id: long, val: string"), overwrite=True)
     assert vt.live().count() == 1
+
+
+def test_concurrent_writers_both_land(spark, tmp_path):
+    """U6 analog (DistributedLocker.java:103-160): two interleaved
+    writers race on the same bucketed table; the loser's commit
+    reservation fails, it retries against the winner's state, and BOTH
+    writes land with unique versions and sequential commit ids."""
+    import threading
+
+    t = VersionedTable(spark, SPEC, str(tmp_path / "ccr"), num_buckets=4)
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k: long, v: string"))
+
+    errs: list[Exception] = []
+
+    def writer(rows):
+        try:
+            t.upsert(spark.createDataFrame(rows, "k: long, v: string"))
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    # same pk-hash space — writers collide on buckets, not just the lock
+    t1 = threading.Thread(target=writer, args=([(1, "A1"), (10, "x")],))
+    t2 = threading.Thread(target=writer, args=([(2, "B2"), (11, "y")],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert not errs
+    live = {r["k"]: r["v"] for r in t.live().collect()}
+    assert live == {1: "A1", 2: "B2", 10: "x", 11: "y"}
+    # versions unique (no concurrent stamping overlap)
+    versions = [r["version"] for r in t.snapshot().collect()]
+    assert len(versions) == len(set(versions))
+    # commit sequence: INIT + 2 upserts = 3 sequential commits
+    assert t.last_commit_id() == 3
+
+
+def test_failed_write_releases_reservation(spark, tmp_path):
+    t = VersionedTable(spark, SPEC, str(tmp_path / "rel"))
+    t.init(spark.createDataFrame([(1, "a")], "k: long, v: string"))
+    with pytest.raises(ValueError):
+        t.upsert(
+            spark.createDataFrame([(1, "dup")], "k: long, v: string"),
+            overwrite=False,
+        )
+    # the aborted upsert burned no commit id and left no lock
+    assert t.last_commit_id() == 1
+    t.upsert(spark.createDataFrame([(2, "b")], "k: long, v: string"))
+    assert t.last_commit_id() == 2
+    assert t.count() == 2

@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Deterministically scale the driver's sf0.1 fixtures to sf1 / sf10.
+
+The driver generates sf∈{0.001,0.01,0.1} (TESTDATA.md); everything
+above is extrapolation unless we measure it.  This tool replicates
+sf0.1 R× with key remapping so referential integrity, per-key fanout
+and value distributions are preserved at 10×/100× the rows:
+
+- **Fact/dim keys shift by replica**: replica ``i`` adds ``i*max_keys``
+  to custkey/orderkey/partkey/suppkey/event_id/user_id/doc_id/vec_id,
+  so orders→customer, lineitem→{orders,part,supplier} FKs stay valid
+  and per-customer / per-order / per-user group sizes match the
+  original (group COUNT distribution is scale-invariant; the NUMBER of
+  groups grows linearly, which is how real corpora scale).
+- **Names regenerate from the new key** (Customer#%09d etc).
+- **documents**: replica ``i`` maps every word through a vocabulary
+  permutation seeded by ``i`` — within-replica exact/near-dup structure
+  is preserved exactly (dup docs map to dup docs), while cross-replica
+  similarity is destroyed so dedup candidate density per doc stays
+  constant instead of exploding quadratically (a fixture artifact, not
+  a workload property).  n_chars is recomputed from the permuted text.
+- **embeddings**: replica ``i`` adds N(0, 0.02) jitter from a seeded
+  rng — same 10-cluster geometry, no exact-duplicate vectors.
+- **events**: same 30-day window at i× event density (user_id space
+  grows; timestamps keep their distribution so window/sessionize costs
+  scale with data, not with calendar span).
+- region/nation are genuinely fixed-size dims: copied as-is.
+
+Everything is seeded — two runs produce byte-identical tables.
+
+Usage: python tools/gen_scale_fixtures.py [--out /root/repo/fixtures] [--sf 1 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+# key-space sizes in the sf0.1 fixtures (max key + 1, verified)
+K = {
+    "cust": 15_000,
+    "supp": 1_000,
+    "part": 20_000,
+    "order": 150_000,
+    "event": 100_000,
+    "user": 1_500,
+    "doc": 5_000,
+    "vec": 2_000,
+}
+
+
+def _copy(src_dir: str, out_dir: str, name: str) -> None:
+    shutil.copyfile(
+        os.path.join(src_dir, f"{name}.parquet"), os.path.join(out_dir, f"{name}.parquet")
+    )
+
+
+def _duck_scale(con: duckdb.DuckDBPyConnection, out_dir: str, r: int) -> None:
+    """Replicate the relational tables r× with key offsets (pure SQL,
+    vectorized, deterministic)."""
+    reps = f"(SELECT unnest(range({r})) AS _r)"
+
+    def gen(name: str, select: str) -> None:
+        con.execute(
+            f"COPY (SELECT {select} FROM read_parquet('{SRC}/{name}.parquet') "
+            f"CROSS JOIN {reps} ORDER BY _r) "
+            f"TO '{out_dir}/{name}.parquet' (FORMAT PARQUET)"
+        )
+
+    gen(
+        "customer",
+        f"c_custkey + _r*{K['cust']} AS c_custkey, "
+        f"printf('Customer#%09d', c_custkey + _r*{K['cust']}) AS c_name, "
+        "c_nationkey, c_acctbal, c_mktsegment",
+    )
+    gen(
+        "supplier",
+        f"s_suppkey + _r*{K['supp']} AS s_suppkey, "
+        f"printf('Supplier#%09d', s_suppkey + _r*{K['supp']}) AS s_name, "
+        "s_nationkey, s_acctbal",
+    )
+    gen(
+        "part",
+        f"p_partkey + _r*{K['part']} AS p_partkey, "
+        "p_name, p_brand, p_type, p_size, p_retailprice",
+    )
+    gen(
+        "orders",
+        f"o_orderkey + _r*{K['order']} AS o_orderkey, "
+        f"o_custkey + _r*{K['cust']} AS o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+    )
+    gen(
+        "lineitem",
+        f"l_orderkey + _r*{K['order']} AS l_orderkey, "
+        f"l_partkey + _r*{K['part']} AS l_partkey, "
+        f"l_suppkey + _r*{K['supp']} AS l_suppkey, "
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        "l_returnflag, l_linestatus, l_shipdate",
+    )
+    gen(
+        "events",
+        f"event_id + _r*{K['event']} AS event_id, ts, "
+        f"user_id + _r*{K['user']} AS user_id, event_type, value, props",
+    )
+
+
+def _scale_documents(out_dir: str, r: int) -> None:
+    tbl = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    texts = tbl.column("text").to_pylist()
+    langs = tbl.column("lang").to_pylist()
+    sources = tbl.column("source").to_pylist()
+    vocab = sorted({w for t in texts for w in t.split(" ")})
+    n = len(texts)
+    out_id, out_text, out_lang, out_src, out_nc = [], [], [], [], []
+    for i in range(r):
+        if i == 0:
+            mapped = texts
+        else:
+            rng = np.random.default_rng(7_000 + i)
+            perm = rng.permutation(len(vocab))
+            wmap = {w: vocab[perm[j]] for j, w in enumerate(vocab)}
+            mapped = [" ".join(wmap[w] for w in t.split(" ")) for t in texts]
+        out_id.extend(d + i * K["doc"] for d in range(n))
+        out_text.extend(mapped)
+        out_lang.extend(langs)
+        out_src.extend(sources)
+        out_nc.extend(len(t) for t in mapped)
+    out = pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+            "source": pa.array(out_src, pa.string()),
+            "n_chars": pa.array(out_nc, pa.int64()),
+        }
+    )
+    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+
+
+def _scale_embeddings(out_dir: str, r: int) -> None:
+    tbl = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    base = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    labels = np.array(tbl.column("label").to_pylist(), dtype=np.int32)
+    n, dim = base.shape
+    vecs, ids, labs = [], [], []
+    for i in range(r):
+        v = base.copy()
+        if i > 0:
+            v += np.random.default_rng(9_000 + i).normal(0, 0.02, v.shape).astype(np.float32)
+        vecs.append(v)
+        ids.append(np.arange(n, dtype=np.int64) + i * K["vec"])
+        labs.append(labels)
+    allv = np.concatenate(vecs)
+    out = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(allv.reshape(-1), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(np.concatenate(labs)),
+        }
+    )
+    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def generate(out_root: str, sf: float) -> str:
+    r = round(sf / 0.1)
+    out_dir = os.path.join(out_root, f"sf{sf:g}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    _copy(SRC, out_dir, "region")
+    _copy(SRC, out_dir, "nation")
+    _duck_scale(con, out_dir, r)
+    _scale_documents(out_dir, r)
+    _scale_embeddings(out_dir, r)
+    with open(marker, "w") as f:
+        f.write(f"scaled {r}x from {SRC}\n")
+    return out_dir
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/fixtures")
+    ap.add_argument("--sf", nargs="+", type=float, default=[1.0, 10.0])
+    args = ap.parse_args()
+    for sf in args.sf:
+        d = generate(args.out, sf)
+        total = sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        )
+        print(f"sf{sf:g}: {d} ({total/1e6:.0f} MB)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
