@@ -3246,6 +3246,147 @@ def f7_block_locations(spark, sf_dir):
     )
 
 
+@q(
+    "d6_heartbeat_converged",
+    """WITH hb AS (
+         SELECT n_nationkey AS id, 1000 + w AS lastUpdated,
+                n_nationkey * 1.5 + w AS load
+         FROM nation, UNNEST([0, 1, 2]) t(w)
+         WHERE (w = 0) OR (w = 1 AND n_nationkey % 2 = 0)
+            OR (w = 2 AND n_nationkey % 3 = 0))
+       SELECT id, lastUpdated, load FROM (
+         SELECT *, row_number() OVER (PARTITION BY id
+                   ORDER BY lastUpdated DESC) AS rn FROM hb)
+       WHERE rn = 1""",
+)
+def d6_heartbeat_converged(spark, sf_dir):
+    """D6 as a driver row: the streaming heartbeat applier
+    (updateDatanodeByDatanodeDescriptor :413-468) consumes three
+    heartbeat waves through a file-source stream (one micro-batch per
+    wave under availableNow) and upserts the per-datanode argmax into
+    the datanode table; the converged live view must equal the
+    relational latest-heartbeat-per-node — the whole streaming upsert
+    loop is value-checked against a batch oracle."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+    from adfs_spark.streaming.loops import heartbeat_applier
+
+    root = tempfile.mkdtemp(prefix="adfs_d6_")
+    hb_dir = os.path.join(root, "hb")
+    os.makedirs(hb_dir)
+    keys = [
+        r["n_nationkey"]
+        for r in load_table(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    for w in range(3):
+        ids = [k for k in keys if w == 0 or (w == 1 and k % 2 == 0) or (w == 2 and k % 3 == 0)]
+        pq_.write_table(
+            pa.table(
+                {
+                    "id": pa.array([int(i) for i in ids], pa.int64()),
+                    "lastUpdated": pa.array([1000 + w] * len(ids), pa.int64()),
+                    "load": pa.array([i * 1.5 + w for i in ids], pa.float64()),
+                }
+            ),
+            os.path.join(hb_dir, f"wave{w}.parquet"),
+        )
+    spec = TableSpec(
+        name="dn_hb",
+        columns=(
+            ColumnSpec("id", "long"),
+            ColumnSpec("lastUpdated", "long"),
+            ColumnSpec("load", "double"),
+        ),
+        primary_key=("id",),
+        versioned=True,
+    )
+    dn = VersionedTable(spark, spec, os.path.join(root, "dn"))
+    dn.init()
+    stream = (
+        spark.readStream.schema("id long, lastUpdated long, load double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(hb_dir)
+    )
+    sq = heartbeat_applier(stream, dn, os.path.join(root, "ckpt"))
+    sq.awaitTermination()
+    return dn.live().select("id", "lastUpdated", "load")
+
+
+_PR_DAMP = 0.85
+# 3 unrolled power iterations in SQL: nodes = src ∪ dst of the distinct
+# edge set, dangling (no-out-edge) mass redistributed uniformly each
+# round — exactly functions/graph.pagerank's semantics.
+_PR_SQL = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM (
+         SELECT n_nationkey AS src, (7 * n_nationkey + 3) % 25 AS dst
+         FROM nation WHERE n_nationkey % 5 <> 0
+         UNION ALL
+         SELECT n_nationkey, (3 * n_nationkey + 11) % 25
+         FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey % 2 = 0)),
+     nodes AS (SELECT DISTINCT node FROM
+         (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+     deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+     r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+     d0 AS (SELECT coalesce(sum(rank), 0) AS m FROM r0
+            LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL),
+     c0 AS (SELECT e.dst AS node, sum(r0.rank / deg.d) AS cin
+            FROM r0 JOIN deg ON r0.node = deg.src
+            JOIN e ON e.src = r0.node GROUP BY e.dst),
+     r1 AS (SELECT nodes.node,
+                   (1 - {_PR_DAMP}) + {_PR_DAMP} * (SELECT m FROM d0) / (SELECT n FROM nn)
+                   + {_PR_DAMP} * coalesce(c0.cin, 0) AS rank
+            FROM nodes LEFT JOIN c0 ON nodes.node = c0.node),
+     d1 AS (SELECT coalesce(sum(rank), 0) AS m FROM r1
+            LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL),
+     c1 AS (SELECT e.dst AS node, sum(r1.rank / deg.d) AS cin
+            FROM r1 JOIN deg ON r1.node = deg.src
+            JOIN e ON e.src = r1.node GROUP BY e.dst),
+     r2 AS (SELECT nodes.node,
+                   (1 - {_PR_DAMP}) + {_PR_DAMP} * (SELECT m FROM d1) / (SELECT n FROM nn)
+                   + {_PR_DAMP} * coalesce(c1.cin, 0) AS rank
+            FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+     d2 AS (SELECT coalesce(sum(rank), 0) AS m FROM r2
+            LEFT JOIN deg ON r2.node = deg.src WHERE deg.src IS NULL),
+     c2 AS (SELECT e.dst AS node, sum(r2.rank / deg.d) AS cin
+            FROM r2 JOIN deg ON r2.node = deg.src
+            JOIN e ON e.src = r2.node GROUP BY e.dst),
+     r3 AS (SELECT nodes.node,
+                   (1 - {_PR_DAMP}) + {_PR_DAMP} * (SELECT m FROM d2) / (SELECT n FROM nn)
+                   + {_PR_DAMP} * coalesce(c2.cin, 0) AS rank
+            FROM nodes LEFT JOIN c2 ON nodes.node = c2.node)
+SELECT node, round(rank, 5) AS rank FROM r3
+"""
+
+
+@q("graph_pagerank", _PR_SQL)
+def graph_pagerank(spark, sf_dir):
+    """PageRank driver row: 3 power iterations over a deterministic
+    25-node nation link graph (with genuine dangling nodes — every
+    n%5==0 nation has no out-edges), value-checked against the same
+    iterations unrolled as SQL CTEs.  Exercises the full iterative
+    join+groupBy loop including the distributed dangling-mass scalar."""
+    from adfs_spark.functions.graph import pagerank
+
+    n = load_table(spark, sf_dir, "nation")
+    src_ok = n.filter(F.col("n_nationkey") % 5 != 0)
+    e1 = src_ok.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((7 * F.col("n_nationkey") + 3) % 25).cast("long").alias("dst"),
+    )
+    e2 = src_ok.filter(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((3 * F.col("n_nationkey") + 11) % 25).cast("long").alias("dst"),
+    )
+    ranks = pagerank(e1.unionByName(e2), iters=3)
+    return ranks.select("node", F.round("rank", 5).alias("rank"))
+
+
 @q("sim_ivfpq_topk", _COS_SQL)
 def sim_ivfpq_topk(spark, sf_dir):
     """IVF-PQ, full path (the 100 TB ANN tier): distributed k-means
@@ -3473,10 +3614,12 @@ _suite(
         ("d2_delta_range", ["o_orderkey", "version"]),
         ("u_sync_roundtrip", ["mode", "k", "v"]),
         ("d5_editlog_converged", ["k", "v"]),
+        ("d6_heartbeat_converged", ["id", "lastUpdated", "load"]),
     ],
     [
         ("o_orderkey", _L), ("version", _L), ("op", _S),
         ("mode", _S), ("k", _L), ("v", _D),
+        ("id", _L), ("lastUpdated", _L), ("load", _D),
     ],
 )
 
@@ -3574,6 +3717,7 @@ _suite(
         ("pipeline_lm_score", ["doc_id", "n_tokens", "avg_logprob"]),
         ("pipeline_url_filter", ["domain", "n_docs"]),
         ("pipeline_shuffle_order", ["doc_id", "train_order"]),
+        ("graph_pagerank", ["node", "rank"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -3581,7 +3725,7 @@ _suite(
         ("chunk_index", _L), ("chunk_text", _S), ("n_tokens", _L),
         ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
-        ("train_order", _L),
+        ("train_order", _L), ("rank", _D),
     ],
 )
 

@@ -280,8 +280,10 @@ class VersionedTable:
                 except OSError:
                     pass
                 raise
+            # meta stays Spark-free: a max_version() probe here would
+            # run an extra job inside the critical section per write
             with open(lock, "a") as f:
-                f.write(json.dumps({"op": op, "v": self.max_version()}) + "\n")
+                f.write(json.dumps({"op": op}) + "\n")
             os.replace(lock, os.path.join(self.commits_path, f"{nxt}.commit"))
             return result
         raise WriteConflictError(
