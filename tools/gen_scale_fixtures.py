@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Deterministically scale the driver's sf0.1 fixtures to sf1 / sf10.
+"""Deterministically scale the driver's sf0.1 fixtures to sf1 / sf10 / sf100.
 
 The driver generates sf∈{0.001,0.01,0.1} (TESTDATA.md); everything
 above is extrapolation unless we measure it.  This tool replicates
@@ -63,17 +63,36 @@ def _copy(src_dir: str, out_dir: str, name: str) -> None:
     )
 
 
+# above this many replicas, write each table as a DIRECTORY of parquet
+# parts (one COPY per chunk of replicas) so memory stays bounded at
+# ~chunk-size regardless of r; Spark reads `name.parquet/` dirs natively.
+CHUNK_REPLICAS = 100
+
+
 def _duck_scale(con: duckdb.DuckDBPyConnection, out_dir: str, r: int) -> None:
     """Replicate the relational tables r× with key offsets (pure SQL,
-    vectorized, deterministic)."""
-    reps = f"(SELECT unnest(range({r})) AS _r)"
+    vectorized, deterministic).  Large r is chunked into a parquet
+    directory so the working set never exceeds CHUNK_REPLICAS copies."""
 
     def gen(name: str, select: str) -> None:
-        con.execute(
-            f"COPY (SELECT {select} FROM read_parquet('{SRC}/{name}.parquet') "
-            f"CROSS JOIN {reps} ORDER BY _r) "
-            f"TO '{out_dir}/{name}.parquet' (FORMAT PARQUET)"
-        )
+        if r <= CHUNK_REPLICAS:
+            reps = f"(SELECT unnest(range({r})) AS _r)"
+            con.execute(
+                f"COPY (SELECT {select} FROM read_parquet('{SRC}/{name}.parquet') "
+                f"CROSS JOIN {reps} ORDER BY _r) "
+                f"TO '{out_dir}/{name}.parquet' (FORMAT PARQUET)"
+            )
+            return
+        part_dir = os.path.join(out_dir, f"{name}.parquet")
+        os.makedirs(part_dir, exist_ok=True)
+        for j, lo in enumerate(range(0, r, CHUNK_REPLICAS)):
+            hi = min(lo + CHUNK_REPLICAS, r)
+            reps = f"(SELECT unnest(range({lo}, {hi})) AS _r)"
+            con.execute(
+                f"COPY (SELECT {select} FROM read_parquet('{SRC}/{name}.parquet') "
+                f"CROSS JOIN {reps} ORDER BY _r) "
+                f"TO '{part_dir}/part-{j:05d}.parquet' (FORMAT PARQUET)"
+            )
 
     gen(
         "customer",
@@ -118,32 +137,47 @@ def _scale_documents(out_dir: str, r: int) -> None:
     texts = tbl.column("text").to_pylist()
     langs = tbl.column("lang").to_pylist()
     sources = tbl.column("source").to_pylist()
-    vocab = sorted({w for t in texts for w in t.split(" ")})
+    toks = [t.split(" ") for t in texts]  # tokenize once, reuse per replica
+    vocab = sorted({w for t in toks for w in t})
     n = len(texts)
-    out_id, out_text, out_lang, out_src, out_nc = [], [], [], [], []
-    for i in range(r):
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+
+    def replica(i: int) -> pa.Table:
         if i == 0:
             mapped = texts
         else:
             rng = np.random.default_rng(7_000 + i)
             perm = rng.permutation(len(vocab))
             wmap = {w: vocab[perm[j]] for j, w in enumerate(vocab)}
-            mapped = [" ".join(wmap[w] for w in t.split(" ")) for t in texts]
-        out_id.extend(d + i * K["doc"] for d in range(n))
-        out_text.extend(mapped)
-        out_lang.extend(langs)
-        out_src.extend(sources)
-        out_nc.extend(len(t) for t in mapped)
-    out = pa.table(
-        {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "text": pa.array(out_text, pa.string()),
-            "lang": pa.array(out_lang, pa.string()),
-            "source": pa.array(out_src, pa.string()),
-            "n_chars": pa.array(out_nc, pa.int64()),
-        }
-    )
-    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+            mapped = [" ".join(map(wmap.__getitem__, t)) for t in toks]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [d + i * K["doc"] for d in range(n)], pa.int64()
+                ),
+                "text": pa.array(mapped, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array([len(t) for t in mapped], pa.int64()),
+            }
+        )
+
+    # streaming writer: ~20 replicas per row group, bounded memory
+    with pq.ParquetWriter(os.path.join(out_dir, "documents.parquet"), schema) as w:
+        batch: list[pa.Table] = []
+        for i in range(r):
+            batch.append(replica(i))
+            if len(batch) >= 20 or i == r - 1:
+                w.write_table(pa.concat_tables(batch))
+                batch = []
 
 
 def _scale_embeddings(out_dir: str, r: int) -> None:
@@ -151,25 +185,37 @@ def _scale_embeddings(out_dir: str, r: int) -> None:
     base = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
     labels = np.array(tbl.column("label").to_pylist(), dtype=np.int32)
     n, dim = base.shape
-    vecs, ids, labs = [], [], []
-    for i in range(r):
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+
+    def replica(i: int) -> pa.Table:
         v = base.copy()
         if i > 0:
-            v += np.random.default_rng(9_000 + i).normal(0, 0.02, v.shape).astype(np.float32)
-        vecs.append(v)
-        ids.append(np.arange(n, dtype=np.int64) + i * K["vec"])
-        labs.append(labels)
-    allv = np.concatenate(vecs)
-    out = pa.table(
-        {
-            "vec_id": pa.array(np.concatenate(ids)),
-            "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(allv.reshape(-1), pa.float32()), dim
-            ).cast(pa.list_(pa.float32())),
-            "label": pa.array(np.concatenate(labs)),
-        }
-    )
-    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+            v += np.random.default_rng(9_000 + i).normal(0, 0.02, v.shape).astype(
+                np.float32
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64) + i * K["vec"]),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(v.reshape(-1), pa.float32()), dim
+                ).cast(pa.list_(pa.float32())),
+                "label": pa.array(labels),
+            }
+        )
+
+    with pq.ParquetWriter(os.path.join(out_dir, "embeddings.parquet"), schema) as w:
+        batch: list[pa.Table] = []
+        for i in range(r):
+            batch.append(replica(i))
+            if len(batch) >= 20 or i == r - 1:
+                w.write_table(pa.concat_tables(batch))
+                batch = []
 
 
 def generate(out_root: str, sf: float) -> str:
