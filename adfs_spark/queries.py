@@ -3317,6 +3317,115 @@ def d6_heartbeat_converged(spark, sf_dir):
     return dn.live().select("id", "lastUpdated", "load")
 
 
+@q(
+    "d2_time_travel",
+    f"""WITH base AS ({_KV_BASE_SQL})
+        SELECT k, CASE WHEN k % 30 = 0 THEN v + 9.0 ELSE v END AS v
+        FROM base""",
+)
+def d2_time_travel(spark, sf_dir):
+    """D2 as time travel on the REAL write path: a VersionedTable is
+    seeded and updated, the version watermark is recorded, then the
+    table keeps moving (tombstone delete + new-key upsert) — and the
+    as-of read must still reconstruct the intermediate state exactly
+    from the change log (findRowByVersion :160-166 semantics; the
+    _vbucket partitioning prunes history above the target so an old
+    snapshot never scans the log tail).  The oracle is the pure
+    relational intermediate state; later writes must be invisible."""
+    import tempfile
+
+    from adfs_spark.storage import VersionedTable
+
+    spec = _kv_spec()
+    root = tempfile.mkdtemp(prefix="adfs_tt_")
+    t = VersionedTable(spark, spec, os.path.join(root, "t"))
+    t.init(_kv_base(spark, sf_dir))
+    t.update_where(F.col("k") % 30 == 0, {"v": F.col("v") + 9.0})
+    v_mark = t.max_version()
+    # the table moves on: deletes and new keys that must NOT appear
+    t.delete_where(F.col("k") % 40 == 0)
+    t.upsert(
+        _kv_base(spark, sf_dir).select((F.col("k") + 1_000_000).alias("k"), "v")
+    )
+    return t.live_as_of(v_mark).select("k", "v")
+
+
+@q(
+    "d3_rollback_restore",
+    f"""WITH base AS ({_KV_BASE_SQL})
+        SELECT k, CASE WHEN k % 30 = 0 THEN v + 9.0 ELSE v END AS v
+        FROM base""",
+)
+def d3_rollback_restore(spark, sf_dir):
+    """D3 as point-in-time restore: after the watermark the table
+    takes a delete AND an overwriting upsert AND brand-new keys;
+    ``rollback_to`` must forward-write corrections (re-upsert the
+    clobbered rows, tombstone the new keys) so the live view equals
+    the as-of state — while history stays append-only (the rollback
+    is itself rollback-able).  Oracle = the same relational
+    intermediate state as d2_time_travel, but the engine path is the
+    correction writer, not the as-of reader."""
+    import tempfile
+
+    from adfs_spark.storage import VersionedTable
+
+    spec = _kv_spec()
+    root = tempfile.mkdtemp(prefix="adfs_rb_")
+    t = VersionedTable(spark, spec, os.path.join(root, "t"))
+    t.init(_kv_base(spark, sf_dir))
+    t.update_where(F.col("k") % 30 == 0, {"v": F.col("v") + 9.0})
+    v_mark = t.max_version()
+    t.delete_where(F.col("k") % 40 == 0)
+    t.update_where(F.col("k") % 50 == 0, {"v": F.lit(-1.0)})
+    t.upsert(
+        _kv_base(spark, sf_dir).select((F.col("k") + 1_000_000).alias("k"), "v")
+    )
+    t.rollback_to(v_mark)
+    return t.live().select("k", "v")
+
+
+@q(
+    "sq_having_big_orders",
+    """WITH big AS (
+         SELECT l_orderkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+       SELECT o.o_orderkey, o.o_custkey, c.c_name,
+              CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+              big.sum_qty
+       FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey""",
+)
+def sq_having_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN (SELECT ... GROUP BY ... HAVING SUM > t)
+    decorrelated as aggregate → HAVING filter → fact join back →
+    dim join.  The HAVING side aggregates lineitem once on its join
+    key, so the subsequent orders join needs no re-shuffle of the
+    aggregate (same hash key); customer is dim-sized and AQE
+    broadcasts it at any SF where it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
 _PR_DAMP = 0.85
 # 3 unrolled power iterations in SQL: nodes = src ∪ dst of the distinct
 # edge set, dangling (no-out-edge) mass redistributed uniformly each
@@ -3612,6 +3721,8 @@ _suite(
     [
         ("d1_changelog_classify", ["o_orderkey", "version", "op"]),
         ("d2_delta_range", ["o_orderkey", "version"]),
+        ("d2_time_travel", ["k", "v"]),
+        ("d3_rollback_restore", ["k", "v"]),
         ("u_sync_roundtrip", ["mode", "k", "v"]),
         ("d5_editlog_converged", ["k", "v"]),
         ("d6_heartbeat_converged", ["id", "lastUpdated", "load"]),
@@ -3762,6 +3873,7 @@ _suite(
         ("sq_exists_late_ship", ["o_orderpriority", "n_orders"]),
         ("sq_not_exists_inactive", ["c_nationkey", "n_customers", "sum_acctbal"]),
         ("sq_scalar_small_quantity", ["sum_price", "n"]),
+        ("sq_having_big_orders", ["o_orderkey", "o_custkey", "c_name", "o_totalprice", "sum_qty"]),
         ("set_ops_customers", ["tag", "o_custkey"]),
         ("dq_pk_dupes", ["o_orderkey", "n_dup"]),
         ("dq_fk_orphans", ["l_orderkey", "n_rows"]),
@@ -3772,6 +3884,7 @@ _suite(
         ("n", _L), ("tag", _S), ("o_custkey", _L),
         ("o_orderkey", _L), ("n_dup", _L),
         ("l_orderkey", _L), ("n_rows", _L),
+        ("c_name", _S), ("o_totalprice", _D), ("sum_qty", _D),
     ],
 )
 

@@ -111,6 +111,142 @@ def bench_writes(spark) -> dict[str, float]:
     return out
 
 
+def bench_namespace_ops(spark) -> dict[str, dict]:
+    """Batch-throughput analogs of BASELINE.md's namespace operations.
+
+    The reference's only published numbers are namespace ops/s from a
+    100-thread RPC point-lookup harness (BenchmarkerForNamenode,
+    documents/images/test-api-20120324.png).  A batch engine serves the
+    same verbs set-at-a-time, so the comparable figure is ENTITIES
+    PROCESSED PER SECOND when each verb runs over the whole namespace
+    in one distributed plan: paths resolved (getFileStatus), entries
+    listed (listStatus), rows created (create/mkdirs — the REAL
+    versioned write path), subtree rows tombstoned (delete), rows
+    moved (rename), blocks located (getFileBlockLocations), entities
+    aggregated (getContentSummary), leases recovered (recoverLease).
+    Batch amortizes per-call overhead — that is the engine's design
+    point, reported in the same op vocabulary so the two tables can
+    sit side by side honestly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from adfs_spark.operators.hierarchy import (
+        recursive_delete_set,
+        resolve_paths_batch,
+    )
+    from adfs_spark.queries import QUERIES, _namespace
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+
+    out: dict[str, dict] = {}
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(name: str, n_ops: int, fn, reps: int = 3) -> None:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        out[name] = {
+            "entities": n_ops,
+            "sec": round(best, 3),
+            "per_sec": int(n_ops / best) if best > 0 else 0,
+        }
+
+    ns = _namespace(spark, SF_DIR).persist()
+    n_total = ns.count()
+    paths = (
+        QUERIES["h1_chain_resolution"][0](spark, SF_DIR).select("path").persist()
+    )
+    n_paths = paths.count()
+
+    # getFileStatus: batch path→attrs resolution over every leaf path
+    timed(
+        "getFileStatus",
+        n_paths,
+        lambda: noop(resolve_paths_batch(ns, paths, path_col="path")),
+    )
+    # listStatus: every directory listed at once; entities = entries returned
+    dirs = ns.filter(F.col("id") < 10000).select(F.col("id").alias("dir_id"))
+    listing = ns.join(dirs, ns["parentId"] == dirs["dir_id"]).select(
+        "dir_id", "id", "name"
+    )
+    n_listed = listing.count()
+    timed("listStatus", n_listed, lambda: noop(listing))
+    # getContentSummary: all-directories du rollup — every entity
+    # aggregated into every ancestor in one pass (h_du_rollup)
+    timed(
+        "getContentSummary",
+        n_total,
+        lambda: noop(QUERIES["h_du_rollup"][0](spark, SF_DIR)),
+    )
+    # getFileBlockLocations: block→primary-replica→datanode batch read path
+    blocks = QUERIES["f7_block_locations"][0](spark, SF_DIR)
+    n_blocks = blocks.count()
+    timed("getFileBlockLocations", n_blocks, lambda: noop(blocks))
+    # recoverLease (+append): expired-lease finalize / reacquire transitions
+    leases = QUERIES["u_lease_recovery_append"][0](spark, SF_DIR)
+    n_leases = leases.count()
+    timed("recoverLease", n_leases, lambda: noop(leases))
+
+    # Real write path: a versioned namespace table in a tempdir
+    spec = TableSpec(
+        name="bench_ns",
+        columns=(
+            ColumnSpec("id", "long"),
+            ColumnSpec("parentId", "long"),
+            ColumnSpec("name", "string"),
+        ),
+        primary_key=("id",),
+        versioned=True,
+    )
+    root = tempfile.mkdtemp(prefix="adfs_bench_ns_")
+    t = VersionedTable(spark, spec, root, num_buckets=32)
+    t.init(ns)
+    # create1/mkdirs: one new child per existing leaf, REAL versioned upsert
+    new_rows = ns.filter(F.col("id") >= 10000).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.col("id").alias("parentId"),
+        F.concat(F.lit("part-"), F.col("name")).alias("name"),
+    )
+    n_new = new_rows.count()
+    t0 = time.time()
+    t.upsert(new_rows)
+    out["create1"] = {
+        "entities": n_new,
+        "sec": round(time.time() - t0, 3),
+        "per_sec": int(n_new / (time.time() - t0)),
+    }
+    # rename: move every customer of one nation under another (masked
+    # parentId update — the set-at-a-time form of rename's U2)
+    n_moved = ns.filter(F.col("parentId") == 105).count()
+    t0 = time.time()
+    t.update_where(F.col("parentId") == 105, {"parentId": F.lit(106)})
+    out["rename"] = {
+        "entities": n_moved,
+        "sec": round(time.time() - t0, 3),
+        "per_sec": int(max(n_moved, 1) / (time.time() - t0)),
+    }
+    # delete: guarded recursive subtree tombstone via semi-join keys
+    del_keys = recursive_delete_set(ns, 1, recursive=True)
+    n_del = del_keys.count()
+    t0 = time.time()
+    t.delete_where_keys(del_keys.select(F.col("id")))
+    out["delete"] = {
+        "entities": n_del,
+        "sec": round(time.time() - t0, 3),
+        "per_sec": int(n_del / (time.time() - t0)),
+    }
+    ns.unpersist()
+    paths.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     from adfs_spark.queries import QUERIES
     from adfs_spark.session import get_spark
@@ -150,6 +286,7 @@ def main() -> int:
             timings[name] = min(timings.get(name, t), t)
 
     writes = bench_writes(spark) if RUN_WRITES else {}
+    ns_ops = bench_namespace_ops(spark) if RUN_WRITES else {}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -162,6 +299,7 @@ def main() -> int:
                 "queries": timings,
                 "writes": writes,
                 "write_total_sec": round(sum(writes.values()), 3),
+                "namespace_ops": ns_ops,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }
