@@ -104,6 +104,42 @@ def s1_point_lookup(spark, sf_dir):
 
 
 @q(
+    "s3_point_lookup_bucketed",
+    """SELECT k, CAST(v AS DOUBLE) AS v FROM (
+         SELECT o_orderkey AS k,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS v
+         FROM orders WHERE o_orderkey % 10 = 0)
+       WHERE k IN (500, 1000, 77770, 123450)""",
+)
+def s3_point_lookup_bucketed(spark, sf_dir):
+    """S3, the HandlerSocket point-read path with PHYSICAL pruning:
+    the table is materialized in the bucketed VersionedTable layout and
+    ``point_lookup`` computes each key's pk-hash bucket on a keys-sized
+    frame, filtering the scan on the ``_kb`` PARTITION column — a point
+    read touches O(|keys|/num_buckets) of the files, the engine's
+    analog of the executor's B-tree descent
+    (DatabaseExecutorForHandlerSocket.findInternal :120-132).  Pruning
+    is plan-asserted in test_point_lookup_bucketed_prunes_partitions;
+    this row value-checks the read against a plain relational IN."""
+    import tempfile
+
+    from adfs_spark.storage import VersionedTable
+
+    spec = _kv_spec()
+    root = tempfile.mkdtemp(prefix="adfs_pl_")
+    t = VersionedTable(spark, spec, os.path.join(root, "t"), num_buckets=16)
+    t.init(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            _dec("o_totalprice").cast("double").alias("v"),
+        )
+    )
+    return t.point_lookup([500, 1000, 77770, 123450]).select("k", "v")
+
+
+@q(
     "s1_range_limit_offset",
     """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 100
        ORDER BY o_orderkey LIMIT 50 OFFSET 20""",
@@ -3318,6 +3354,28 @@ def d6_heartbeat_converged(spark, sf_dir):
 
 
 @q(
+    "s11_ddl_source",
+    """SELECT * FROM (VALUES
+ ('file', 'CREATE TABLE IF NOT EXISTS nn_state.file (id bigint, parentId bigint, name string, length bigint, blockSize int, replication tinyint, atime bigint, mtime bigint, owner int, permission smallint, leaseHolder string, leaseRecoveryTime bigint, nsQuota bigint, dsQuota bigint, version bigint) USING parquet'),
+ ('block', 'CREATE TABLE IF NOT EXISTS nn_state.block (id bigint, datanodeId bigint, length bigint, generationStamp bigint, fileId bigint, fileIndex int, version bigint) USING parquet'),
+ ('datanode', 'CREATE TABLE IF NOT EXISTS nn_state.datanode (id bigint, name string, storageId string, ipcPort int, infoPort int, capacity bigint, dfsUsed bigint, remaining bigint, lastUpdated bigint, xceiverCount int, location string, adminState string, version bigint) USING parquet'),
+ ('lease', 'CREATE TABLE IF NOT EXISTS nn_state.lease (holder string, time bigint, version bigint) USING parquet')
+) AS t(tbl, ddl)""",
+)
+def s11_ddl_source(spark, sf_dir):
+    """S11 as a driver row: the schema registry's emitted DDL for the
+    four nn_state tables (parseTableDescription
+    DistributedDataRepositoryBaseOnTable.java:684-763 → Spark-SQL
+    dialect).  The oracle hardcodes the expected strings — a golden
+    check, so a registry regression (column drop/rename/type change)
+    fails the driver gate, not just pytest."""
+    from adfs_spark.schema import BLOCK, DATANODE, FILE, LEASE
+
+    rows = [(s.name, s.ddl()) for s in (FILE, BLOCK, DATANODE, LEASE)]
+    return spark.createDataFrame(rows, "tbl string, ddl string")
+
+
+@q(
     "d2_time_travel",
     f"""WITH base AS ({_KV_BASE_SQL})
         SELECT k, CASE WHEN k % 30 = 0 THEN v + 9.0 ELSE v END AS v
@@ -3598,13 +3656,14 @@ _suite(
         ("p3_null_probe", ["o_orderkey", "o_totalprice"]),
         ("s6_pagination_keyset", ["n_nationkey", "n_name"]),
         ("p5_tombstone_filter", ["o_orderkey", "version"]),
+        ("s3_point_lookup_bucketed", ["k", "v"]),
     ],
     [
         ("o_orderkey", _L), ("o_custkey", _L), ("o_orderstatus", _S),
         ("o_totalprice", _D), ("o_orderdate_s", _S), ("o_orderpriority", _S),
         ("l_orderkey", _L), ("l_linenumber", _L), ("l_quantity", _D),
         ("l_extendedprice", _D), ("n_nationkey", _L), ("n_name", _S),
-        ("version", _L),
+        ("version", _L), ("k", _L), ("v", _D),
     ],
 )
 
@@ -3721,6 +3780,7 @@ _suite(
     [
         ("d1_changelog_classify", ["o_orderkey", "version", "op"]),
         ("d2_delta_range", ["o_orderkey", "version"]),
+        ("s11_ddl_source", ["tbl", "ddl"]),
         ("d2_time_travel", ["k", "v"]),
         ("d3_rollback_restore", ["k", "v"]),
         ("u_sync_roundtrip", ["mode", "k", "v"]),
@@ -3729,6 +3789,7 @@ _suite(
     ],
     [
         ("o_orderkey", _L), ("version", _L), ("op", _S),
+        ("tbl", _S), ("ddl", _S),
         ("mode", _S), ("k", _L), ("v", _D),
         ("id", _L), ("lastUpdated", _L), ("load", _D),
     ],

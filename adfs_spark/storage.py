@@ -193,6 +193,43 @@ class VersionedTable:
         """P5: the live view — tombstones stripped."""
         return self.snapshot().filter(F.col(VERSION_COL) >= 0)
 
+    def point_lookup(self, key_values: Sequence[tuple | object]) -> DataFrame:
+        """S1/S3 point reads with PHYSICAL bucket pruning — the
+        engine's analog of a HandlerSocket indexed point `find`
+        (DatabaseExecutorForHandlerSocket.findInternal :120-132).
+
+        ``key_values``: primary-key tuples (bare values for a 1-column
+        pk).  With a bucketed layout the pk-hash bucket of each key is
+        computed on a keys-sized literal frame (bounded by the number
+        of keys requested, never by table size) and the scan filters
+        on the ``_kb`` PARTITION column — so a point read touches
+        O(|keys|/num_buckets) of the table's files regardless of table
+        size, mirroring the B-tree descent the reference gets from
+        MySQL.  Falls back to a broadcast semi-join on the unbucketed
+        layout.  Tombstones are stripped (P5)."""
+        pk = list(self.spec.primary_key)
+        vals = [
+            (kv if isinstance(kv, tuple) else (kv,)) for kv in key_values
+        ]
+        pk_schema = T.StructType(
+            [self.spec.struct_type()[c] for c in pk]
+        )
+        keys = self.spark.createDataFrame(vals, pk_schema)
+        if not self.num_buckets:
+            return self.live().join(F.broadcast(keys), pk, "left_semi")
+        buckets = sorted(
+            {
+                r["_b"]
+                for r in keys.select(self._kbucket().alias("_b")).collect()
+            }
+        )
+        raw = self._read_current_raw().filter(F.col(KBUCKET_COL).isin(buckets))
+        return (
+            raw.drop(KBUCKET_COL)
+            .filter(F.col(VERSION_COL) >= 0)
+            .join(F.broadcast(keys), pk, "left_semi")
+        )
+
     def max_version(self) -> int:
         """A7: the version counter (max abs(version)); parquet column
         stats make this near-free."""

@@ -355,3 +355,47 @@ def test_failed_write_releases_reservation(spark, tmp_path):
     t.upsert(spark.createDataFrame([(2, "b")], "k: long, v: string"))
     assert t.last_commit_id() == 2
     assert t.count() == 2
+
+
+def test_point_lookup_bucketed_prunes_partitions(spark, tmp_path):
+    """point_lookup must (a) return exactly the requested live keys and
+    (b) carry a _kb partition filter into the scan — the physical
+    bucket-pruning contract that makes a point read O(|keys|/buckets)
+    of the table instead of a full scan."""
+    t = VersionedTable(spark, SPEC, str(tmp_path / "kvb"), num_buckets=8)
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k: long, v: string"
+    )
+    t.init(rows)
+    t.delete_where(F.col("k") == 7)
+
+    out = t.point_lookup([3, 7, 42, 999])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {3: "v3", 42: "v42"}  # 7 tombstoned, 999 absent
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_kb" in plan.split("PartitionFilters")[1][:200], (
+        "point_lookup scan lost its _kb partition filter:\n" + plan
+    )
+
+
+def test_point_lookup_unbucketed_and_composite(spark, tmp_path):
+    spec2 = TableSpec(
+        name="kv2",
+        columns=(
+            ColumnSpec("a", "long"),
+            ColumnSpec("b", "string"),
+            ColumnSpec("v", "string"),
+        ),
+        primary_key=("a", "b"),
+        versioned=True,
+    )
+    t = VersionedTable(spark, spec2, str(tmp_path / "kv2"))
+    t.init(
+        spark.createDataFrame(
+            [(1, "x", "1x"), (1, "y", "1y"), (2, "x", "2x")],
+            "a: long, b: string, v: string",
+        )
+    )
+    out = t.point_lookup([(1, "y"), (2, "x"), (9, "z")])
+    assert {(r["a"], r["b"]) for r in out.collect()} == {(1, "y"), (2, "x")}
