@@ -45,6 +45,48 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup: ``window``-token spans occurring in
+    ≥ ``min_docs`` DISTINCT documents (the train-set contamination
+    unit of exact-substring dedup à la "Deduplicating Training Data
+    Makes Language Models Better" — found there with a suffix array;
+    here the fixed-window rolling-fingerprint form, which is the
+    shape that distributes).
+
+    Emits (span_fp, n_docs, n_occurrences, keeper) — span_fp is the
+    md5 of the span text (engine-portable), keeper the min doc id
+    containing it; callers cut every other occurrence.
+
+    Scale shape: one map-side posexplode of per-doc span arrays (no
+    shuffle), then ONE groupBy on the 16-byte fingerprint with
+    partial aggregation — shuffle volume is O(total tokens), the
+    intrinsic lower bound for substring dedup, and the fingerprint
+    keyspace is uniform so there is no skew.  Docs shorter than the
+    window contribute their single truncated span.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1)))
+    spans = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))))
+    per_span = df.select(
+        F.col(id_col).alias("_id"), F.explode(spans).alias("span_fp")
+    )
+    return (
+        per_span.groupBy("span_fp")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # -- exact ---------------------------------------------------------------
 
 

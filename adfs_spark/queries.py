@@ -889,6 +889,51 @@ def dedup_exact_groups(spark, sf_dir):
     return exact_duplicates(d.unionAll(planted), "doc_id", "text")
 
 
+@q(
+    "dedup_repeated_spans",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 3000000,
+                array_to_string(t[greatest(len(t)-19,1):len(t)], ' ')
+         FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+               FROM documents)
+         WHERE doc_id % 25 = 0
+       ),
+       toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+                FROM corpus),
+       sp AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS span_fp
+              FROM toks, UNNEST(range(1, greatest(len(t)-8+1,1)+1)) r(i))
+       SELECT span_fp, count(DISTINCT doc_id) AS n_docs,
+              count(*) AS n_occurrences, min(doc_id) AS keeper
+       FROM sp GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2""",
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Substring-level dedup (dedup.repeated_spans): 8-token spans in
+    ≥2 distinct docs.  The synthetic corpus is span-disjoint, so the
+    fixture plants both contamination shapes: every 10th doc re-
+    inserted whole (full-copy) and every 25th doc's LAST 20 tokens as
+    a new short doc (partial-substring overlap — the case doc-level
+    dedup misses and span-level catches)."""
+    from adfs_spark.functions.dedup import repeated_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    toks = textf.whitespace_tokens(F.col("text"))
+    tail = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, F.greatest(F.size(toks) - 19, F.lit(1)), 20)
+        ).alias("text"),
+    )
+    corpus = d.unionByName(full).unionByName(tail)
+    return repeated_spans(corpus, "doc_id", "text", window=8, min_docs=2)
+
+
 _JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -3890,6 +3935,7 @@ _suite(
         ("pipeline_url_filter", ["domain", "n_docs"]),
         ("pipeline_shuffle_order", ["doc_id", "train_order"]),
         ("graph_pagerank", ["node", "rank"]),
+        ("dedup_repeated_spans", ["span_fp", "n_docs", "n_occurrences", "keeper"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -3898,6 +3944,7 @@ _suite(
         ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
         ("train_order", _L), ("rank", _D),
+        ("span_fp", _S), ("n_occurrences", _L), ("keeper", _L),
     ],
 )
 

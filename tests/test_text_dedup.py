@@ -288,3 +288,31 @@ def test_domain_blocklist_filter(spark):
     blocked = spark.createDataFrame([("bad.example.com",)], "domain: string")
     kept = domain_blocklist_filter(df, "url", blocked)
     assert {r["id"] for r in kept.collect()} == {2, 3}
+
+
+def test_repeated_spans_catches_partial_overlap(spark):
+    """Span-level dedup must flag a doc that shares only a substring
+    with another (doc-level exact/minhash dedup misses this)."""
+    from adfs_spark.functions.dedup import repeated_spans
+
+    base = "a b c d e f g h i j k l m n o p"          # 16 tokens
+    tail = "i j k l m n o p"                          # its last 8
+    other = "q r s t u v w x y z aa bb"               # disjoint
+    df = spark.createDataFrame(
+        [(1, base), (2, tail), (3, other)], "doc_id: long, text: string"
+    )
+    out = repeated_spans(df, "doc_id", "text", window=8, min_docs=2).collect()
+    # exactly one span (the shared 8-token tail) appears in 2 docs
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == 2 and row["n_occurrences"] == 2 and row["keeper"] == 1
+
+
+def test_repeated_spans_short_docs_truncate(spark):
+    from adfs_spark.functions.dedup import repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x z")], "doc_id: long, text: string"
+    )
+    out = repeated_spans(df, "doc_id", "text", window=8, min_docs=2).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2  # the truncated "x y" span
