@@ -2053,6 +2053,60 @@ def sq_scalar_small_quantity(spark, sf_dir):
     )
 
 
+@q(
+    "sq_sole_late_shipper",
+    """WITH late AS (
+         SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       SELECT s_suppkey, s_name, count(*) AS numwait
+       FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM late l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+       GROUP BY s_suppkey, s_name""",
+)
+def sq_sole_late_shipper(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS composition —
+    per-supplier count of late lines in multi-supplier orders where no
+    OTHER supplier was late (sole-blame attribution).  Decorrelated as
+    semi-join (another supplier in the order) then anti-join (another
+    LATE supplier) on the same key, so both subqueries reuse one
+    orderkey clustering; the supplier dim joins broadcast-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other_any = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    sole = (
+        late.join(
+            other_any,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(s, sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # =========================================================================
 # Additional coverage: scalar roundtrips, write-path previews, sessions
 # =========================================================================
@@ -3982,6 +4036,7 @@ _suite(
         ("sq_not_exists_inactive", ["c_nationkey", "n_customers", "sum_acctbal"]),
         ("sq_scalar_small_quantity", ["sum_price", "n"]),
         ("sq_having_big_orders", ["o_orderkey", "o_custkey", "c_name", "o_totalprice", "sum_qty"]),
+        ("sq_sole_late_shipper", ["s_suppkey", "s_name", "numwait"]),
         ("set_ops_customers", ["tag", "o_custkey"]),
         ("dq_pk_dupes", ["o_orderkey", "n_dup"]),
         ("dq_fk_orphans", ["l_orderkey", "n_rows"]),
@@ -3993,6 +4048,7 @@ _suite(
         ("o_orderkey", _L), ("n_dup", _L),
         ("l_orderkey", _L), ("n_rows", _L),
         ("c_name", _S), ("o_totalprice", _D), ("sum_qty", _D),
+        ("s_suppkey", _L), ("s_name", _S), ("numwait", _L),
     ],
 )
 
