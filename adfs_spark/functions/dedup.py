@@ -248,6 +248,24 @@ def lsh_candidate_pairs(
     capped by AQE skew-join splitting.
     Returns distinct (id_a, id_b), id_a < id_b.
     """
+    banded = _banded(signatures, num_bands, rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _banded(signatures: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, bucket) rows — the LSH banding shared by the batch
+    pipeline and the materializable incremental index."""
     bands = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -262,18 +280,84 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    banded = signatures.select(F.col("_id"), bands.alias("band", "bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    return signatures.select(F.col("_id"), bands.alias("band", "bucket"))
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The materializable LSH index of a corpus: (_id, band, bucket)
+    rows.  Write it once (e.g. a parquet table partitioned by band);
+    each new ingest batch then dedups against the corpus WITHOUT
+    re-shingling or re-hashing it — the operational mode at 100 TB,
+    where the corpus is three orders of magnitude larger than a batch."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    return _banded(sigs, num_bands, num_hashes // num_bands)
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new document: new↔corpus and
+    new↔new, against a pre-built :func:`minhash_index`.
+
+    Only the new batch is shingled and hashed (O(|batch|)); the corpus
+    contributes its stored buckets, and corpus text is re-read only
+    for the candidate members the verify stage needs (semi-join at the
+    document level, BEFORE any shingle explode).  Ids must be disjoint
+    between batch and corpus.  Equal by construction to the batch
+    pipeline's result restricted to pairs touching a new doc (same
+    banding ⇒ same buckets ⇒ same candidates; exact-Jaccard verify is
+    deterministic) — pinned by
+    test_incremental_minhash_equals_batch_restriction."""
+    rows_per_band = num_hashes // num_bands
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes, seed)
+    new_banded = _banded(new_sigs, num_bands, rows_per_band)
+    a = new_banded.alias("a")
+    c = corpus_index.alias("c")
+    new_vs_corpus = (
         a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a._id") != F.col("c._id")),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .select(
+            F.least(F.col("a._id"), F.col("c._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("c._id")).alias("id_b"),
+        )
         .distinct()
+    )
+    new_vs_new = lsh_candidate_pairs(new_sigs, num_bands, rows_per_band)
+    cands = new_vs_corpus.unionByName(new_vs_new).distinct().persist()
+    needed = cands.select(F.col("id_a").alias(id_col)).union(
+        cands.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    # doc-level semi-join BEFORE the verify shingle explode: only
+    # candidate members are ever re-shingled, so corpus re-read cost
+    # is O(|candidates|), independent of corpus size
+    docs_needed = (
+        corpus_docs.select(F.col(id_col), F.col(text_col))
+        .unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
+        .join(needed, id_col, "left_semi")
+    )
+    return jaccard_pairs(
+        docs_needed, id_col, text_col, n, threshold, candidates=cands
     )
 
 

@@ -29,8 +29,12 @@ def whitespace_tokens(text: Column) -> Column:
 
 
 def regex_tokens(text: Column) -> Column:
-    """BPE-ish regex tokenization (JVM-side regexp_extract_all)."""
-    return F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)").alias("tokens")
+    """BPE-ish regex tokenization (JVM-side regexp_extract_all).
+
+    Operates on the PASSED column (an earlier form routed through
+    ``F.expr`` and silently read a column literally named ``text``
+    regardless of the argument)."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))
 
 
 def token_count(text: Column) -> Column:

@@ -2553,6 +2553,8 @@ def u_lease_recovery_append(spark, sf_dir):
                     FROM gcnt GROUP BY doc_id)
        SELECT d.doc_id,
               len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens,
+              len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS n_bpe_tokens,
               round(CAST(len(list_filter(string_split(lower(d.text), ' '),
                     x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be')))
                     AS DOUBLE) / greatest(len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')), 1), 5)
@@ -2585,6 +2587,7 @@ def text_doc_features(spark, sf_dir):
     feats = d.select(
         "doc_id",
         textf.token_count(F.col("text")).alias("n_tokens"),
+        F.size(textf.regex_tokens(F.col("text"))).alias("n_bpe_tokens"),
         F.round(textf.stopword_ratio(F.col("text")), 5).alias("stopword_ratio"),
         F.round(textf.punct_ratio(F.col("text")), 5).alias("punct_ratio"),
         textf.langid(F.col("text")).alias("lang_pred"),

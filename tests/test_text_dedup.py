@@ -316,3 +316,73 @@ def test_repeated_spans_short_docs_truncate(spark):
     )
     out = repeated_spans(df, "doc_id", "text", window=8, min_docs=2).collect()
     assert len(out) == 1 and out[0]["n_docs"] == 2  # the truncated "x y" span
+
+
+def test_regex_tokens_uses_passed_column(spark):
+    """regex_tokens must tokenize the COLUMN IT IS GIVEN — a prior
+    form went through F.expr and read the column literally named
+    'text' no matter what was passed."""
+    from pyspark.sql import functions as F
+
+    from adfs_spark.functions.text import regex_tokens
+
+    df = spark.createDataFrame(
+        [("don't panic!", "wrong column")], "body: string, text: string"
+    )
+    toks = df.select(regex_tokens(F.col("body")).alias("t")).first()["t"]
+    assert toks == ["don", "'", "t", "panic", "!"]
+
+
+def test_incremental_minhash_equals_batch_restriction(spark):
+    """minhash_dedup_incremental(new, corpus, index) must equal the
+    full batch pipeline over corpus ∪ new restricted to pairs touching
+    a new doc — same banding ⇒ same candidates; exact verify is
+    deterministic.  Fixture plants near-dups in all three shapes:
+    corpus↔new, new↔new, corpus↔corpus (the last must NOT appear)."""
+    from adfs_spark.functions.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+        minhash_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    corpus_rows = [
+        (1, base + "alpha beta gamma delta"),
+        (2, base + "alpha beta gamma delta epsilon"),   # corpus↔corpus near-dup
+        (3, "completely different text about other things entirely " * 5),
+    ]
+    new_rows = [
+        (101, base + "alpha beta gamma delta zeta"),    # near-dups corpus 1, 2
+        (102, "completely different text about other things entirely " * 5
+              + "with a tail"),                         # near-dup corpus 3
+        (103, base + "alpha beta gamma delta zeta eta"),  # near-dup 101
+        (104, "nothing like anything else here at all honestly " * 5),
+    ]
+    schema = "doc_id: long, text: string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    idx = minhash_index(corpus, "doc_id", "text", n=3, num_hashes=32, num_bands=8)
+    inc = minhash_dedup_incremental(
+        new, corpus, idx, "doc_id", "text",
+        n=3, num_hashes=32, num_bands=8, threshold=0.7,
+    ).collect()
+
+    full = minhash_near_duplicates(
+        corpus.unionByName(new), "doc_id", "text",
+        n=3, num_hashes=32, num_bands=8, threshold=0.7, collapse_exact=False,
+    ).collect()
+    new_ids = {101, 102, 103, 104}
+    expected = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in inc}
+    assert got == expected
+    assert any(a in new_ids and b not in new_ids or b in new_ids and a not in new_ids
+               for a, b, _ in got), "no corpus↔new pair found — fixture too weak"
+    assert any(a in new_ids and b in new_ids for a, b, _ in got), \
+        "no new↔new pair found — fixture too weak"
+    assert all(a in new_ids or b in new_ids for a, b, _ in got), \
+        "corpus↔corpus pair leaked into the incremental result"
