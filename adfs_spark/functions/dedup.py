@@ -534,16 +534,44 @@ def simhash_near_duplicates(
     bit_count(xor).
     """
     sigs = simhash(df, id_col, text_col, num_bits=num_bits, hash_fn=hash_fn)
+    return hamming_pairs(
+        sigs, "_id", "simhash", max_hamming, num_chunks, num_bits
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Pairs of ids whose ``num_bits``-bit signatures differ in ≤
+    ``max_hamming`` bits — pigeonhole chunk banding (any pair within
+    distance < num_chunks shares one exact chunk) then bit_count(xor)
+    verify.  Generic over the signature source: SimHash text
+    signatures and perceptual image hashes both route here, so the
+    banding math cannot drift between modalities."""
+    if num_chunks <= max_hamming:
+        raise ValueError(
+            f"num_chunks ({num_chunks}) must exceed max_hamming "
+            f"({max_hamming}): the pigeonhole recall guarantee needs a "
+            "chunk with zero differing bits for every qualifying pair"
+        )
     width = num_bits // num_chunks
     chunks = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_chunks - 1)),
             lambda c: F.call_function(
-                "shiftrightunsigned", F.col("simhash"), c * width
+                "shiftrightunsigned", F.col(hash_col), c * width
             ).bitwiseAND(F.lit((1 << width) - 1)),
         )
     )
-    banded = sigs.select("_id", F.col("simhash"), chunks.alias("chunk", "value"))
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        chunks.alias("chunk", "value"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -556,8 +584,8 @@ def simhash_near_duplicates(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
+            F.col("a._h").alias("_sa"),
+            F.col("b._h").alias("_sb"),
         )
         .distinct()
     )

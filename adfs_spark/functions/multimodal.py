@@ -467,6 +467,102 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II matrix (cached) — C @ g @ C.T is the 2-D DCT."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        c[0, :] *= 1.0 / np.sqrt(2.0)
+        _DCT32 = c
+    return _DCT32
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """Classic 64-bit perceptual hash: grayscale → 32×32 nearest
+    resample → 2-D DCT → 8×8 low-frequency block minus DC → threshold
+    at the median.  Robust to resize/re-encode/small edits; pure
+    numpy, deterministic."""
+    gray = rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+    h, w = gray.shape
+    yi = (np.arange(32) * h // 32).clip(0, h - 1)
+    xi = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[yi][:, xi]
+    c = _dct_matrix(32)
+    d = c @ small @ c.T
+    vals = d[:8, :8].flatten()[1:]  # drop the DC coefficient
+    med = np.median(vals)
+    bits = 0
+    for i, v in enumerate(vals):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing of BMP/PNG payloads:
+    (media_id, phash, decoded).  Undecodable payloads (entropy-coded
+    formats without a codec library) get a sha256-derived stand-in
+    hash with ``decoded=False`` — stable plumbing, clearly tagged."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+
+    def one(b: bytes) -> tuple[int, bool]:
+        try:
+            if is_bmp(b):
+                return phash64(decode_bmp(b)), True
+            if is_png(b):
+                return phash64(decode_png(b)), True
+        except ValueError:
+            pass
+        h = hashlib.sha256(b).digest()
+        return int.from_bytes(h[:8], "big") >> 1, False
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf["payload"].map(lambda b: one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": res.map(lambda t: t[0]),
+                    "decoded": res.map(lambda t: t[1]),
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def image_near_duplicates(
+    media: DataFrame, max_hamming: int = 6, num_chunks: int = 8
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance —
+    (id_a, id_b, hamming).  Reuses the SimHash pigeonhole banding
+    (dedup.hamming_pairs): candidate generation is an equi-join on
+    exact hash chunks, never a cross join, so the pair stage scales
+    with bucket collisions, not |images|².  The pigeonhole guarantee
+    needs num_chunks > max_hamming (a pair differing in ≤ max_hamming
+    bits then shares at least one exact chunk) — enforced, since a
+    silent recall hole is worse than an error.  Only decoded payloads
+    participate (a sha256 stand-in hash would manufacture false
+    non-dups, never false dups, but excluding them is the honest
+    default)."""
+    from adfs_spark.functions.dedup import hamming_pairs
+
+    sigs = phash_images(media).filter(F.col("decoded"))
+    return hamming_pairs(
+        sigs, "media_id", "phash", max_hamming, num_chunks, num_bits=64
+    )
+
+
 def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize in pure numpy (index maps, no loops)."""
     h, w, _ = rgb.shape

@@ -427,3 +427,43 @@ def test_decode_avi_skips_audio_stream_strf():
     us, decoded = decode_avi(patched)
     assert len(decoded) == 1
     assert np.array_equal(decoded[0], frames[0])
+
+
+def test_phash_image_near_duplicates(spark):
+    """Perceptual-hash dedup must pair an image with its lightly-
+    corrupted re-encode (cross-container: BMP vs PNG) and must NOT
+    pair structurally different images; undecodable payloads are
+    excluded from pairing."""
+    import numpy as np
+
+    from adfs_spark.functions.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_near_duplicates,
+        phash64,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    # structured content (gradients), not uniform noise — pHash is a
+    # low-frequency descriptor
+    grad = np.linspace(0, 255, 64, dtype=np.uint8)
+    base[:, :, 0] = grad[None, :]
+    base[:24, :, 1] = 200
+    noisy = base.copy()
+    noisy[::16, ::16] = 255 - noisy[::16, ::16]  # sparse corruption
+    other = np.zeros((48, 64, 3), dtype=np.uint8)
+    other[:, ::2, 2] = 255  # vertical stripes — different structure
+
+    assert bin(phash64(base) ^ phash64(noisy)).count("1") <= 6
+    assert bin(phash64(base) ^ phash64(other)).count("1") > 6
+
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_png(noisy))),   # near-dup of 1, other container
+        (3, bytearray(encode_bmp(other))),
+        (4, bytearray(b"\xff\xd8\xff not decodable jpeg-ish")),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    pairs = image_near_duplicates(media, max_hamming=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
