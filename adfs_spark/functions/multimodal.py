@@ -563,6 +563,118 @@ def image_near_duplicates(
     )
 
 
+def afp64(rate: int, x: np.ndarray) -> int:
+    """64-bit audio fingerprint (Haitsma–Kalker reduced to one word):
+    the signal's energy envelope over 65 equal segments, one bit per
+    consecutive-segment energy INCREASE.  Sign-of-delta is invariant
+    to volume scaling and robust to additive noise; pure numpy."""
+    if len(x) == 0:
+        return 0
+    segs = np.array_split(x.astype(np.float64), 65)
+    e = np.array([float(np.mean(s * s)) if len(s) else 0.0 for s in segs])
+    bits = 0
+    for i in range(64):
+        if e[i + 1] > e[i]:
+            bits |= 1 << i
+    return bits
+
+
+def vhash64(frames: list[np.ndarray]) -> int:
+    """64-bit video fingerprint: per-frame pHash, then per-bit MAJORITY
+    across frames (the SimHash aggregation applied to frame hashes) —
+    stable under frame corruption/re-encode, sensitive to content."""
+    if not frames:
+        return 0
+    counts = np.zeros(64, dtype=np.int64)
+    for fr in frames:
+        h = phash64(fr)
+        for b in range(64):
+            if h >> b & 1:
+                counts[b] += 1
+    half = len(frames) / 2.0
+    bits = 0
+    for b in range(64):
+        if counts[b] > half:
+            bits |= 1 << b
+    return bits
+
+
+def fingerprint_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched modality-aware fingerprinting: image payloads get
+    the DCT pHash, WAV audio the energy-envelope fingerprint, AVI
+    video the frame-majority hash — one (media_id, fp, modality,
+    decoded) row each, all three landing in the same 64-bit hamming
+    space so ONE banding pass (dedup.hamming_pairs) serves every
+    modality.  Undecodable payloads get tagged sha256 stand-ins."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("fp", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+
+    def signed64(v: int) -> int:
+        # two's-complement into LongType: XOR/bit_count hamming math
+        # is bit-pattern identical on the signed representation
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def one(b: bytes) -> tuple[int, str, bool]:
+        try:
+            if is_bmp(b):
+                return phash64(decode_bmp(b)), "image", True
+            if is_png(b):
+                return phash64(decode_png(b)), "image", True
+            if is_wav(b):
+                rate, x = decode_wav(b)
+                return signed64(afp64(rate, x)), "audio", True
+            if is_avi(b):
+                _fps, frames = decode_avi(b)
+                return signed64(vhash64(frames)), "video", True
+        except ValueError:
+            pass
+        h = hashlib.sha256(b).digest()
+        return int.from_bytes(h[:8], "big") >> 1, "unknown", False
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf["payload"].map(lambda b: one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fp": res.map(lambda t: t[0]),
+                    "modality": res.map(lambda t: t[1]),
+                    "decoded": res.map(lambda t: t[2]),
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def media_near_duplicates(
+    media: DataFrame, max_hamming: int = 6, num_chunks: int = 8
+) -> DataFrame:
+    """Cross-modality near-dup pairs: fingerprint every payload
+    (pHash / audio envelope / video frame-majority), then a
+    pigeonhole-banded hamming join PER MODALITY — an image and an
+    audio clip can never pair even at hamming distance 0, because each
+    modality joins only within its own partition.
+    Returns (id_a, id_b, hamming, modality)."""
+    from adfs_spark.functions.dedup import hamming_pairs
+
+    sigs = fingerprint_media(media).filter(F.col("decoded"))
+    out = None
+    for modality in ("image", "audio", "video"):
+        part = sigs.filter(F.col("modality") == modality)
+        pairs = hamming_pairs(
+            part, "media_id", "fp", max_hamming, num_chunks, num_bits=64
+        ).withColumn("modality", F.lit(modality))
+        out = pairs if out is None else out.unionByName(pairs)
+    assert out is not None
+    return out
+
+
 def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize in pure numpy (index maps, no loops)."""
     h, w, _ = rgb.shape

@@ -467,3 +467,69 @@ def test_phash_image_near_duplicates(spark):
     media = spark.createDataFrame(rows, "media_id: long, payload: binary")
     pairs = image_near_duplicates(media, max_hamming=6).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def _pcm_wav(samples, rate=8000):
+    import struct as _s
+
+    import numpy as np
+
+    x = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = _s.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt \
+        + b"data" + _s.pack("<I", len(x)) + x
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_media_near_duplicates_audio_video_and_isolation(spark):
+    """Audio (energy-envelope fp) and video (frame-majority pHash)
+    near-dups pair within their modality; nothing pairs ACROSS
+    modalities even when fingerprints collide."""
+    import numpy as np
+
+    from adfs_spark.functions.multimodal import (
+        afp64,
+        encode_avi,
+        media_near_duplicates,
+        vhash64,
+    )
+
+    rng = np.random.default_rng(11)
+    t = np.arange(16000) / 8000.0
+    tone = np.sin(2 * np.pi * 440 * t) * np.exp(-t)          # decaying tone
+    noisy_tone = tone + rng.normal(0, 0.01, tone.shape)       # same envelope
+    other_audio = np.sin(2 * np.pi * 440 * t) * t / 2         # rising envelope
+    assert bin(afp64(8000, tone) ^ afp64(8000, noisy_tone)).count("1") <= 6
+    assert bin(afp64(8000, tone) ^ afp64(8000, other_audio)).count("1") > 6
+
+    # textured base (blocky random) — a gradient/stripe image has
+    # mostly-zero DCT coefficients, making the median threshold a
+    # knife edge; real images are texture-rich like this
+    tex = np.kron(
+        rng.integers(0, 256, (6, 8)), np.ones((4, 4), dtype=np.int64)
+    ).astype(np.uint8)
+    base_frame = np.stack([tex, tex // 2, tex // 3], axis=2)
+    frames = [base_frame.copy() for _ in range(4)]
+    for i, fr in enumerate(frames):
+        fr[:, :, 1] = np.minimum(fr[:, :, 1].astype(np.int16) + i * 10, 255).astype(np.uint8)
+    corrupted = [fr.copy() for fr in frames]
+    corrupted[2][::8, ::8] = 0                                # one frame damaged
+    tex2 = np.kron(
+        rng.integers(0, 256, (6, 8)), np.ones((4, 4), dtype=np.int64)
+    ).astype(np.uint8)
+    other_frames = [np.stack([tex2, tex2, tex2], axis=2) for _ in range(4)]
+    assert bin(vhash64(frames) ^ vhash64(corrupted)).count("1") <= 6
+    assert bin(vhash64(frames) ^ vhash64(other_frames)).count("1") > 6
+
+    rows = [
+        (1, bytearray(_pcm_wav(tone))),
+        (2, bytearray(_pcm_wav(noisy_tone))),
+        (3, bytearray(_pcm_wav(other_audio))),
+        (4, bytearray(encode_avi(frames))),
+        (5, bytearray(encode_avi(corrupted))),
+        (6, bytearray(encode_avi(other_frames))),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    pairs = media_near_duplicates(media, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"], r["modality"]) for r in pairs}
+    assert got == {(1, 2, "audio"), (4, 5, "video")}
