@@ -170,12 +170,17 @@ def _scale_documents(out_dir: str, r: int) -> None:
             }
         )
 
-    # streaming writer: ~20 replicas per row group, bounded memory
+    # streaming writer, bounded memory.  Row-group batching is
+    # adaptive: at least ~8 row groups per file so scans parallelize
+    # at EVERY SF (a one-row-group file is a one-task scan — the
+    # ingest_native hazard, SCALE.md §2/§10), capped at 20 replicas
+    # per group so big SFs keep efficiently-sized groups.
+    per_group = max(1, min(20, r // 8))
     with pq.ParquetWriter(os.path.join(out_dir, "documents.parquet"), schema) as w:
         batch: list[pa.Table] = []
         for i in range(r):
             batch.append(replica(i))
-            if len(batch) >= 20 or i == r - 1:
+            if len(batch) >= per_group or i == r - 1:
                 w.write_table(pa.concat_tables(batch))
                 batch = []
 
@@ -209,11 +214,12 @@ def _scale_embeddings(out_dir: str, r: int) -> None:
             }
         )
 
+    per_group = max(1, min(20, r // 8))
     with pq.ParquetWriter(os.path.join(out_dir, "embeddings.parquet"), schema) as w:
         batch: list[pa.Table] = []
         for i in range(r):
             batch.append(replica(i))
-            if len(batch) >= 20 or i == r - 1:
+            if len(batch) >= per_group or i == r - 1:
                 w.write_table(pa.concat_tables(batch))
                 batch = []
 
