@@ -963,6 +963,29 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 
 
+@q(
+    "dedup_minhash_incremental",
+    f"""SELECT id_a, id_b, jaccard FROM ({_JACCARD_SQL})
+        WHERE id_a % 3 = 0 OR id_b % 3 = 0""",
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """The incremental dedup path, value-checked end-to-end: the
+    corpus (doc_id % 3 ≠ 0) is indexed once (minhash_index), then the
+    'ingest batch' (doc_id % 3 = 0) dedups against it WITHOUT the
+    corpus being re-shingled — and the result must equal the exact
+    all-pairs Jaccard answer restricted to pairs touching a batch doc
+    (same recall argument as dedup_minhash_lsh: banding recall 1.0 on
+    the fixture, verify precision exact)."""
+    from adfs_spark.functions.dedup import minhash_dedup_incremental, minhash_index
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    idx = minhash_index(corpus, "doc_id", "text")
+    pairs = minhash_dedup_incremental(new, corpus, idx, "doc_id", "text")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
 @q("dedup_minhash_lsh", _JACCARD_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pipeline.  Oracle = the exact all-pairs
@@ -3993,6 +4016,7 @@ _suite(
         ("pipeline_shuffle_order", ["doc_id", "train_order"]),
         ("graph_pagerank", ["node", "rank"]),
         ("dedup_repeated_spans", ["span_fp", "n_docs", "n_occurrences", "keeper"]),
+        ("dedup_minhash_incremental", ["id_a", "id_b", "jaccard"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -4002,6 +4026,7 @@ _suite(
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
         ("train_order", _L), ("rank", _D),
         ("span_fp", _S), ("n_occurrences", _L), ("keeper", _L),
+        ("id_a", _L), ("id_b", _L), ("jaccard", _D),
     ],
 )
 
