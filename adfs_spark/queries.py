@@ -3411,7 +3411,7 @@ def f7_block_locations(spark, sf_dir):
     "d6_heartbeat_converged",
     """WITH hb AS (
          SELECT n_nationkey AS id, 1000 + w AS lastUpdated,
-                n_nationkey * 1.5 + w AS load
+                CAST(n_nationkey * 1.5 + w AS DOUBLE) AS load
          FROM nation, UNNEST([0, 1, 2]) t(w)
          WHERE (w = 0) OR (w = 1 AND n_nationkey % 2 = 0)
             OR (w = 2 AND n_nationkey % 3 = 0))

@@ -299,3 +299,27 @@ def test_salted_join_bounds_skewed_partition_input(spark):
     assert max_bucket <= (n_monster / num_salts) * 2, (
         f"salting failed to spread the monster key: max bucket {max_bucket}"
     )
+
+
+def test_tfidf_token_table_shuffles_once(spark):
+    """The round-3 tfidf rewrite: the exploded token table physically
+    shuffles ONCE — the explicit doc-id repartition feeds the tf
+    aggregate and the top-k window directly, and the doc-frequency
+    subtree picks it up as a ReusedExchange at runtime.  Exchange
+    reuse is an AQE runtime decision, so this asserts on the FINAL
+    adaptive plan (after an action): exactly two materialized hash
+    exchanges — the token repartition and the |vocab|-sized term
+    aggregate — plus the reuse marker."""
+    fn, _ = QUERIES["text_tfidf_top_terms"]
+    df = fn(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, "token-table exchange reuse lost"
+    live = [
+        ln for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(live) == 2, "tfidf shuffle count moved:\n" + "\n".join(live)
+    assert "Window" in final  # top-k window present, fed shuffle-free
