@@ -233,6 +233,87 @@ def streaming_dedupe_native(
     )
 
 
+def neardup_stream(
+    stream_docs: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    threshold: float = 0.8,
+) -> StreamingQuery:
+    """Streaming near-dup dedup with a GROWING corpus index — the
+    ingest-pipeline shape of MinHash+LSH: every micro-batch dedups
+    against everything seen so far via the materialized
+    ``minhash_index`` (only the batch is shingled/hashed; corpus text
+    is re-read candidate-bounded), emits its near-dup pairs, then
+    appends its own banded rows to the index and its docs to the
+    corpus.
+
+    Exactly-once under replay: each epoch writes its three outputs
+    (pairs / index rows / docs) to ``epoch=<id>`` subdirectories with
+    overwrite, so an at-least-once foreachBatch retry rewrites the
+    same partition instead of duplicating it.
+
+    Accumulated pairs across epochs = the batch pipeline's pairs over
+    the full corpus (each pair is emitted exactly once, by the epoch
+    that completes it) — pinned by
+    test_neardup_stream_accumulates_batch_result.
+    """
+    import os
+
+    from adfs_spark.functions.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+        minhash_near_duplicates,
+    )
+
+    pairs_dir = os.path.join(state_dir, "pairs")
+    index_dir = os.path.join(state_dir, "index")
+    corpus_dir = os.path.join(state_dir, "corpus")
+
+    def _has_epochs(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            e.startswith("epoch=") for e in os.listdir(d)
+        )
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        docs = batch.select(id_col, text_col).localCheckpoint(eager=True)
+        if docs.rdd.isEmpty():
+            return
+        if _has_epochs(corpus_dir):
+            corpus = spark.read.parquet(corpus_dir).drop("epoch")
+            idx = spark.read.parquet(index_dir).drop("epoch")
+            pairs = minhash_dedup_incremental(
+                docs, corpus, idx, id_col, text_col,
+                n, num_hashes, num_bands, threshold,
+            )
+        else:
+            pairs = minhash_near_duplicates(
+                docs, id_col, text_col, n, num_hashes, num_bands,
+                threshold, collapse_exact=False,
+            )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch={epoch_id}")
+        )
+        minhash_index(docs, id_col, text_col, n, num_hashes, num_bands).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def events_file_stream(
     spark: SparkSession, events_dir: str, schema: T.StructType
 ) -> DataFrame:
