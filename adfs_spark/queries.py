@@ -1721,6 +1721,41 @@ def window_event_gaps(spark, sf_dir):
 
 
 @q(
+    "window_spend_quartiles",
+    """WITH spend AS (
+         SELECT o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+         FROM orders GROUP BY o_custkey)
+       SELECT o_custkey, total_spend,
+              ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile,
+              round(percent_rank() OVER (ORDER BY total_spend DESC, o_custkey), 5)
+                AS pct_rank
+       FROM spend""",
+)
+def window_spend_quartiles(spark, sf_dir):
+    """ntile + percent_rank (the remaining rank-family primitives):
+    customer spend quartiles over a GLOBAL ordering.  An unpartitioned
+    window is a single-partition funnel — fine here because the input
+    is already one row per customer (an aggregate, |customers| ≪
+    |orders|); at true scale prefer approx quantile cuts + a bucket
+    join (agg_quantile_rows / shuffle_order are that path).  The
+    custkey tiebreak makes both functions deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 5).alias("pct_rank"),
+    )
+
+
+@q(
     "d7_table_diff",
     """WITH l AS (SELECT o_orderkey, o_totalprice FROM orders),
             r AS (SELECT o_orderkey,
@@ -3862,10 +3897,12 @@ _suite(
     [
         ("window_running_total", ["o_custkey", "o_orderkey", "running_spend"]),
         ("window_event_gaps", ["event_id", "user_id", "gap_s"]),
+        ("window_spend_quartiles", ["o_custkey", "total_spend", "quartile", "pct_rank"]),
     ],
     [
         ("o_custkey", _L), ("o_orderkey", _L), ("running_spend", _D),
         ("event_id", _L), ("user_id", _L), ("gap_s", _L),
+        ("total_spend", _D), ("quartile", _L), ("pct_rank", _D),
     ],
 )
 
