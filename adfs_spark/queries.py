@@ -2656,6 +2656,60 @@ def text_doc_features(spark, sf_dir):
 
 
 @q(
+    "agg_stats_battery",
+    """SELECT o.o_orderstatus,
+              round(median(CAST(o_totalprice AS DOUBLE)), 4) AS median_price,
+              string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+                AS priorities,
+              c.corr_qty_price
+       FROM orders o
+       JOIN (SELECT l.l_returnflag,
+                    round(corr(CAST(l_quantity AS DOUBLE),
+                               CAST(l_extendedprice AS DOUBLE)), 5) AS corr_qty_price
+             FROM lineitem l GROUP BY 1) c
+         ON c.l_returnflag = CASE o.o_orderstatus WHEN 'F' THEN 'A'
+                                                  WHEN 'O' THEN 'N' ELSE 'R' END
+       GROUP BY o.o_orderstatus, c.corr_qty_price""",
+)
+def agg_stats_battery(spark, sf_dir):
+    """The remaining aggregate primitives in one row per status: exact
+    interpolated median, ordered distinct string aggregation (sorted
+    collect_set → array_join — deterministic, unlike raw collect), and
+    Pearson correlation (5-dp rounded; double-fold associativity noise
+    sits far below that).  The corr side is keyed to a status via a
+    CASE join purely to exercise an aggregate-on-aggregate join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.median(F.col("o_totalprice").cast("double")), 4).alias(
+            "median_price"
+        ),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+    )
+    corr = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.corr(
+                F.col("l_quantity").cast("double"),
+                F.col("l_extendedprice").cast("double"),
+            ),
+            5,
+        ).alias("corr_qty_price")
+    )
+    mapped = med.withColumn(
+        "_rf",
+        F.when(F.col("o_orderstatus") == "F", "A")
+        .when(F.col("o_orderstatus") == "O", "N")
+        .otherwise("R"),
+    )
+    return (
+        mapped.join(corr, mapped["_rf"] == corr["l_returnflag"])
+        .select("o_orderstatus", "median_price", "priorities", "corr_qty_price")
+    )
+
+
+@q(
     "agg_quantile_rows",
     """SELECT o_orderstatus, CAST(i AS BIGINT) AS q,
               round(qs[CAST(i AS INT)], 4) AS quantile_value
@@ -4080,6 +4134,7 @@ _suite(
         ("dq_heavy_hitters", ["item", "n"]),
         ("q10_returned_items", ["c_custkey", "c_name", "revenue"]),
         ("agg_grouping_sets", ["gs_status", "gs_priority", "n_orders"]),
+        ("agg_stats_battery", ["o_orderstatus", "median_price", "priorities", "corr_qty_price"]),
     ],
     [
         ("o_orderstatus", _S), ("urgent", _L), ("high", _L), ("medium", _L),
@@ -4091,6 +4146,7 @@ _suite(
         ("min_num", _D), ("max_num", _D), ("min_str", _S), ("max_str", _S),
         ("item", _S), ("c_custkey", _L), ("c_name", _S), ("revenue", _D),
         ("gs_status", _S), ("gs_priority", _S),
+        ("median_price", _D), ("priorities", _S), ("corr_qty_price", _D),
     ],
 )
 
