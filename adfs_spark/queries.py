@@ -1721,6 +1721,31 @@ def window_event_gaps(spark, sf_dir):
 
 
 @q(
+    "w_rank_dense_ties",
+    """SELECT o_custkey, o_orderkey,
+              rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+              dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)
+                AS drnk
+       FROM orders WHERE o_custkey % 50 = 0""",
+)
+def w_rank_dense_ties(spark, sf_dir):
+    """rank() vs dense_rank() under real ties (5 distinct priorities
+    per customer guarantee them): gap-ranking and dense-ranking are
+    both tie-stable — every row in a tie group gets the same value —
+    so the result is deterministic without a full tiebreak."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@q(
     "window_spend_quartiles",
     """WITH spend AS (
          SELECT o_custkey,
@@ -3939,10 +3964,12 @@ _suite(
         ("w3_priority_topk", ["o_orderkey", "priority"]),
         ("w4_pick_one_per_group", ["c_nationkey", "c_custkey", "c_name"]),
         ("sort_topk_global", ["o_orderkey", "o_totalprice"]),
+        ("w_rank_dense_ties", ["o_custkey", "o_orderkey", "rnk", "drnk"]),
     ],
     [
         ("o_orderkey", _L), ("priority", _L), ("c_nationkey", _L),
         ("c_custkey", _L), ("c_name", _S), ("o_totalprice", _D),
+        ("o_custkey", _L), ("rnk", _L), ("drnk", _L),
     ],
 )
 
