@@ -2735,6 +2735,38 @@ def agg_stats_battery(spark, sf_dir):
 
 
 @q(
+    "agg_unpivot_metrics",
+    """SELECT l_returnflag, metric,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM (
+         SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+       GROUP BY l_returnflag, metric""",
+)
+def agg_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT (the inverse of agg_pivot_priority): four measure
+    columns melt into (metric, value) rows via ``DataFrame.unpivot`` —
+    a map-side Expand, one row per (input row × measure), then a
+    single grouped sum.  The oracle writes it as the portable UNION
+    ALL form, which is exactly what Expand computes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.sum(_dec("value")).cast("double").alias("total")
+    )
+
+
+@q(
     "agg_quantile_rows",
     """SELECT o_orderstatus, CAST(i AS BIGINT) AS q,
               round(qs[CAST(i AS INT)], 4) AS quantile_value
@@ -4162,6 +4194,7 @@ _suite(
         ("q10_returned_items", ["c_custkey", "c_name", "revenue"]),
         ("agg_grouping_sets", ["gs_status", "gs_priority", "n_orders"]),
         ("agg_stats_battery", ["o_orderstatus", "median_price", "priorities", "corr_qty_price"]),
+        ("agg_unpivot_metrics", ["l_returnflag", "metric", "total"]),
     ],
     [
         ("o_orderstatus", _S), ("urgent", _L), ("high", _L), ("medium", _L),
@@ -4174,6 +4207,7 @@ _suite(
         ("item", _S), ("c_custkey", _L), ("c_name", _S), ("revenue", _D),
         ("gs_status", _S), ("gs_priority", _S),
         ("median_price", _D), ("priorities", _S), ("corr_qty_price", _D),
+        ("metric", _S), ("total", _D),
     ],
 )
 
