@@ -51,6 +51,34 @@ BENCH_QUERIES = [
 ]
 
 
+# Round-3 additions timed SEPARATELY (best-of-2, reported as
+# extra_queries) so the 20-query headline total stays comparable
+# round-over-round.
+BENCH_EXTRAS = [
+    "dedup_repeated_spans",
+    "dedup_minhash_incremental",
+    "sq_sole_late_shipper",
+    "sq_having_big_orders",
+    "agg_unpivot_metrics",
+    "window_spend_quartiles",
+]
+
+
+def bench_extras(spark) -> dict[str, float]:
+    from adfs_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_EXTRAS:
+        fn, _ = QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def bench_writes(spark) -> dict[str, float]:
     """Write-path benchmarks over the bucketed VersionedTable (the
     engine's most novel storage code): bulk init, a uniform 1% upsert
@@ -287,6 +315,7 @@ def main() -> int:
 
     writes = bench_writes(spark) if RUN_WRITES else {}
     ns_ops = bench_namespace_ops(spark) if RUN_WRITES else {}
+    extras = bench_extras(spark) if RUN_WRITES else {}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -300,6 +329,7 @@ def main() -> int:
                 "writes": writes,
                 "write_total_sec": round(sum(writes.values()), 3),
                 "namespace_ops": ns_ops,
+                "extra_queries": extras,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }
