@@ -122,6 +122,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     shingle_df: DataFrame | None = None,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
@@ -131,6 +132,12 @@ def jaccard_pairs(
     (columns _id, _sh) lets callers reuse an already-exploded shingle
     table (minhash_near_duplicates shares one across stages).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    The candidate path PERSISTS the candidate shingle table (it feeds
+    two joins).  One-shot callers can leave the cache to LRU eviction;
+    loop callers (a long-running stream) pass ``persisted_out`` to
+    collect every frame persisted on their behalf and unpersist after
+    materializing the result.
     """
     sh = shingle_df
     if sh is None:
@@ -147,6 +154,8 @@ def jaccard_pairs(
             candidates.select(F.col("id_b").alias("_id"))
         ).distinct()
         sh_c = sh.join(docs, "_id", "left_semi").persist()
+        if persisted_out is not None:
+            persisted_out.append(sh_c)
         sizes = sh_c.groupBy("_id").agg(F.count("*").alias("_sz"))
         sa_sh = sh_c.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
         sb_sh = sh_c.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb"))
@@ -312,9 +321,14 @@ def minhash_dedup_incremental(
     num_bands: int = 32,
     threshold: float = 0.8,
     seed: int = 42,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING a new document: new↔corpus and
     new↔new, against a pre-built :func:`minhash_index`.
+
+    Persists the candidate-pair frame (and, via the verify stage, the
+    candidate shingle table); loop callers pass ``persisted_out`` to
+    unpersist both once the result is materialized.
 
     Only the new batch is shingled and hashed (O(|batch|)); the corpus
     contributes its stored buckets, and corpus text is re-read only
@@ -345,6 +359,8 @@ def minhash_dedup_incremental(
     )
     new_vs_new = lsh_candidate_pairs(new_sigs, num_bands, rows_per_band)
     cands = new_vs_corpus.unionByName(new_vs_new).distinct().persist()
+    if persisted_out is not None:
+        persisted_out.append(cands)
     needed = cands.select(F.col("id_a").alias(id_col)).union(
         cands.select(F.col("id_b").alias(id_col))
     ).distinct()
@@ -357,7 +373,8 @@ def minhash_dedup_incremental(
         .join(needed, id_col, "left_semi")
     )
     return jaccard_pairs(
-        docs_needed, id_col, text_col, n, threshold, candidates=cands
+        docs_needed, id_col, text_col, n, threshold, candidates=cands,
+        persisted_out=persisted_out,
     )
 
 
@@ -371,6 +388,7 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     seed: int = 42,
     collapse_exact: bool = True,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Full near-dedup pipeline: exact-collapse → MinHash → LSH buckets
     → exact Jaccard verify of candidates.  Returns (id_a, id_b, jaccard).
@@ -403,6 +421,7 @@ def minhash_near_duplicates(
         core = minhash_near_duplicates(
             rep_docs, id_col, text_col, n, num_hashes, num_bands,
             threshold, seed, collapse_exact=False,
+            persisted_out=persisted_out,
         )
         # (rep_a, rep_b, j) pairs, plus each multi-member group with
         # itself at jaccard 1.0; expand through the id→rep mapping.
@@ -446,6 +465,8 @@ def minhash_near_duplicates(
         .repartition(F.col("_id"))
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(sh)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingle_df=sh)
     # The verify stage reads the candidate set twice (semi-join doc
     # list + the pair join); without a persist the whole signature →
@@ -454,6 +475,8 @@ def minhash_near_duplicates(
     # long-running cluster; callers doing many dedup passes can also
     # materialize candidates to a table between stages.
     cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band).persist()
+    if persisted_out is not None:
+        persisted_out.append(cands)
     return jaccard_pairs(
         df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
     )

@@ -47,6 +47,27 @@ from adfs_spark.operators.windows import argmax_rows, priority_bucket, top_k
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
 
+_TMP_ROOTS: list[str] = []
+
+
+def _tmp_root(prefix: str) -> str:
+    """A tempdir for queries that materialize a VersionedTable, removed
+    at interpreter exit.  Cleanup must be deferred — the returned
+    DataFrames read these files lazily (the driver collects them after
+    the query function returns) — but without it every correctness /
+    bench invocation leaks a full table (data + changelog) in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    if not _TMP_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(r, ignore_errors=True) for r in _TMP_ROOTS]
+        )
+    _TMP_ROOTS.append(root)
+    return root
+
 
 def q(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -121,12 +142,10 @@ def s3_point_lookup_bucketed(spark, sf_dir):
     (DatabaseExecutorForHandlerSocket.findInternal :120-132).  Pruning
     is plan-asserted in test_point_lookup_bucketed_prunes_partitions;
     this row value-checks the read against a plain relational IN."""
-    import tempfile
-
     from adfs_spark.storage import VersionedTable
 
     spec = _kv_spec()
-    root = tempfile.mkdtemp(prefix="adfs_pl_")
+    root = _tmp_root("adfs_pl_")
     t = VersionedTable(spark, spec, os.path.join(root, "t"), num_buckets=16)
     t.init(
         load_table(spark, sf_dir, "orders")
@@ -3435,12 +3454,10 @@ def u_sync_roundtrip(spark, sf_dir):
     full-restores the final state.  Both replicas' live views must
     equal the relational final state — the oracle never sees the
     tables, only the algebra they must converge to."""
-    import tempfile
-
     from adfs_spark.storage import VersionedTable
 
     spec = _kv_spec()
-    root = tempfile.mkdtemp(prefix="adfs_sync_")
+    root = _tmp_root("adfs_sync_")
     master = VersionedTable(spark, spec, os.path.join(root, "master"))
     master.init(_kv_base(spark, sf_dir))
 
@@ -3476,13 +3493,11 @@ def d5_editlog_converged(spark, sf_dir):
     result — the oracle is the pure relational final state, so the
     whole streaming loop (file source, micro-batching, at-least-once
     merge) is value-checked, not just row-counted."""
-    import tempfile
-
     from adfs_spark.storage import VersionedTable
     from adfs_spark.streaming.loops import replicate
 
     spec = _kv_spec()
-    root = tempfile.mkdtemp(prefix="adfs_d5_")
+    root = _tmp_root("adfs_d5_")
     master = VersionedTable(spark, spec, os.path.join(root, "master"))
     master.init(_kv_base(spark, sf_dir))
     master.update_where(F.col("k") % 3 == 0, {"v": F.col("v") + 55.0})
@@ -3574,8 +3589,6 @@ def d6_heartbeat_converged(spark, sf_dir):
     the datanode table; the converged live view must equal the
     relational latest-heartbeat-per-node — the whole streaming upsert
     loop is value-checked against a batch oracle."""
-    import tempfile
-
     import pyarrow as pa
     import pyarrow.parquet as pq_
 
@@ -3583,7 +3596,7 @@ def d6_heartbeat_converged(spark, sf_dir):
     from adfs_spark.storage import VersionedTable
     from adfs_spark.streaming.loops import heartbeat_applier
 
-    root = tempfile.mkdtemp(prefix="adfs_d6_")
+    root = _tmp_root("adfs_d6_")
     hb_dir = os.path.join(root, "hb")
     os.makedirs(hb_dir)
     keys = [
@@ -3661,12 +3674,10 @@ def d2_time_travel(spark, sf_dir):
     _vbucket partitioning prunes history above the target so an old
     snapshot never scans the log tail).  The oracle is the pure
     relational intermediate state; later writes must be invisible."""
-    import tempfile
-
     from adfs_spark.storage import VersionedTable
 
     spec = _kv_spec()
-    root = tempfile.mkdtemp(prefix="adfs_tt_")
+    root = _tmp_root("adfs_tt_")
     t = VersionedTable(spark, spec, os.path.join(root, "t"))
     t.init(_kv_base(spark, sf_dir))
     t.update_where(F.col("k") % 30 == 0, {"v": F.col("v") + 9.0})
@@ -3694,12 +3705,10 @@ def d3_rollback_restore(spark, sf_dir):
     is itself rollback-able).  Oracle = the same relational
     intermediate state as d2_time_travel, but the engine path is the
     correction writer, not the as-of reader."""
-    import tempfile
-
     from adfs_spark.storage import VersionedTable
 
     spec = _kv_spec()
-    root = tempfile.mkdtemp(prefix="adfs_rb_")
+    root = _tmp_root("adfs_rb_")
     t = VersionedTable(spark, spec, os.path.join(root, "t"))
     t.init(_kv_base(spark, sf_dir))
     t.update_where(F.col("k") % 30 == 0, {"v": F.col("v") + 9.0})

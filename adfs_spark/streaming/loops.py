@@ -233,6 +233,97 @@ def streaming_dedupe_native(
     )
 
 
+def _has_prior_epochs(spark: SparkSession, d: str, before: int) -> bool:
+    """True iff ``d`` holds an ``epoch=<e>`` partition with e < ``before``.
+    Probed through the Hadoop FileSystem API so the state dir may live
+    on any Hadoop-compatible FS (HDFS/S3) — everything else in the
+    neardup loop already goes through Spark.  The ``before`` bound makes
+    an epoch-0 retry (own partitions written, checkpoint not committed)
+    correctly take the first-batch branch."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            try:
+                if int(name.split("=", 1)[1]) < before:
+                    return True
+            except ValueError:
+                continue
+    return False
+
+
+def _neardup_apply_batch(
+    spark: SparkSession,
+    state_dir: str,
+    docs: DataFrame,
+    epoch_id: int,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    num_bands: int,
+    threshold: float,
+) -> None:
+    """One :func:`neardup_stream` micro-batch — module-level so replay
+    (an at-least-once retry of the SAME epoch after its partitions were
+    already written) is directly testable.  Corpus/index reads exclude
+    ``epoch >= epoch_id``: a crash between the corpus write and the
+    checkpoint commit must not feed the batch's own docs back as corpus
+    (minhash_dedup_incremental requires disjoint batch/corpus ids)."""
+    import os
+
+    from adfs_spark.functions.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+        minhash_near_duplicates,
+    )
+
+    pairs_dir = os.path.join(state_dir, "pairs")
+    index_dir = os.path.join(state_dir, "index")
+    corpus_dir = os.path.join(state_dir, "corpus")
+    persisted: list[DataFrame] = []
+    if _has_prior_epochs(spark, corpus_dir, epoch_id):
+        corpus = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .drop("epoch")
+        )
+        idx = (
+            spark.read.parquet(index_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .drop("epoch")
+        )
+        pairs = minhash_dedup_incremental(
+            docs, corpus, idx, id_col, text_col,
+            n, num_hashes, num_bands, threshold,
+            persisted_out=persisted,
+        )
+    else:
+        pairs = minhash_near_duplicates(
+            docs, id_col, text_col, n, num_hashes, num_bands,
+            threshold, collapse_exact=False, persisted_out=persisted,
+        )
+    try:
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch={epoch_id}")
+        )
+    finally:
+        # a long-running stream would otherwise accumulate cached
+        # candidate/shingle blocks across micro-batches forever
+        for p in persisted:
+            p.unpersist()
+    minhash_index(docs, id_col, text_col, n, num_hashes, num_bands).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+    docs.write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, f"epoch={epoch_id}")
+    )
+
+
 def neardup_stream(
     stream_docs: DataFrame,
     spark: SparkSession,
@@ -256,54 +347,25 @@ def neardup_stream(
     Exactly-once under replay: each epoch writes its three outputs
     (pairs / index rows / docs) to ``epoch=<id>`` subdirectories with
     overwrite, so an at-least-once foreachBatch retry rewrites the
-    same partition instead of duplicating it.
+    same partition instead of duplicating it.  On a retry the corpus /
+    index reads EXCLUDE the in-flight epoch's own partitions
+    (``epoch < epoch_id``): a crash between the corpus write and the
+    checkpoint commit would otherwise re-run the batch against a
+    corpus already containing its docs, violating the batch/corpus id
+    disjointness precondition of ``minhash_dedup_incremental``.
 
     Accumulated pairs across epochs = the batch pipeline's pairs over
     the full corpus (each pair is emitted exactly once, by the epoch
     that completes it) — pinned by
     test_neardup_stream_accumulates_batch_result.
     """
-    import os
-
-    from adfs_spark.functions.dedup import (
-        minhash_dedup_incremental,
-        minhash_index,
-        minhash_near_duplicates,
-    )
-
-    pairs_dir = os.path.join(state_dir, "pairs")
-    index_dir = os.path.join(state_dir, "index")
-    corpus_dir = os.path.join(state_dir, "corpus")
-
-    def _has_epochs(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            e.startswith("epoch=") for e in os.listdir(d)
-        )
-
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         docs = batch.select(id_col, text_col).localCheckpoint(eager=True)
         if docs.rdd.isEmpty():
             return
-        if _has_epochs(corpus_dir):
-            corpus = spark.read.parquet(corpus_dir).drop("epoch")
-            idx = spark.read.parquet(index_dir).drop("epoch")
-            pairs = minhash_dedup_incremental(
-                docs, corpus, idx, id_col, text_col,
-                n, num_hashes, num_bands, threshold,
-            )
-        else:
-            pairs = minhash_near_duplicates(
-                docs, id_col, text_col, n, num_hashes, num_bands,
-                threshold, collapse_exact=False,
-            )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"epoch={epoch_id}")
-        )
-        minhash_index(docs, id_col, text_col, n, num_hashes, num_bands).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
-        docs.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, f"epoch={epoch_id}")
+        _neardup_apply_batch(
+            spark, state_dir, docs, epoch_id, id_col, text_col,
+            n, num_hashes, num_bands, threshold,
         )
 
     return (

@@ -24,6 +24,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
 RUN_COLD = os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") == "1"
 RUN_WRITES = os.environ.get("SPARK_GRAFT_BENCH_WRITES", "1") == "1"
+# Extras are read-only query timings — gated on their OWN flag so a
+# large-SF run that disables the write benches keeps the extras section.
+RUN_EXTRAS = os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "1") == "1"
 
 # Representative slice of the suite: scans, the big joins/aggs, argmax,
 # anti-join diff, LWW merge, hierarchy, text/dedup/similarity extensions.
@@ -315,7 +318,7 @@ def main() -> int:
 
     writes = bench_writes(spark) if RUN_WRITES else {}
     ns_ops = bench_namespace_ops(spark) if RUN_WRITES else {}
-    extras = bench_extras(spark) if RUN_WRITES else {}
+    extras = bench_extras(spark) if RUN_EXTRAS else {}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

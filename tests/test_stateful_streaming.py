@@ -246,3 +246,48 @@ def test_neardup_stream_accumulates_batch_result(spark, tmp_path):
     # (jaccard 0.4), in stream and batch alike
     pair_ids = {(a, b) for a, b, _ in got}
     assert {(1, 11), (1, 21), (11, 21)} <= pair_ids
+
+
+def test_neardup_batch_replay_is_exactly_once(spark, tmp_path):
+    """At-least-once retry of the SAME epoch after its corpus/index/docs
+    partitions were already written (crash between the corpus write and
+    the checkpoint commit): the replayed epoch must exclude its own
+    orphaned partitions from the corpus read — otherwise batch and
+    corpus ids overlap, shingle counts double, and exact-dup pairs get
+    a corrupted jaccard (regression test for the epoch < epoch_id
+    visibility filter)."""
+    from adfs_spark.streaming.loops import _neardup_apply_batch
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    state = str(tmp_path / "state")
+    kw = dict(
+        id_col="doc_id", text_col="text", n=3,
+        num_hashes=32, num_bands=8, threshold=0.7,
+    )
+    wave0 = spark.createDataFrame(
+        [(1, base + "alpha beta gamma")], "doc_id: long, text: string"
+    )
+    _neardup_apply_batch(spark, state, wave0, 0, **kw)
+    wave1 = spark.createDataFrame(
+        [(11, base + "alpha beta gamma delta"),
+         (12, base + "alpha beta gamma delta")],  # exact dup of 11
+        "doc_id: long, text: string",
+    )
+    _neardup_apply_batch(spark, state, wave1, 1, **kw)
+    first = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(state + "/pairs/epoch=1").collect()
+    }
+    # the exact-dup pair must be present at jaccard 1.0
+    assert (11, 12, 1.0) in first
+    assert {(a, b) for a, b, _ in first} == {(1, 11), (1, 12), (11, 12)}
+    # replay epoch 1 (its own epoch=1 partitions now exist on disk)
+    _neardup_apply_batch(spark, state, wave1, 1, **kw)
+    second = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(state + "/pairs/epoch=1").collect()
+    }
+    assert second == first
+    # an epoch-0 retry must take the first-batch branch, not see itself
+    _neardup_apply_batch(spark, state, wave0, 0, **kw)
+    assert spark.read.parquet(state + "/pairs/epoch=0").count() == 0
