@@ -63,6 +63,16 @@ class NamespaceError(Exception):
 class Namespace:
     table: VersionedTable
 
+    point_write_mode: str = "append"
+    """Write mode for the namespace's POINT mutations (create / rename /
+    setTimes / setReplication / complete / …, each touching O(1) rows).
+    The reference serves these as B-tree point updates
+    (FileRepository.updateInternal :226-286, deleteInternal :288-305);
+    the ``append`` mode is the engine's equivalent — one changelog
+    append + visibility bump instead of a bucket rewrite per call
+    (reads overlay the pending tail; ``compact()`` folds it down).
+    Set ``merge`` to fold every write immediately."""
+
     # -- construction ------------------------------------------------------
 
     @classmethod
@@ -213,7 +223,9 @@ class Namespace:
                 raise NamespaceError(f"{path} exists and is a directory")
             if not overwrite:
                 raise NamespaceError(f"{path} already exists")
-            self.table.delete_where(F.col("id") == existing[0]["id"])
+            self.table.delete_where(
+                F.col("id") == existing[0]["id"], mode=self.point_write_mode
+            )
         new_id = self._next_id()
         now = int(time.time() * 1000)
         self._insert_row(
@@ -254,7 +266,7 @@ class Namespace:
             ],
             FILE.struct_type(include_version=False),
         )
-        self.table.upsert(row, overwrite=False)
+        self.table.upsert(row, overwrite=False, mode=self.point_write_mode)
 
     def rename(self, src: str, dst_parent: str, new_name: str | None = None) -> None:
         """rename/move: re-point the parentId edge (subtree follows for
@@ -288,10 +300,12 @@ class Namespace:
         self.table.update_where(
             F.col("id") == srow["id"],
             {"parentId": F.lit(drow["id"]).cast("long"), "name": F.lit(name)},
+            mode=self.point_write_mode,
         )
         self.table.update_where(
             F.col("id").isin([srow["parentId"], drow["id"]]),
             {"mtime": F.lit(now).cast("long")},
+            mode=self.point_write_mode,
         )
 
     def delete(self, path: str, recursive: bool = False) -> int:
@@ -309,7 +323,8 @@ class Namespace:
         # (semi-join into delete_where_keys) — deleting a huge directory
         # never collects ids to the driver or builds a giant isin literal.
         keys = self.get_descendants(path, include_self=True).select("id")
-        return self.table.delete_where_keys(keys)
+        # auto: subtree-sized — small subtrees append, huge ones fold
+        return self.table.delete_where_keys(keys, mode="auto")
 
     def set_replication(self, path: str, replication: int) -> None:
         """setReplication — U2 field-masked update (File.REPLICATION mask)."""
@@ -317,7 +332,8 @@ class Namespace:
         if row is None or row["length"] == DIR_LENGTH:
             raise NamespaceError(f"not a file: {path}")
         self.table.update_where(
-            F.col("id") == row["id"], {"replication": F.lit(replication).cast("byte")}
+            F.col("id") == row["id"], {"replication": F.lit(replication).cast("byte")},
+            mode=self.point_write_mode,
         )
 
     def set_times(self, path: str, mtime: int, atime: int) -> None:
@@ -328,6 +344,7 @@ class Namespace:
         self.table.update_where(
             F.col("id") == row["id"],
             {"mtime": F.lit(mtime).cast("long"), "atime": F.lit(atime).cast("long")},
+            mode=self.point_write_mode,
         )
 
     def set_owner(self, path: str, owner: int) -> None:
@@ -337,7 +354,8 @@ class Namespace:
         if row is None:
             raise NamespaceError(f"no such path: {path}")
         self.table.update_where(
-            F.col("id") == row["id"], {"owner": F.lit(owner).cast("int")}
+            F.col("id") == row["id"], {"owner": F.lit(owner).cast("int")},
+            mode=self.point_write_mode,
         )
 
     def set_permission(self, path: str, permission: int) -> None:
@@ -349,7 +367,8 @@ class Namespace:
         if row is None:
             raise NamespaceError(f"no such path: {path}")
         self.table.update_where(
-            F.col("id") == row["id"], {"permission": F.lit(permission).cast("short")}
+            F.col("id") == row["id"], {"permission": F.lit(permission).cast("short")},
+            mode=self.point_write_mode,
         )
 
     def complete_file(self, path: str, length: int) -> None:
@@ -368,6 +387,7 @@ class Namespace:
                 "length": F.lit(length).cast("long"),
                 "leaseHolder": F.lit(None).cast("string"),
             },
+            mode=self.point_write_mode,
         )
 
     # -- quotas (FileProtocol.setQuota surface) ------------------------------
@@ -393,7 +413,7 @@ class Namespace:
                 raise NamespaceError(f"invalid dsQuota {ds_quota}")
             assignments["dsQuota"] = F.lit(ds_quota).cast("long")
         if assignments:
-            self.table.update_where(F.col("id") == row["id"], assignments)
+            self.table.update_where(F.col("id") == row["id"], assignments, mode=self.point_write_mode)
 
     def _subtree_usage(self, dir_id: int) -> tuple[int, int]:
         """(ns_used, ds_used) for a directory subtree: item count
@@ -467,6 +487,7 @@ class Namespace:
                 "leaseRecoveryTime": F.lit(now).cast("long"),
                 "mtime": F.lit(now).cast("long"),
             },
+            mode=self.point_write_mode,
         )
 
     def append_file(self, path: str, lease_holder: str) -> int:
@@ -486,8 +507,15 @@ class Namespace:
         self.table.update_where(
             F.col("id") == row["id"],
             {"leaseHolder": F.lit(lease_holder)},
+            mode=self.point_write_mode,
         )
         return int(row["id"])
+
+    def compact(self) -> None:
+        """Fold the pending changelog overlay (accumulated by the
+        append-mode point mutations) into the table's current state —
+        run periodically, like the reference's edit-log checkpoint."""
+        self.table.compact()
 
     def paths(self) -> DataFrame:
         """H2: the computed path column for every live row."""

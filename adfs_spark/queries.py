@@ -3723,6 +3723,55 @@ def d3_rollback_restore(spark, sf_dir):
 
 
 @q(
+    "u6_append_overlay",
+    f"""WITH base AS ({_KV_BASE_SQL}),
+         final AS (
+           SELECT k, CASE WHEN k % 60 = 0 THEN v + 111.0 ELSE v END AS v
+           FROM base WHERE k % 100 <> 0
+           UNION ALL
+           SELECT k + 1000000, v FROM base WHERE k % 200 = 0)
+        SELECT 'overlay' AS form, k, v FROM final
+        UNION ALL
+        SELECT 'folded', k, v FROM final""",
+)
+def u6_append_overlay(spark, sf_dir):
+    """U6/SCALE §12 as a driver row: the changelog-APPEND write mode on
+    the real write path.  A bucketed VersionedTable takes a masked
+    update, a tombstone delete and a new-key upsert all in ``append``
+    mode — no bucket is rewritten; the ops live only in the changelog
+    and reads LWW-merge the pending overlay (the engine's analog of the
+    reference's B-tree point updates, FileRepository.updateInternal
+    :226-286 / deleteInternal :288-305).  The live view is captured
+    BOTH ways — through the overlay, then again after ``compact()``
+    folds it into current/ — and both must equal the same relational
+    final state, proving the overlay read path is semantically
+    invisible."""
+    from adfs_spark.storage import VersionedTable
+
+    spec = _kv_spec()
+    root = _tmp_root("adfs_ovl_")
+    t = VersionedTable(spark, spec, os.path.join(root, "t"), num_buckets=16)
+    t.init(_kv_base(spark, sf_dir))
+    t.update_where(F.col("k") % 60 == 0, {"v": F.col("v") + 111.0}, mode="append")
+    t.delete_where(F.col("k") % 100 == 0, mode="append")
+    t.upsert(
+        _kv_base(spark, sf_dir)
+        .filter(F.col("k") % 200 == 0)
+        .select((F.col("k") + 1_000_000).alias("k"), "v"),
+        mode="append",
+    )
+    # materialize the overlay view BEFORE compacting (lazy plans would
+    # otherwise re-read the rewritten files)
+    overlay = (
+        t.live().select(F.lit("overlay").alias("form"), "k", "v")
+        .localCheckpoint(eager=True)
+    )
+    t.compact()
+    folded = t.live().select(F.lit("folded").alias("form"), "k", "v")
+    return overlay.unionByName(folded)
+
+
+@q(
     "sq_having_big_orders",
     """WITH big AS (
          SELECT l_orderkey,

@@ -61,6 +61,25 @@ COMMITS_DIR = "_commits"
 LOCK_TTL_SEC = 600.0  # a .lock older than this is a crashed writer's lease
 _MAX_COMMIT_RETRIES = 50
 
+OVERLAY_META = "_overlay.json"
+"""Per-table visibility metadata (written atomically via tmp+rename):
+
+- ``compacted_through`` (ct): every visible op with abs(version) <= ct
+  is folded into ``current/``.
+- ``visible_through`` (vt): committed ops end here.  Changelog rows in
+  (ct, vt] are the PENDING OVERLAY — written by the changelog-append
+  fast path and merged into reads on the fly (:meth:`VersionedTable.
+  snapshot`); a merge write or :meth:`~VersionedTable.compact` folds
+  them down and advances ct to vt.
+- ``aborted``: [lo, hi] abs-version ranges fenced off after a writer
+  crashed between its changelog append and its visibility bump; rows
+  in these ranges exist physically in the changelog but are excluded
+  from every read (snapshot overlay, delta, time travel) forever.
+
+Tables created before this metadata existed (no ``_overlay.json``)
+read exactly as before: everything in ``current/`` + nothing pending.
+"""
+
 
 class WriteConflictError(RuntimeError):
     """A concurrent writer held the table's commit sequence for longer
@@ -77,6 +96,12 @@ def _latest_by_abs_version(df: DataFrame, pk: Sequence[str]) -> DataFrame:
 def _stamp_versions(
     rows: DataFrame, pk: Sequence[str], base: int, negate: bool = False
 ) -> DataFrame:
+    return _stamp_versions_n(rows, pk, base, negate)[0]
+
+
+def _stamp_versions_n(
+    rows: DataFrame, pk: Sequence[str], base: int, negate: bool = False
+) -> tuple[DataFrame, int]:
     """Stamp each row with a dense unique version in (base, base+n] —
     **in parallel** (two-pass partition-offset numbering).
 
@@ -95,6 +120,10 @@ def _stamp_versions(
     function of the key, versions are deterministic under recomputation
     (the same stamped frame feeds both the changelog append and the
     current-state merge).
+
+    Returns ``(stamped, n)`` — n = total rows stamped (the batch's new
+    visibility watermark is ``base + n``), already known from the
+    pass-1 counts, so append-path writers never run an extra count job.
     """
     pk_concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in pk])
     bucket = F.pmod(F.xxhash64(pk_concat), F.lit(VSTAMP_BUCKETS)).cast("int")
@@ -115,7 +144,7 @@ def _stamp_versions(
     v = (F.lit(base) + off + F.row_number().over(w)).cast("long")
     if negate:
         v = -v
-    return tagged.withColumn(VERSION_COL, v).drop("_vsb")
+    return tagged.withColumn(VERSION_COL, v).drop("_vsb"), acc
 
 
 @dataclass
@@ -139,6 +168,36 @@ class VersionedTable:
     are read and rewritten (partition pruning on read, dynamic
     partition overwrite on write).  This is the 100 TB write path — a
     1-row upsert rewrites 1/num_buckets of the table, not all of it."""
+
+    append_threshold: int = 100_000
+    """``mode='auto'`` write routing: batches at or below this many
+    rows take the changelog-append fast path (no bucket rewrite —
+    the reference's B-tree point-update analog, FileRepository.
+    updateInternal :226-286); larger batches amortize the merge floor
+    and fold immediately.  The bound keeps the pending overlay
+    broadcast-joinable on reads (overlay keys ≈ a few MB)."""
+
+    txn: "TransactionLog | None" = None
+    """Set by :meth:`TransactionLog.enroll`.  Enrolled tables commit
+    through the SHARED transaction log: visibility (vt + fences) lives
+    in its manifest instead of the local ``_overlay.json`` (which keeps
+    only the physical fold state ct), every mutation takes the
+    changelog-append path (a fold inside an uncommitted transaction
+    would leak rows into current/), and serialization happens on the
+    txn's single lock — the engine's analog of the one FSNamesystem
+    lock under which the reference commits a multi-table op batch
+    (DistributedOperationQueue.getOperations :82-103,
+    FSNamesystem.startFileInternal :842-870)."""
+
+    def _cast_spec(self, df: DataFrame) -> DataFrame:
+        """Project onto the spec's columns WITH the spec's exact types.
+        Every write funnels through this so the changelog stays
+        type-uniform across files — an un-cast literal assignment (e.g.
+        ``F.lit(106)`` into a long column) would otherwise write an
+        int32 parquet file into a long column's history and break every
+        later changelog read (delta / time travel / overlay)."""
+        st = self.spec.struct_type()
+        return df.select([F.col(f.name).cast(f.dataType) for f in st.fields])
 
     def _kbucket(self) -> Column:
         pk_concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in self.spec.primary_key])
@@ -169,6 +228,7 @@ class VersionedTable:
                 self._write_current(df)
             ops = df.withColumn(OP_COL, F.lit("INSERT"))
             self._append_changelog(ops)
+            self._mark_compacted()
 
         self._transact(body, "INIT")
 
@@ -184,10 +244,209 @@ class VersionedTable:
         """Current state incl. the bucket partition column (if any)."""
         return self.spark.read.schema(self._full_schema()).parquet(self.current_path)
 
+    # -- visibility metadata (overlay / fencing) ---------------------------
+
+    @property
+    def overlay_meta_path(self) -> str:
+        return os.path.join(self.root, OVERLAY_META)
+
+    def _local_overlay_meta(self) -> dict | None:
+        try:
+            with open(self.overlay_meta_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _overlay_meta(self) -> dict | None:
+        """Effective visibility metadata.  Standalone tables: the local
+        ``_overlay.json``.  Enrolled tables: ct from the local file
+        (physical fold state), vt + aborted from the transaction log's
+        manifest — the single source that flips atomically across
+        tables; inside an open transaction the writer's own staged
+        watermark is merged in (read-your-own-writes)."""
+        local = self._local_overlay_meta()
+        if self.txn is None:
+            return local
+        m = self.txn.table_meta(self.spec.name)
+        if local is None and m is None:
+            return None
+        ct = int(local["compacted_through"]) if local else 0
+        if m is not None:
+            vt = int(m.get("visible_through", 0))
+            aborted = [list(r) for r in m.get("aborted", [])]
+        else:
+            vt = int(local.get("visible_through", ct)) if local else ct
+            aborted = list(local.get("aborted", [])) if local else []
+        return {
+            "compacted_through": ct,
+            "visible_through": max(vt, ct),
+            "aborted": aborted,
+        }
+
+    def _write_overlay_meta(self, meta: dict) -> None:
+        tmp = self.overlay_meta_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.overlay_meta_path)
+
+    def _current_stats_max(self) -> int:
+        """max abs(version) present in current/ — min/max on the raw
+        column so parquet footer stats answer it without a data scan."""
+        try:
+            row = self._read_current_raw().agg(
+                F.max(VERSION_COL), F.min(VERSION_COL)
+            ).first()
+        except Exception:
+            return 0
+        return max(int(row[0] or 0), -int(row[1] or 0), 0)
+
+    def _changelog_phys_max(self, above_bucket: int) -> int:
+        """max abs(version) physically present in the changelog tail
+        (vbucket >= above_bucket) — includes orphaned rows a crashed
+        writer appended but never made visible.  Footer stats only."""
+        try:
+            row = (
+                self.changelog()
+                .filter(F.col(VBUCKET_COL) >= above_bucket)
+                .agg(F.max(VERSION_COL), F.min(VERSION_COL))
+                .first()
+            )
+        except Exception:
+            return 0
+        return max(int(row[0] or 0), -int(row[1] or 0), 0)
+
+    def _visible_cond(self) -> Column | None:
+        """Changelog visibility filter: committed versions only — caps
+        at visible_through and excludes aborted (fenced) ranges.  None
+        when the table predates overlay metadata (everything visible)."""
+        meta = self._overlay_meta()
+        if meta is None:
+            return None
+        absv = F.abs(F.col(VERSION_COL))
+        cond = absv <= F.lit(int(meta["visible_through"]))
+        for lo, hi in meta.get("aborted", []):
+            cond = cond & ~absv.between(int(lo), int(hi))
+        return cond
+
+    def _pending_overlay(self) -> DataFrame | None:
+        """Committed-but-unfolded changelog rows (ct < abs(version) <=
+        vt, aborted ranges excluded), or None when nothing is pending.
+        The _vbucket partitioning prunes the history scan to the tail."""
+        meta = self._overlay_meta()
+        if meta is None:
+            return None
+        ct, vt = int(meta["compacted_through"]), int(meta["visible_through"])
+        if vt <= ct:
+            return None
+        absv = F.abs(F.col(VERSION_COL))
+        cond = (absv > ct) & (absv <= vt)
+        for lo, hi in meta.get("aborted", []):
+            cond = cond & ~absv.between(int(lo), int(hi))
+        return (
+            self.changelog()
+            .filter(F.col(VBUCKET_COL) >= ct // VBUCKET_SIZE)
+            .filter(cond)
+            .select(*self.spec.column_names())
+        )
+
+    def _mark_compacted(self) -> None:
+        """After a fold (merge write / compact): ct := vt := the max
+        version now in current/.  Monotonic — vacuum may physically
+        remove the max-version tombstone, and regressing ct would
+        resurrect folded changelog rows as overlay."""
+        stats = self._current_stats_max()
+        meta = self._overlay_meta() or {"aborted": []}
+        ct = max(stats, int(meta.get("compacted_through", 0)))
+        meta["compacted_through"] = ct
+        meta["visible_through"] = max(ct, int(meta.get("visible_through", 0)))
+        self._write_overlay_meta(meta)
+
+    def _mark_visible(self, vt_new: int) -> None:
+        """After a changelog-append write: publish versions up to
+        ``vt_new`` (ct unchanged — the rows live only in the changelog
+        until the next fold).  Enrolled tables STAGE the watermark in
+        the open transaction instead — nothing becomes durable until
+        the txn's single manifest commit."""
+        if self.txn is not None:
+            self.txn.stage(self, vt_new)
+            return
+        meta = self._overlay_meta()
+        if meta is None:
+            meta = {"compacted_through": self._current_stats_max(), "aborted": []}
+        meta["visible_through"] = max(int(meta.get("visible_through", 0)), vt_new)
+        self._write_overlay_meta(meta)
+
+    def _stamp_base(self) -> int:
+        """The version to stamp the next batch above: the visibility
+        watermark, raised past any FENCED range (aborted ranges sit
+        above vt until a fold passes them; stamping into one would
+        collide with a crashed writer's orphaned rows).  Metadata-only —
+        the happy path runs no Spark job here; orphan DETECTION happens
+        on the failure paths (:meth:`_fence_orphans` from the
+        transaction's exception handler and the stale-lock steal)."""
+        meta = self._overlay_meta()
+        if meta is None:
+            return self.max_version()
+        base = int(meta["visible_through"])
+        for _lo, hi in meta.get("aborted", []):
+            base = max(base, int(hi))
+        return base
+
+    def _orphan_range(self) -> tuple[int, int] | None:
+        """The un-published changelog tail, if any: (lo, hi) abs-version
+        range above the visibility watermark and every existing fence.
+        One footer-stats job; failure-path only."""
+        meta = self._overlay_meta()
+        if meta is None:
+            return None
+        floor = int(meta["visible_through"])
+        for _lo, hi in meta.get("aborted", []):
+            floor = max(floor, int(hi))
+        phys = self._changelog_phys_max(floor // VBUCKET_SIZE)
+        return (floor + 1, phys) if phys > floor else None
+
+    def _fence_orphans(self) -> None:
+        """Record any un-published changelog tail (rows above the
+        visibility watermark and existing fences) as an aborted range,
+        so no later write stamps into it and no read ever sees it —
+        the reference discards unfinished op batches on journal replay
+        (DistributedOperationQueue.java:82-103).  Called on the failure
+        paths only: after a write body raises (while still holding the
+        commit reservation, so the probe is serialized against other
+        writers) and after stealing a crashed writer's expired lock.
+        Tables enrolled in a TransactionLog fence through its manifest
+        instead (the txn context's failure path)."""
+        rng = self._orphan_range()
+        if rng is None:
+            return
+        meta = self._overlay_meta()
+        meta.setdefault("aborted", []).append(list(rng))
+        self._write_overlay_meta(meta)
+
+    # -- reads (continued) -------------------------------------------------
+
     def snapshot(self) -> DataFrame:
-        """All current rows including tombstones."""
+        """All current rows including tombstones — current/ plus the
+        pending changelog overlay, LWW-merged.
+
+        The overlay merge never shuffles the table: the (small, bounded
+        by ``append_threshold``) overlay is LWW-collapsed on its own,
+        then its key set broadcast-splits current/ into uncontested
+        rows (kept as-is via a broadcast anti-join) and contested rows
+        (broadcast semi-join, re-merged with the overlay in a window
+        over only that small set).  With nothing pending this is
+        exactly the bare current/ scan."""
         df = self._read_current_raw()
-        return df.drop(KBUCKET_COL) if self.num_buckets else df
+        cur = df.drop(KBUCKET_COL) if self.num_buckets else df
+        pend = self._pending_overlay()
+        if pend is None:
+            return cur
+        pk = list(self.spec.primary_key)
+        ov = _latest_by_abs_version(pend, pk)
+        ovk = ov.select(*pk)
+        contested = cur.join(F.broadcast(ovk), pk, "left_semi")
+        merged = _latest_by_abs_version(contested.unionByName(ov), pk)
+        return cur.join(F.broadcast(ovk), pk, "left_anti").unionByName(merged)
 
     def live(self) -> DataFrame:
         """P5: the live view — tombstones stripped."""
@@ -224,11 +483,15 @@ class VersionedTable:
             }
         )
         raw = self._read_current_raw().filter(F.col(KBUCKET_COL).isin(buckets))
-        return (
-            raw.drop(KBUCKET_COL)
-            .filter(F.col(VERSION_COL) >= 0)
-            .join(F.broadcast(keys), pk, "left_semi")
-        )
+        hit = raw.drop(KBUCKET_COL).join(F.broadcast(keys), pk, "left_semi")
+        pend = self._pending_overlay()
+        if pend is not None:
+            # append-path writes live only in the changelog until the
+            # next fold: point reads must LWW-merge the (keys-bounded)
+            # overlay slice over the pruned bucket scan
+            rel = pend.join(F.broadcast(keys), pk, "left_semi")
+            hit = _latest_by_abs_version(hit.unionByName(rel), pk)
+        return hit.filter(F.col(VERSION_COL) >= 0)
 
     def max_version(self) -> int:
         """A7: the version counter (max abs(version)); parquet column
@@ -289,6 +552,10 @@ class VersionedTable:
             try:  # steal a crashed writer's expired lease
                 if time.time() - os.path.getmtime(lock) > LOCK_TTL_SEC:
                     os.unlink(lock)
+                    # the dead writer may have appended without
+                    # publishing — fence its tail once we next hold
+                    # the reservation
+                    self._fence_after_acquire = True
             except OSError:
                 pass
             return None
@@ -299,19 +566,39 @@ class VersionedTable:
     def _transact(self, body: Callable[[], object], op: str) -> object:
         """Run ``body`` (the full read-stamp-merge-write of one write
         op) holding the next commit reservation; retry with backoff
-        when a concurrent writer holds it."""
+        when a concurrent writer holds it.
+
+        Enrolled tables delegate serialization AND atomicity to the
+        shared TransactionLog: inside an open transaction the body runs
+        directly (the outer context holds the single lock); a bare call
+        opens a one-verb transaction around the body."""
+        if self.txn is not None:
+            if self.txn.active:
+                return body()
+            with self.txn.transaction():
+                return body()
         for attempt in range(_MAX_COMMIT_RETRIES):
             nxt = self.last_commit_id() + 1
             lock = self._reserve_commit(nxt)
             if lock is None:
                 time.sleep(min(0.05 * (attempt + 1), 1.0))
                 continue
+            if getattr(self, "_fence_after_acquire", False):
+                try:
+                    self._fence_orphans()
+                finally:
+                    self._fence_after_acquire = False
             try:
                 result = body()
             except BaseException:
                 # failed writes release the reservation (no commit id
-                # is burned; the changelog may hold a partial batch but
-                # its versions never enter current state)
+                # is burned); any half-appended changelog tail is
+                # fenced FIRST — while this writer still serializes the
+                # table — so no later write can stamp into it
+                try:
+                    self._fence_orphans()
+                except Exception:
+                    pass
                 try:
                     os.unlink(lock)
                 except OSError:
@@ -328,8 +615,148 @@ class VersionedTable:
         )
 
     # -- writes (U1-U4) ----------------------------------------------------
+    #
+    # Every write takes a ``mode``:
+    #
+    # - ``merge`` — stamp, append to the changelog, LWW-merge into
+    #   current/ (read touched buckets, rewrite them).  Amortizes well
+    #   for bulk batches; pays a fixed multi-job floor per call.
+    # - ``append`` — stamp, append to the changelog, publish via the
+    #   visibility watermark and STOP.  No bucket is read or rewritten;
+    #   reads overlay the pending tail until the next merge-mode write
+    #   or ``compact()`` folds it down.  This is the small-batch /
+    #   high-churn path (SCALE.md §12) — the engine's analog of the
+    #   reference's B-tree point update (FileRepository.updateInternal
+    #   :226-286), where a rename is one index write, not a segment
+    #   rewrite.
+    # - ``auto`` — append iff the batch is at or below
+    #   ``append_threshold`` rows (row count comes free from the
+    #   stamping pass), else merge.
 
-    def upsert(self, rows: DataFrame, overwrite: bool = True) -> int:
+    # Spec types the driver-side small-batch writer can emit with exact
+    # parquet physical-type parity to Spark's writer; anything else
+    # (timestamp, array) falls back to the distributed append.
+    _DRIVER_PA_TYPES = {
+        "boolean", "byte", "short", "int", "long",
+        "float", "double", "string", "binary",
+    }
+
+    def _driver_appendable(self) -> bool:
+        return all(c.type in self._DRIVER_PA_TYPES for c in self.spec.columns)
+
+    def _driver_append_rows(
+        self, rows: list, op: str, base: int, negate: bool = False
+    ) -> int:
+        """Stamp and changelog-append a SMALL batch entirely driver-side
+        — zero Spark jobs.  ``rows`` are collected Rows bounded by
+        ``append_threshold`` (metadata-scale, like every other bounded
+        collect in this engine); versions are assigned densely in pk
+        order and the parquet file(s) are written with pyarrow straight
+        into the changelog's version-bucket directories, byte-compatible
+        with Spark-written changelog files (same columns, same types,
+        snappy).  This is the engine's closest analog of the reference's
+        single-process B-tree point update (FileRepository.
+        updateInternal :226-286): a rename touches one index page there,
+        one small parquet file here — not a bucket rewrite, not even a
+        Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.txn is not None and self.txn.active:
+            self.txn.touch(self)
+        pa_types = {
+            "boolean": pa.bool_(), "byte": pa.int8(), "short": pa.int16(),
+            "int": pa.int32(), "long": pa.int64(), "float": pa.float32(),
+            "double": pa.float64(), "string": pa.string(), "binary": pa.binary(),
+        }
+        pk = list(self.spec.primary_key)
+        rows = sorted(rows, key=lambda r: tuple((r[k] is None, r[k]) for k in pk))
+        by_vb: dict[int, list] = {}
+        for i, r in enumerate(rows):
+            v = base + i + 1
+            if negate:
+                v = -v
+            by_vb.setdefault(abs(v) // VBUCKET_SIZE, []).append((r, v))
+        for vb, rs in by_vb.items():
+            d = os.path.join(self.changelog_path, f"{VBUCKET_COL}={vb}")
+            os.makedirs(d, exist_ok=True)
+            names = [c.name for c in self.spec.columns] + [VERSION_COL, OP_COL]
+            arrays = [
+                pa.array([r[c.name] for r, _ in rs], pa_types[c.type])
+                for c in self.spec.columns
+            ]
+            arrays.append(pa.array([v for _, v in rs], pa.int64()))
+            arrays.append(pa.array([op] * len(rs), pa.string()))
+            pq.write_table(
+                pa.Table.from_arrays(arrays, names=names),
+                os.path.join(d, f"part-{uuid.uuid4().hex}.snappy.parquet"),
+                compression="snappy",
+            )
+        return len(rows)
+
+    def _try_driver_append(
+        self, hit: DataFrame, op: str, base: int, negate: bool = False
+    ) -> int | None:
+        """Attempt the driver-side append for ``hit``: collect up to
+        ``append_threshold`` rows (take() lets point predicates stop
+        early); returns the new watermark, or None when the batch is
+        too large or the schema unsupported — caller falls back to a
+        distributed path."""
+        if not self._driver_appendable():
+            return None
+        rows = hit.take(self.append_threshold + 1)
+        if len(rows) > self.append_threshold:
+            return None
+        n = self._driver_append_rows(rows, op, base, negate)
+        self._mark_visible(base + n)
+        return base + n
+
+    def _publish(self, stamped_ops: DataFrame, op: str, vt_new: int, mode: str) -> None:
+        """Common write tail: changelog append + either fold (merge)
+        or visibility bump (append)."""
+        self._append_changelog(stamped_ops)
+        if mode == "append":
+            self._mark_visible(vt_new)
+        else:
+            self._merge_write(stamped_ops.drop(OP_COL))
+
+    def _route(self, mode: str, n_rows: int) -> str:
+        if mode == "auto":
+            return "append" if n_rows <= self.append_threshold else "merge"
+        if mode not in ("merge", "append"):
+            raise ValueError(f"unknown write mode {mode!r}")
+        return mode
+
+    def _write_op(
+        self, hit: DataFrame, op: str, mode: str, negate: bool = False
+    ) -> tuple[int, int]:
+        """Shared write tail (runs inside ``_transact``): stamp + publish
+        ``hit`` under ``mode``; returns (new watermark, rows written).
+
+        ``append``/``auto`` first try the driver-side small-batch
+        writer (zero Spark jobs past the bounded collect); a too-large
+        batch falls back to the distributed stamp — to a changelog-only
+        publish for explicit ``append``, to a fold for ``auto``."""
+        if mode not in ("merge", "append", "auto"):
+            raise ValueError(f"unknown write mode {mode!r}")
+        if self.txn is not None:
+            # a fold inside an uncommitted transaction would leak rows
+            # into current/ before the manifest commit — enrolled
+            # tables always publish through the changelog
+            mode = "append"
+        pk = list(self.spec.primary_key)
+        base = self._stamp_base()
+        if mode in ("append", "auto"):
+            vt = self._try_driver_append(hit, op, base, negate)
+            if vt is not None:
+                return vt, vt - base
+            mode = "append" if mode == "append" else "merge"
+        stamped, n = _stamp_versions_n(hit, pk, base, negate)
+        stamped = self._cast_spec(stamped)
+        self._publish(stamped.withColumn(OP_COL, F.lit(op)), op, base + n, mode)
+        return base + n, n
+
+    def upsert(self, rows: DataFrame, overwrite: bool = True, mode: str = "merge") -> int:
         """U1: insert-with-overwrite-flag (insertInternal :281-296).
 
         ``overwrite=False`` raises if any incoming pk already exists
@@ -340,20 +767,18 @@ class VersionedTable:
 
         def body() -> int:
             pk = list(self.spec.primary_key)
-            cur = self.snapshot()
             if not overwrite:
-                clash = rows.join(cur.filter(F.col(VERSION_COL) >= 0), pk, "left_semi")
+                live = self.snapshot().filter(F.col(VERSION_COL) >= 0)
+                clash = rows.join(live, pk, "left_semi")
                 if clash.take(1):
                     raise ValueError("upsert(overwrite=False): key already exists")
-            base = self.max_version()
-            stamped = _stamp_versions(rows, pk, base).select(*self.spec.column_names())
-            self._append_changelog(stamped.withColumn(OP_COL, F.lit("UPSERT")))
-            self._merge_write(stamped)
-            return self.max_version()
+            return self._write_op(rows, "UPSERT", mode)[0]
 
         return self._transact(body, "UPSERT")  # type: ignore[return-value]
 
-    def update_where(self, predicate, assignments: dict[str, object]) -> int:
+    def update_where(
+        self, predicate, assignments: dict[str, object], mode: str = "merge"
+    ) -> int:
         """U2: field-masked update — read-modify-write of matching rows,
         version bumped (updateInternal :298-314; the bitmask of
         File.update :118-134 becomes the ``assignments`` dict).
@@ -364,18 +789,15 @@ class VersionedTable:
             cur = self.snapshot()
             live = cur.filter(F.col(VERSION_COL) >= 0)
             hit = live.filter(predicate)
-            base = self.max_version()
             upd = hit
             for col, val in assignments.items():
                 upd = upd.withColumn(col, val if hasattr(val, "_jc") else F.lit(val))
-            upd = _stamp_versions(upd, pk, base).select(*self.spec.column_names())
-            self._append_changelog(upd.withColumn(OP_COL, F.lit("UPDATE")))
-            self._merge_write(upd)
-            return self.max_version()
+            upd = self._cast_spec(upd)
+            return self._write_op(upd, "UPDATE", mode)[0]
 
         return self._transact(body, "UPDATE")  # type: ignore[return-value]
 
-    def delete_where(self, predicate) -> int:
+    def delete_where(self, predicate, mode: str = "merge") -> int:
         """U3: tombstone delete — matching live rows get version =
         −(next version) and stay (deleteInternal :316-330).
         Returns the new max version (post-write watermark)."""
@@ -384,13 +806,7 @@ class VersionedTable:
             pk = list(self.spec.primary_key)
             cur = self.snapshot()
             hit = cur.filter(F.col(VERSION_COL) >= 0).filter(predicate)
-            base = self.max_version()
-            tomb = _stamp_versions(hit, pk, base, negate=True).select(
-                *self.spec.column_names()
-            )
-            self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
-            self._merge_write(tomb)
-            return self.max_version()
+            return self._write_op(hit, "DELETE", mode, negate=True)[0]
 
         return self._transact(body, "DELETE")  # type: ignore[return-value]
 
@@ -399,17 +815,21 @@ class VersionedTable:
         semi-joined against the key DataFrame, tombstone-stamped.  Kept
         separate so plan tests can assert the key set stays distributed
         (LeftSemi join — never a collect()+isin literal)."""
+        return self._tombstones_for_keys_n(keys)[0]
+
+    def _tombstones_for_keys_n(self, keys: DataFrame) -> tuple[DataFrame, int, int]:
+        """(tombstones, stamp base, row count) — count comes free from
+        the stamping pass."""
         pk = list(self.spec.primary_key)
         cur = self.snapshot()
         hit = cur.filter(F.col(VERSION_COL) >= 0).join(
             keys.select(*[c for c in keys.columns if c in pk]), pk, "left_semi"
         )
-        base = self.max_version()
-        return _stamp_versions(hit, pk, base, negate=True).select(
-            *self.spec.column_names()
-        )
+        base = self._stamp_base()
+        tomb, n = _stamp_versions_n(hit, pk, base, negate=True)
+        return self._cast_spec(tomb), base, n
 
-    def delete_where_keys(self, keys: DataFrame) -> int:
+    def delete_where_keys(self, keys: DataFrame, mode: str = "merge") -> int:
         """U3 set-based form: tombstone every live row whose pk appears
         in ``keys`` (a DataFrame holding pk columns).  This is the H5
         recursive-delete write path (StateManager.deleteFileByFile
@@ -418,15 +838,38 @@ class VersionedTable:
         rows tombstoned."""
 
         def body() -> int:
-            tomb = self._tombstones_for_keys(keys)
-            n = tomb.count()
-            if n == 0:
-                return 0
-            self._append_changelog(tomb.withColumn(OP_COL, F.lit("DELETE")))
-            self._merge_write(tomb)
-            return n
+            pk = list(self.spec.primary_key)
+            hit = self.snapshot().filter(F.col(VERSION_COL) >= 0).join(
+                keys.select(*[c for c in keys.columns if c in pk]), pk, "left_semi"
+            )
+            return self._write_op(hit, "DELETE", mode, negate=True)[1]
 
         return self._transact(body, "DELETE")  # type: ignore[return-value]
+
+    def append_ops(self, ops: DataFrame, op: str = "APPLY") -> int:
+        """Changelog-append-ONLY apply of fully-stamped signed rows (the
+        U4 shape: full row schema incl. ``version``; tombstones carry a
+        negative sign).  Nothing in current/ is touched — the rows are
+        published through the visibility watermark and folded by the
+        next merge-mode write or ``compact()``.  Returns the new
+        visibility watermark.  This is the SCALE.md §12 high-churn
+        ingest surface: append micro-batches at O(batch) cost, pay the
+        rewrite once per compaction cycle."""
+
+        def body() -> int:
+            rows = self._cast_spec(ops)
+            row = rows.agg(F.max(VERSION_COL), F.min(VERSION_COL)).first()
+            vt_new = max(int(row[0] or 0), -int(row[1] or 0), 0)
+            self._publish(
+                rows.withColumn(OP_COL, F.lit(op)), op, vt_new, "append"
+            )
+            return max(vt_new, self.last_visible())
+
+        return self._transact(body, op)  # type: ignore[return-value]
+
+    def last_visible(self) -> int:
+        meta = self._overlay_meta()
+        return int(meta["visible_through"]) if meta else self.max_version()
 
     def apply_directly(self, ops: DataFrame) -> None:
         """U4: idempotent replay — apply incoming rows only where
@@ -434,8 +877,12 @@ class VersionedTable:
         insert/update/deleteDirectly :420-470).  ``ops`` must carry the
         full row schema including signed ``version``."""
 
+        if self.txn is not None:
+            self.append_ops(ops)
+            return
+
         def body() -> None:
-            rows = ops.select(*self.spec.column_names())
+            rows = self._cast_spec(ops)
             self._append_changelog(rows.withColumn(OP_COL, F.lit("APPLY")))
             self._merge_write(rows)
 
@@ -449,11 +896,17 @@ class VersionedTable:
     def delta(self, from_version: int, to_version: int) -> DataFrame:
         """D2: version-range delta extraction (getDataIncrement
         :221-249): change-log rows with abs(version) ∈ [from, to].
-        The _vbucket partitioning prunes history directories."""
+        The _vbucket partitioning prunes history directories.  Only
+        COMMITTED rows qualify — fenced (aborted) ranges and anything
+        past the visibility watermark are excluded, so a replica can
+        never sync a crashed writer's half-batch."""
         lo_b, hi_b = from_version // VBUCKET_SIZE, to_version // VBUCKET_SIZE
         log = self.changelog().filter(
             (F.col(VBUCKET_COL) >= lo_b) & (F.col(VBUCKET_COL) <= hi_b)
         )
+        vis = self._visible_cond()
+        if vis is not None:
+            log = log.filter(vis)
         return log.filter(F.abs(F.col(VERSION_COL)).between(from_version, to_version)).drop(
             VBUCKET_COL
         )
@@ -468,6 +921,9 @@ class VersionedTable:
         (:meth:`live_as_of`)."""
         hi_b = version // VBUCKET_SIZE
         log = self.changelog().filter(F.col(VBUCKET_COL) <= hi_b)
+        vis = self._visible_cond()
+        if vis is not None:
+            log = log.filter(vis)
         log = log.filter(F.abs(F.col(VERSION_COL)) <= version).drop(
             VBUCKET_COL, OP_COL
         )
@@ -554,6 +1010,8 @@ class VersionedTable:
                 )
             else:
                 self._write_current(snap, sort_cols=sort_cols)
+            # snapshot() folded any pending overlay into the rewrite
+            self._mark_compacted()
 
         self._transact(body, "COMPACT")
 
@@ -641,20 +1099,29 @@ class VersionedTable:
         Bucketed tables: prune the read to the touched pk-hash buckets
         and dynamically overwrite only those partitions — write cost is
         O(touched buckets), not O(table).  Unbucketed: full rewrite via
-        the tmp-swap path."""
+        the tmp-swap path.
+
+        Any pending changelog overlay (append-mode writes not yet
+        folded) rides along in the same merge, so after every merge
+        write current/ is complete through the new watermark and reads
+        drop back to the bare scan."""
         pk = list(self.spec.primary_key)
-        delta_rows = delta_rows.select(*self.spec.column_names())
+        delta_rows = self._cast_spec(delta_rows)
+        pend = self._pending_overlay()
+        if pend is not None:
+            delta_rows = delta_rows.unionByName(pend)
         if not self.num_buckets:
-            merged = _latest_by_abs_version(
-                self.snapshot().unionByName(delta_rows), pk
-            )
+            raw = self._read_current_raw()
+            merged = _latest_by_abs_version(raw.unionByName(delta_rows), pk)
             self._write_current(merged)
+            self._mark_compacted()
             return
         with_kb = delta_rows.withColumn(KBUCKET_COL, self._kbucket())
         touched = [r[0] for r in with_kb.select(KBUCKET_COL).distinct().collect()]
         cur = self._read_current_raw().filter(F.col(KBUCKET_COL).isin(touched))
         merged = _latest_by_abs_version(cur.unionByName(with_kb), pk)
         self._write_partitions(merged)
+        self._mark_compacted()
 
     def _write_partitions(
         self, df_with_kb: DataFrame, sort_cols: Sequence[str] | None = None
@@ -695,7 +1162,206 @@ class VersionedTable:
         shutil.rmtree(tmp, ignore_errors=True)
 
     def _append_changelog(self, ops: DataFrame) -> None:
+        if self.txn is not None and self.txn.active:
+            self.txn.touch(self)
         out = ops.withColumn(
             VBUCKET_COL, (F.abs(F.col(VERSION_COL)) / VBUCKET_SIZE).cast("long")
         )
         out.write.mode("append").partitionBy(VBUCKET_COL).parquet(self.changelog_path)
+
+
+class TransactionLog:
+    """Cross-table atomic commits — the engine's analog of the single
+    FSNamesystem lock under which the reference mutates ``file`` +
+    ``block`` + ``lease`` and ships the result as ONE dependency-ordered
+    op batch (DistributedOperationQueue.getOperations :82-103; create
+    path FSNamesystem.startFileInternal :842-870 → allocateBlock
+    :1157-1187).
+
+    Mechanism: every enrolled table's mutations go changelog-append-only
+    (rows are physically written but carry versions above the table's
+    visibility watermark), and the watermark for ALL enrolled tables
+    lives in ONE manifest — ``<root>/_txn/<N>.commit``, a cumulative
+    JSON written via the same put-if-absent lock + atomic-rename
+    protocol as the per-table commit sequence.  A multi-table verb
+    appends to each table, then the transaction commits ONE manifest
+    raising every touched table's watermark together: readers see all
+    of the verb's writes or none of them.
+
+    Failure atomicity: a transaction that raises (or a writer that
+    dies) leaves appended rows above the committed watermarks; the
+    failure path — the context's exception handler, or the next writer
+    after stealing the expired lock — records those tails as fenced
+    (aborted) ranges in a fence-only manifest commit, so they stay
+    invisible forever and later writers stamp past them.
+
+    Read-your-own-writes: inside an open transaction the writer's own
+    staged watermarks merge into the visibility it reads, so a verb can
+    resolve state it created earlier in the same transaction (mkdir -p
+    creating a chain of components) while other readers still see the
+    pre-transaction state.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.tables: dict[str, VersionedTable] = {}
+        self._staged: dict[str, int] | None = None
+        self._touched: set[str] = set()
+        self._fence_after_acquire = False
+
+    @property
+    def commits_path(self) -> str:
+        return os.path.join(self.root, "_txn")
+
+    def enroll(self, table: VersionedTable) -> VersionedTable:
+        self.tables[table.spec.name] = table
+        table.txn = self
+        return table
+
+    @property
+    def active(self) -> bool:
+        return self._staged is not None
+
+    # -- manifest ----------------------------------------------------------
+
+    def last_commit_id(self) -> int:
+        if not os.path.isdir(self.commits_path):
+            return 0
+        ids = [
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.commits_path)
+            if f.endswith(".commit")
+        ]
+        return max(ids, default=0)
+
+    def latest(self) -> dict:
+        cid = self.last_commit_id()
+        if cid == 0:
+            return {"tables": {}}
+        try:
+            with open(os.path.join(self.commits_path, f"{cid}.commit")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"tables": {}}
+
+    def table_meta(self, name: str) -> dict | None:
+        m = self.latest()["tables"].get(name)
+        if self.active and name in self._staged:
+            m = dict(m) if m else {"visible_through": 0, "aborted": []}
+            m["visible_through"] = max(
+                int(m.get("visible_through", 0)), self._staged[name]
+            )
+        return m
+
+    # -- in-transaction staging -------------------------------------------
+
+    def stage(self, table: VersionedTable, vt_new: int) -> None:
+        if not self.active:
+            raise RuntimeError("stage() outside an open transaction")
+        name = table.spec.name
+        self._touched.add(name)
+        self._staged[name] = max(self._staged.get(name, 0), int(vt_new))
+
+    def touch(self, table: VersionedTable) -> None:
+        self._touched.add(table.spec.name)
+
+    # -- lock + commit protocol -------------------------------------------
+
+    def _reserve(self, cid: int) -> str | None:
+        os.makedirs(self.commits_path, exist_ok=True)
+        lock = os.path.join(self.commits_path, f"{cid}.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:  # steal a crashed writer's expired lease
+                if time.time() - os.path.getmtime(lock) > LOCK_TTL_SEC:
+                    os.unlink(lock)
+                    # the dead writer may have appended to ANY enrolled
+                    # table without publishing — fence all tails under
+                    # the next reservation
+                    self._fence_after_acquire = True
+            except OSError:
+                pass
+            return None
+        os.write(fd, f"pid={os.getpid()} ts={time.time()}\n".encode())
+        os.close(fd)
+        return lock
+
+    def _commit(
+        self, lock: str, cid: int, staged: dict[str, int], fence_names: set[str]
+    ) -> None:
+        """Write the cumulative manifest into the lock file and rename
+        it to ``<cid>.commit`` — the manifest is written LAST and
+        appears atomically with full content."""
+        manifest = self.latest()
+        tables = manifest.setdefault("tables", {})
+        for name in sorted(fence_names):
+            t = self.tables.get(name)
+            if t is None:
+                continue
+            try:
+                rng = t._orphan_range()
+            except Exception:
+                rng = None
+            if rng:
+                e = tables.setdefault(name, {"visible_through": 0, "aborted": []})
+                e.setdefault("aborted", []).append(list(rng))
+        for name, vt in staged.items():
+            e = tables.setdefault(name, {"visible_through": 0, "aborted": []})
+            e["visible_through"] = max(int(e.get("visible_through", 0)), vt)
+        with open(lock, "w") as f:
+            json.dump(manifest, f)
+        os.replace(lock, os.path.join(self.commits_path, f"{cid}.commit"))
+
+    def transaction(self):
+        """Context manager: one atomic multi-table commit scope."""
+        return _Transaction(self)
+
+
+class _Transaction:
+    def __init__(self, log: TransactionLog):
+        self.log = log
+        self._lock: str | None = None
+        self._cid = 0
+
+    def __enter__(self) -> TransactionLog:
+        log = self.log
+        if log.active:
+            raise RuntimeError("transactions do not nest")
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            nxt = log.last_commit_id() + 1
+            lock = log._reserve(nxt)
+            if lock is None:
+                time.sleep(min(0.05 * (attempt + 1), 1.0))
+                continue
+            if log._fence_after_acquire:
+                # burn this commit id on a fence-only manifest covering
+                # every enrolled table, then reserve a fresh one
+                log._fence_after_acquire = False
+                log._commit(lock, nxt, {}, set(log.tables))
+                continue
+            self._lock, self._cid = lock, nxt
+            log._staged, log._touched = {}, set()
+            return log
+        raise WriteConflictError(
+            f"could not reserve txn commit after {_MAX_COMMIT_RETRIES} attempts"
+        )
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        log = self.log
+        staged, touched = log._staged or {}, log._touched
+        log._staged, log._touched = None, set()
+        if exc_type is None:
+            log._commit(self._lock, self._cid, staged, set())
+        else:
+            # failed verb: publish NOTHING; fence every touched table's
+            # appended tail in a fence-only commit (still holding the
+            # lock, so the probe is serialized)
+            try:
+                log._commit(self._lock, self._cid, {}, touched | set(staged))
+            except Exception:
+                try:
+                    os.unlink(self._lock)
+                except OSError:
+                    pass
+        return False

@@ -253,24 +253,39 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
         "per_sec": int(n_new / (time.time() - t0)),
     }
     # rename: move every customer of one nation under another (masked
-    # parentId update — the set-at-a-time form of rename's U2)
+    # parentId update — the set-at-a-time form of rename's U2).  Small
+    # mutation batches take the changelog-APPEND path — one changelog
+    # write + visibility bump, no bucket rewrite — matching the
+    # reference's B-tree point-update cost shape
+    # (FileRepository.updateInternal :226-286); the deferred fold is
+    # timed separately below as ``compact_after_ops``.
     n_moved = ns.filter(F.col("parentId") == 105).count()
     t0 = time.time()
-    t.update_where(F.col("parentId") == 105, {"parentId": F.lit(106)})
+    t.update_where(F.col("parentId") == 105, {"parentId": F.lit(106)}, mode="append")
     out["rename"] = {
         "entities": n_moved,
         "sec": round(time.time() - t0, 3),
         "per_sec": int(max(n_moved, 1) / (time.time() - t0)),
     }
     # delete: guarded recursive subtree tombstone via semi-join keys
+    # (auto mode: subtree-sized batches append, huge ones fold)
     del_keys = recursive_delete_set(ns, 1, recursive=True)
     n_del = del_keys.count()
     t0 = time.time()
-    t.delete_where_keys(del_keys.select(F.col("id")))
+    t.delete_where_keys(del_keys.select(F.col("id")), mode="auto")
     out["delete"] = {
         "entities": n_del,
         "sec": round(time.time() - t0, 3),
         "per_sec": int(n_del / (time.time() - t0)),
+    }
+    # the deferred cost the append path amortizes: one fold covering
+    # BOTH ops above (entities = total rows folded)
+    t0 = time.time()
+    t.compact()
+    out["compact_after_ops"] = {
+        "entities": n_moved + n_del,
+        "sec": round(time.time() - t0, 3),
+        "per_sec": int(max(n_moved + n_del, 1) / (time.time() - t0)),
     }
     ns.unpersist()
     paths.unpersist()

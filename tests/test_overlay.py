@@ -1,0 +1,209 @@
+"""Changelog-append write mode: overlay reads, fold-down, crash fencing.
+
+The append path is the engine's analog of the reference's B-tree point
+update (FileRepository.updateInternal :226-286): small mutation batches
+append to the changelog and publish via a visibility watermark instead
+of rewriting buckets; reads LWW-merge the pending tail; a merge write or
+compact() folds it down.  Crashed half-writes are fenced into aborted
+version ranges and stay invisible forever (the reference discards
+unfinished op batches on journal replay,
+DistributedOperationQueue.java:82-103).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adfs_spark.schema import ColumnSpec, TableSpec
+from adfs_spark.storage import OP_COL, VersionedTable
+
+SPEC = TableSpec(
+    name="ovl",
+    columns=(ColumnSpec("k", "long"), ColumnSpec("v", "string")),
+    primary_key=("k",),
+    versioned=True,
+)
+
+
+def _mk(spark, tmp_path, n=20, num_buckets=0, name="t"):
+    t = VersionedTable(spark, SPEC, str(tmp_path / name), num_buckets=num_buckets)
+    t.init(
+        spark.createDataFrame([(i, f"v{i}") for i in range(n)], "k: long, v: string")
+    )
+    return t
+
+
+def _live(t):
+    return {r["k"]: r["v"] for r in t.live().collect()}
+
+
+@pytest.mark.parametrize("num_buckets", [0, 8])
+def test_append_mode_reads_equal_merge_mode(spark, tmp_path, num_buckets):
+    """The same op sequence through append and merge modes must yield
+    identical live views — the overlay read path is semantically
+    invisible."""
+    a = _mk(spark, tmp_path, num_buckets=num_buckets, name="a")
+    m = _mk(spark, tmp_path, num_buckets=num_buckets, name="m")
+    for t, mode in ((a, "append"), (m, "merge")):
+        t.upsert(
+            spark.createDataFrame([(2, "X"), (30, "new")], "k: long, v: string"),
+            mode=mode,
+        )
+        t.update_where(F.col("k") % 5 == 0, {"v": F.lit("five")}, mode=mode)
+        t.delete_where(F.col("k") == 7, mode=mode)
+    assert _live(a) == _live(m)
+    assert a.max_version() == m.max_version()
+    # append table: current/ untouched since init, everything pending
+    meta = a._overlay_meta()
+    assert meta["visible_through"] > meta["compacted_through"]
+    # merge table: fully folded
+    meta_m = m._overlay_meta()
+    assert meta_m["visible_through"] == meta_m["compacted_through"]
+
+
+def test_append_then_merge_write_folds_overlay(spark, tmp_path):
+    t = _mk(spark, tmp_path, num_buckets=4)
+    t.update_where(F.col("k") == 3, {"v": F.lit("three")}, mode="append")
+    t.delete_where(F.col("k") == 4, mode="append")
+    assert t._pending_overlay() is not None
+    # a merge-mode write folds its own delta AND the pending tail
+    t.upsert(spark.createDataFrame([(50, "fifty")], "k: long, v: string"), mode="merge")
+    assert t._pending_overlay() is None
+    live = _live(t)
+    assert live[3] == "three" and 4 not in live and live[50] == "fifty"
+    # folded rows are physically in current/ (raw read, no overlay)
+    raw = {r["k"]: r["v"] for r in t._read_current_raw().filter("version >= 0").collect()}
+    assert raw == live
+
+
+def test_compact_folds_overlay_and_plan_is_bare_scan(spark, tmp_path):
+    t = _mk(spark, tmp_path, num_buckets=4)
+    t.update_where(F.col("k") == 1, {"v": F.lit("one")}, mode="append")
+    before = _live(t)
+    t.compact()
+    assert t._pending_overlay() is None
+    assert _live(t) == before
+    # with nothing pending, snapshot() is the bare current/ scan
+    plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_point_lookup_sees_overlay(spark, tmp_path):
+    t = _mk(spark, tmp_path, num_buckets=8)
+    t.upsert(spark.createDataFrame([(100, "hundred")], "k: long, v: string"), mode="append")
+    t.update_where(F.col("k") == 2, {"v": F.lit("TWO")}, mode="append")
+    t.delete_where(F.col("k") == 3, mode="append")
+    got = {r["k"]: r["v"] for r in t.point_lookup([2, 3, 100, 5]).collect()}
+    assert got == {2: "TWO", 100: "hundred", 5: "v5"}
+
+
+def test_auto_mode_routes_by_threshold(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, num_buckets=4)
+    t.append_threshold = 10
+    # 5 rows <= 10 -> append (ct unchanged)
+    t.delete_where_keys(
+        spark.createDataFrame([(i,) for i in range(5)], "k: long"), mode="auto"
+    )
+    m = t._overlay_meta()
+    assert m["visible_through"] > m["compacted_through"]
+    # 50 rows > 10 -> merge (folds everything)
+    t.delete_where_keys(
+        spark.createDataFrame([(i,) for i in range(50, 100)], "k: long"), mode="auto"
+    )
+    m = t._overlay_meta()
+    assert m["visible_through"] == m["compacted_through"]
+    assert t.count() == 45
+
+
+def test_crashed_append_is_fenced_and_invisible(spark, tmp_path, monkeypatch):
+    """A writer that appends changelog rows but fails before publishing
+    leaves orphans above the watermark: the failure handler fences the
+    range (while still holding the commit reservation), reads never see
+    the rows, and the next writer stamps past them — no collision."""
+    t = _mk(spark, tmp_path, n=10)
+    before = _live(t)
+    v0 = t.max_version()
+    # crash injection: the visibility bump raises AFTER the changelog
+    # rows landed (the exact window a real crash hits)
+    real_mark = VersionedTable._mark_visible
+
+    def boom(self, vt_new):
+        raise RuntimeError("crash between append and publish")
+
+    monkeypatch.setattr(VersionedTable, "_mark_visible", boom)
+    with pytest.raises(RuntimeError):
+        t.upsert(
+            spark.createDataFrame([(5, "ORPHAN"), (99, "GHOST")], "k: long, v: string"),
+            mode="append",
+        )
+    monkeypatch.setattr(VersionedTable, "_mark_visible", real_mark)
+    assert _live(t) == before  # orphans invisible
+    meta = t._overlay_meta()
+    assert meta["aborted"] == [[v0 + 1, v0 + 2]]  # fenced by the handler
+    # next write stamps PAST the fenced range — no version collision
+    t.upsert(spark.createDataFrame([(5, "good")], "k: long, v: string"), mode="append")
+    live = _live(t)
+    assert live[5] == "good" and 99 not in live
+    assert t.max_version() == v0 + 3
+    # delta/time travel exclude the fenced range too
+    d = {r["k"] for r in t.delta(v0 + 1, v0 + 3).collect()}
+    assert d == {5}
+    tt = {r["k"]: r["v"] for r in t.live_as_of(v0 + 2).collect()}
+    assert tt == before  # as-of inside the fenced range = pre-crash state
+    # and a fold keeps them out of current/ forever
+    t.compact()
+    assert 99 not in _live(t)
+    raw = {r["k"]: r["v"] for r in t._read_current_raw().filter("version >= 0").collect()}
+    assert raw[5] == "good" and 99 not in raw
+
+
+def test_stale_lock_steal_fences_orphans(spark, tmp_path, monkeypatch):
+    """Hard-kill recovery: a dead writer's expired .lock is stolen and
+    its unpublished changelog tail fenced before the stealer writes."""
+    import os as _os
+    import time as _time
+
+    from adfs_spark import storage as storage_mod
+
+    t = _mk(spark, tmp_path, n=10)
+    v0 = t.max_version()
+    # simulate the hard-killed writer: changelog rows + a held lock,
+    # no publish, no unlink (process died)
+    orphan = spark.createDataFrame(
+        [(5, "ORPHAN", v0 + 1)], "k: long, v: string, version: long"
+    )
+    t._append_changelog(orphan.withColumn(OP_COL, F.lit("UPSERT")))
+    lock = t._reserve_commit(t.last_commit_id() + 1)
+    assert lock is not None
+    # age the lock past the TTL so the next writer steals it
+    old = _time.time() - storage_mod.LOCK_TTL_SEC - 5
+    _os.utime(lock, (old, old))
+    t.upsert(spark.createDataFrame([(5, "good")], "k: long, v: string"), mode="append")
+    meta = t._overlay_meta()
+    assert [v0 + 1, v0 + 1] in meta["aborted"]
+    live = _live(t)
+    assert live[5] == "good"
+    assert t.max_version() == v0 + 2  # stamped past the fence
+
+
+def test_append_ops_publishes_prestamped_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5)
+    v0 = t.max_version()
+    ops = spark.createDataFrame(
+        [(1, "one", v0 + 1), (2, "gone", -(v0 + 2))], "k: long, v: string, version: long"
+    )
+    vt = t.append_ops(ops)
+    assert vt == v0 + 2
+    live = _live(t)
+    assert live[1] == "one" and 2 not in live and live[3] == "v3"
+
+
+def test_time_travel_across_append_writes(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=6)
+    t.update_where(F.col("k") == 0, {"v": F.lit("zero")}, mode="append")
+    mark = t.max_version()
+    t.delete_where(F.col("k") == 1, mode="append")
+    t.upsert(spark.createDataFrame([(77, "late")], "k: long, v: string"), mode="append")
+    tt = {r["k"]: r["v"] for r in t.live_as_of(mark).collect()}
+    assert tt[0] == "zero" and 1 in tt and 77 not in tt
