@@ -45,6 +45,24 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(_id, _h): one row per distinct shingle per document, carrying
+    the shingle's 64-bit xxhash64 instead of its text.  Every consumer
+    (signature minimization, Jaccard set intersection) needs only
+    equality/hash semantics, so the 8-byte key replaces shingle text
+    everywhere downstream — at sf100 the shared persisted shingle table
+    drops from ~15 GB of text to ~1 GB of longs, which is what made the
+    single-disk spill decade super-linear (SCALE.md §11).  Collisions
+    (~|shingles|²/2⁶⁴ per doc pair) are the standard MinHash trade and
+    orders of magnitude below the verify threshold's resolution."""
+    return spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+    ).select("_id", F.xxhash64("_sh").alias("_h"))
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str,
@@ -129,8 +147,11 @@ def jaccard_pairs(
     Without ``candidates``: all pairs sharing ≥1 shingle (use only on
     bounded inputs).  With ``candidates`` (columns id_a, id_b): verify
     just those pairs — the LSH-then-verify pattern.  ``shingle_df``
-    (columns _id, _sh) lets callers reuse an already-exploded shingle
-    table (minhash_near_duplicates shares one across stages).
+    (columns _id, _h — 64-bit shingle hashes, see _hashed_shingles)
+    lets callers reuse an already-exploded shingle table
+    (minhash_near_duplicates shares one across stages).  Set
+    intersection runs on the hashes: 8-byte join keys instead of
+    shingle text, same result up to ~2^-64 collisions.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
     The candidate path PERSISTS the candidate shingle table (it feeds
@@ -141,10 +162,7 @@ def jaccard_pairs(
     """
     sh = shingle_df
     if sh is None:
-        sh = spread(df).select(
-            F.col(id_col).alias("_id"),
-            F.explode(shingles(F.col(text_col), n)).alias("_sh"),
-        )
+        sh = _hashed_shingles(df, id_col, text_col, n)
     if candidates is not None:
         # Candidate-driven: explode only candidate members and join the
         # pair list first — work is O(|candidates| · shingles/doc), not
@@ -157,8 +175,8 @@ def jaccard_pairs(
         if persisted_out is not None:
             persisted_out.append(sh_c)
         sizes = sh_c.groupBy("_id").agg(F.count("*").alias("_sz"))
-        sa_sh = sh_c.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-        sb_sh = sh_c.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb"))
+        sa_sh = sh_c.select(F.col("_id").alias("id_a"), F.col("_h").alias("_sha"))
+        sb_sh = sh_c.select(F.col("_id").alias("_idb"), F.col("_h").alias("_shb"))
         common = (
             candidates.join(sa_sh, "id_a")
             .join(
@@ -174,7 +192,7 @@ def jaccard_pairs(
         b = sh.alias("b")
         common = (
             a.join(
-                b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id"))
+                b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id"))
             )
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .agg(F.count("*").alias("_common"))
@@ -216,8 +234,10 @@ def minhash_signatures(
     shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length
-    ``num_hashes``.  Shingle → xxhash64 (non-negative) → min over
-    (a·h+b) mod P per hash function.
+    ``num_hashes``.  Shingle → xxhash64 (non-negative via pmod) → min
+    over (a·h+b) mod P per hash function.  ``shingle_df`` (columns
+    _id, _h) reuses a pre-hashed shingle table; signatures are
+    identical either way (same xxhash64 base).
 
     Shape: explode shingles once, hash once, then ``num_hashes`` cheap
     arithmetic MIN aggregates with map-side partial combine — the
@@ -226,16 +246,16 @@ def minhash_signatures(
     expression recomputes the shingle array k times — measured 20×
     slower.)"""
     params = _hash_params(num_hashes, seed)
-    if shingle_df is not None:
-        exploded = shingle_df
-    else:
-        exploded = spread(df).select(
-            F.col(id_col).alias("_id"),
-            F.explode(shingles(F.col(text_col), n)).alias("_sh"),
-        )
-    exploded = exploded.withColumn("_h", F.pmod(F.xxhash64("_sh"), F.lit(_P)))
+    exploded = (
+        shingle_df
+        if shingle_df is not None
+        else _hashed_shingles(df, id_col, text_col, n)
+    )
+    # _h is the raw 64-bit shingle hash; fold into the universal-hash
+    # field exactly as the text path always did (pmod handles the sign)
+    exploded = exploded.withColumn("_hm", F.pmod(F.col("_h"), F.lit(_P)))
     aggs = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
+        F.min(F.pmod(F.col("_hm") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
     ]
     per_doc = exploded.groupBy("_id").agg(*aggs)
@@ -456,14 +476,12 @@ def minhash_near_duplicates(
     # size groupBy, and the candidate semi-join all require clustering
     # on _id, so one explicit shuffle here replaces three downstream
     # exchanges of the (much larger at scale) shingle table.
+    from pyspark import StorageLevel
+
     sh = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(shingles(F.col(text_col), n)).alias("_sh"),
-        )
+        _hashed_shingles(df, id_col, text_col, n)
         .repartition(F.col("_id"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if persisted_out is not None:
         persisted_out.append(sh)
@@ -480,6 +498,50 @@ def minhash_near_duplicates(
     return jaccard_pairs(
         df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
     )
+
+
+def minhash_lsh_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    seed: int = 42,
+) -> dict:
+    """Machine-recorded evidence that the LSH banding holds at a given
+    scale — the numbers the sf100 analysis (SCALE.md §11) previously
+    measured ad hoc:
+
+    - ``max_bucket``: largest (band, bucket) membership after the
+      exact-collapse — the quadratic-blowup sentinel;
+    - ``bucket_pair_work``: Σ s·(s−1)/2 over buckets — the total
+      candidate-join work the banding implies;
+    - ``candidates_per_doc``: distinct candidate pairs / docs — the
+      per-document verify cost; flat-across-SF means the banding
+      scales linearly.
+
+    Mirrors the production pipeline's reduction exactly (exact-collapse
+    first, same banding), so the stats describe the plan that actually
+    runs.  Bench emits these into BENCH JSON; tools/scale_smoke.py
+    asserts candidates_per_doc < 1 at every SF."""
+    rep = drop_exact_duplicates(df, id_col, text_col)
+    sigs = minhash_signatures(rep, id_col, text_col, n, num_hashes, seed)
+    banded = _banded(sigs, num_bands, num_hashes // num_bands)
+    bucket_sizes = banded.groupBy("band", "bucket").count()
+    agg = bucket_sizes.agg(
+        F.max("count").alias("mx"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("work"),
+    ).first()
+    n_docs = rep.count()
+    n_cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands).count()
+    return {
+        "n_docs": int(n_docs),
+        "max_bucket": int(agg["mx"] or 0),
+        "bucket_pair_work": int(agg["work"] or 0),
+        "n_candidates": int(n_cands),
+        "candidates_per_doc": round(n_cands / max(n_docs, 1), 4),
+    }
 
 
 # -- SimHash -------------------------------------------------------------

@@ -180,6 +180,19 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return int(rate), x
 
 
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Encode float samples in [-1, 1] as 16-bit mono PCM WAV — the
+    inverse of :func:`decode_wav` (same RIFF fmt_/data chunk layout the
+    decoder walks)."""
+    x = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(x)) + x
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def is_png(payload: bytes) -> bool:
     return len(payload) > 8 and payload[:8] == b"\x89PNG\r\n\x1a\n"
 

@@ -151,6 +151,92 @@ def descendants(
     return out
 
 
+def path_strings(
+    ns: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parentId",
+    name_col: str = "name",
+    out_col: str = "path",
+    max_depth: int = 64,
+    internal_filter=None,
+) -> DataFrame:
+    """H2 batch form, (id, path) only: materialize the full path string
+    for every row by iterated parent-pointer joins toward the root,
+    prepending one ancestor name per round (concat_ws accumulate).
+
+    Scale shape: the parent side is restricted to INTERNAL nodes (one
+    semi-join on the referenced-parent id set — a few percent of any
+    real namespace), so every per-round join carries a dir-sized build
+    side instead of the full table: D broadcast-able map joins, not D
+    table self-shuffles.  Lineage is truncated every few rounds rather
+    than per round — a 600k-row string-accumulating materialization per
+    level was the dominant cost at depth 3; typical namespace depths
+    (< 16) stay in one fused whole-stage plan.
+    """
+    # ``internal_filter``: a predicate selecting the rows that can be
+    # parents (e.g. ``F.col("length") == -1`` on a FILE namespace) —
+    # a map-side filter instead of the referenced-parent semi-join,
+    # whose distinct() is a full shuffle of the parent-id column.
+    if internal_filter is not None:
+        pruned = ns.filter(internal_filter)
+    else:
+        referenced = ns.select(F.col(parent_col).alias("_rid")).distinct()
+        pruned = ns.join(
+            referenced, ns[id_col] == referenced["_rid"], "left_semi"
+        )
+    parents = pruned.select(
+        F.col(id_col).alias("_pid"), F.col(parent_col).alias("_ppid"), F.col(name_col).alias("_pname")
+    ).localCheckpoint(eager=True)
+    # Tree depth probed on the TINY internal-node table (leaf depth <=
+    # internal depth + 1): every convergence probe runs over |dirs|
+    # rows, so the big table is touched by exactly ONE fused plan below
+    # — the per-round 600k-row take()/checkpoint cycle was 3x the whole
+    # query's cost at sf0.1.
+    depth = 1
+    walk = parents.select(F.col("_ppid").alias("_w"))
+    for _ in range(max_depth):
+        rem = walk.filter(F.col("_w") != ROOT_ID)
+        if not rem.take(1):
+            break
+        walk = rem.join(
+            parents, rem["_w"] == parents["_pid"], "inner"
+        ).select(F.col("_ppid").alias("_w"))
+        depth += 1
+    acc = ns.select(
+        F.col(id_col).alias("_tid"),
+        F.col(parent_col).alias("_walk"),
+        F.col(name_col).alias("_acc"),
+    )
+    for r in range(depth + 1):
+        at_root = F.col("_walk") == ROOT_ID
+        acc = acc.join(
+            parents, acc["_walk"] == parents["_pid"], "left"
+        ).select(
+            "_tid",
+            F.when(at_root, F.col("_walk"))
+            .otherwise(F.coalesce(F.col("_ppid"), F.col("_walk")))
+            .alias("_walk"),
+            F.when(at_root, F.col("_acc"))
+            .otherwise(
+                F.when(
+                    F.col("_pname").isNotNull(),
+                    F.concat_ws("/", "_pname", "_acc"),
+                ).otherwise(F.col("_acc"))
+            )
+            .alias("_acc"),
+        )
+        if (r + 1) % 8 == 0:  # truncate lineage on deep trees only
+            acc = acc.localCheckpoint(eager=True)
+    # rows that never reached the root (orphaned parent pointers) get a
+    # NULL path, matching the point resolver's miss semantics
+    return acc.select(
+        F.col("_tid").alias(id_col),
+        F.when(
+            F.col("_walk") == ROOT_ID, F.concat(F.lit("/"), F.col("_acc"))
+        ).alias(out_col),
+    )
+
+
 def path_column(
     ns: DataFrame,
     id_col: str = "id",
@@ -159,38 +245,17 @@ def path_column(
     out_col: str = "path",
     max_depth: int = 64,
 ) -> DataFrame:
-    """H2 batch form: materialize the full path string for every row by
-    iterated parent-pointer doubling-style joins toward the root,
-    prepending one ancestor name per round (concat_ws accumulate).
-
-    Rounds = tree depth; each round joins on the (small) parent-id set.
-    For repeated path queries at scale, persist the result — it is the
-    reference's computed ``File.path`` field (File.java:58) done
-    set-at-a-time.
-    """
-    acc = ns.select(
-        F.col(id_col).alias("_tid"),
-        F.col(parent_col).alias("_walk"),
-        F.col(name_col).alias("_acc"),
-    )
-    parents = ns.select(
-        F.col(id_col).alias("_pid"), F.col(parent_col).alias("_ppid"), F.col(name_col).alias("_pname")
-    )
-    for _ in range(max_depth):
-        pending = acc.filter(F.col("_walk") != ROOT_ID)
-        if not pending.take(1):
-            break
-        done = acc.filter(F.col("_walk") == ROOT_ID)
-        stepped = pending.join(parents, pending["_walk"] == parents["_pid"], "inner").select(
-            "_tid",
-            F.col("_ppid").alias("_walk"),
-            F.concat_ws("/", "_pname", "_acc").alias("_acc"),
-        )
-        acc = done.unionByName(stepped).localCheckpoint(eager=True)
-    paths = acc.select(
-        F.col("_tid").alias(id_col), F.concat(F.lit("/"), F.col("_acc")).alias(out_col)
-    )
+    """H2: every ns row with its computed ``path`` column attached —
+    the reference's ``File.path`` field (File.java:58) set-at-a-time.
+    Callers needing only (id, path) use :func:`path_strings` directly
+    and skip this attach join."""
+    paths = path_strings(ns, id_col, parent_col, name_col, out_col, max_depth)
     return ns.join(paths, id_col, "left")
+
+
+def path_strings_for(ns, internal_filter, **kw):
+    """path_strings with a caller-known internal-node predicate."""
+    return path_strings(ns, internal_filter=internal_filter, **kw)
 
 
 def recursive_delete_set(

@@ -73,3 +73,68 @@ def bucketed_queues(
     if limit_per_bucket is not None:
         out = out.filter(F.col("_qpos") <= limit_per_bucket)
     return out.drop("_qpos")
+
+
+def global_row_number(
+    df: DataFrame,
+    key_col: str,
+    tiebreak: Sequence[str],
+    out_col: str = "_rn",
+    num_buckets: int = 32,
+) -> tuple[DataFrame, int]:
+    """Dense global row numbers in ascending (key_col, *tiebreak) order
+    WITHOUT a single-partition window — the two-pass partition-offset
+    scheme (the version-stamping / shuffle_order pattern applied to an
+    arbitrary numeric sort key):
+
+    1. driver-side approx-quantile cutpoints on ``key_col`` (≤
+       ``num_buckets`` doubles of metadata) range-bucket the rows with
+       a STRICT ``cut < key`` comparison, so key ties always land in
+       one bucket and the within-bucket (key, tiebreak) sort extends to
+       a correct global order;
+    2. per-bucket counts (≤ num_buckets longs) become cumulative
+       offsets; each bucket numbers locally.
+
+    One hash-partitioned exchange, no global funnel.  Returns
+    (df + out_col, total rows) — the row count rides along free for
+    ntile/percent_rank arithmetic.
+    """
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(df.approxQuantile(key_col, qs, 0.001)))
+    if cuts:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(c < F.col(key_col), 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    tagged = df.withColumn("_gb", bucket)
+    counts = {r["_gb"]: r["count"] for r in tagged.groupBy("_gb").count().collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = (
+        F.create_map(*[F.lit(x) for bo in offsets.items() for x in bo])[F.col("_gb")]
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_gb").orderBy(key_col, *tiebreak)
+    return (
+        tagged.withColumn(out_col, (off + F.row_number().over(w)).cast("long")).drop("_gb"),
+        acc,
+    )
+
+
+def ntile_of(rn: Column, n_rows: int, n_tiles: int) -> Column:
+    """ntile(n_tiles) reconstructed from a global row number by
+    arithmetic (the first ``n_rows % n_tiles`` tiles get one extra
+    row, exactly Spark's NTile): turns the rank-family's unpartitioned
+    window into per-row math over the two-pass numbering."""
+    base, rem = n_rows // n_tiles, n_rows % n_tiles
+    cutoff = rem * (base + 1)
+    big = F.ceil(rn / F.lit(base + 1))
+    small = F.lit(rem) + F.ceil((rn - F.lit(cutoff)) / F.lit(max(base, 1)))
+    return (F.when(rn <= cutoff, big).otherwise(small)).cast("int")

@@ -667,9 +667,15 @@ def h4_descendants(spark, sf_dir):
 )
 def h2_path_column(spark, sf_dir):
     """H2: reverse path reconstruction for every node, batch
-    (findFileById :647-659 done set-at-a-time)."""
+    (findFileById :647-659 done set-at-a-time).  Uses the (id, path)
+    form directly — no attach join back onto ns — and names the
+    internal-node predicate (dirs are the id < 10000 rows in the
+    fixture binding; length == -1 on a real FILE table), so the parent
+    side is a map-side filter, not a parent-id distinct shuffle."""
+    from adfs_spark.operators.hierarchy import path_strings
+
     ns = _namespace(spark, sf_dir)
-    return path_column(ns).select("id", "path")
+    return path_strings(ns, internal_filter=F.col("id") < 10000).select("id", "path")
 
 
 # =========================================================================
@@ -1275,6 +1281,94 @@ def mm_feature_extract(spark, sf_dir):
     return feats.select("media_id", "payload_size", "content_hash")
 
 
+@q(
+    "mm_media_neardup",
+    """WITH fp(media_id, modality, fp) AS (VALUES
+         (1, 'image', CAST(26917826709552000 AS BIGINT)),
+         (2, 'image', CAST(31289484939492226 AS BIGINT)),
+         (3, 'image', CAST(5634480095382941873 AS BIGINT)),
+         (4, 'audio', CAST(72048800092127295 AS BIGINT)),
+         (5, 'audio', CAST(72048800092127295 AS BIGINT)),
+         (6, 'audio', CAST(4476313079579402720 AS BIGINT)),
+         (7, 'video', CAST(5760017458344861858 AS BIGINT)),
+         (8, 'video', CAST(5760017458344861858 AS BIGINT)),
+         (9, 'video', CAST(5791681568035681466 AS BIGINT)))
+       SELECT a.media_id AS id_a, b.media_id AS id_b, a.modality,
+              CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       FROM fp a JOIN fp b
+         ON a.modality = b.modality AND a.media_id < b.media_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= 6""",
+)
+def mm_media_neardup(spark, sf_dir):
+    """Media near-dup as a driver row: deterministic image/audio/video
+    payloads (BMP+PNG cross-container images, PCM WAV tones, AVI frame
+    stacks, plus one undecodable blob) go through the FULL Spark
+    pipeline — Arrow-batched decode → modality fingerprints (DCT pHash
+    / energy-envelope afp / frame-majority vhash, multimodal.py:485-
+    655) → per-modality pigeonhole hamming join.  The oracle holds the
+    expected 64-bit fingerprints as golden literals and derives the
+    threshold pairs relationally (xor + bit_count), so a drift in any
+    codec, fingerprint, or the banding join fails the driver gate —
+    the same golden-value trick as dedup_simhash/s11.  Recall is exact
+    by the pigeonhole guarantee (num_chunks 8 > max_hamming 6),
+    precision exact by the verify filter, so pipeline == all-pairs."""
+    import numpy as np
+
+    from adfs_spark.functions.multimodal import (
+        encode_avi,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        media_near_duplicates,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    grad = np.linspace(0, 255, 64, dtype=np.uint8)
+    base[:, :, 0] = grad[None, :]
+    base[:24, :, 1] = 200
+    noisy = base.copy()
+    noisy[::16, ::16] = 255 - noisy[::16, ::16]
+    other = np.zeros((48, 64, 3), dtype=np.uint8)
+    other[:, ::2, 2] = 255
+
+    t = np.arange(16000) / 8000.0
+    am1 = np.sin(2 * np.pi * 440 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 1.3 * t))
+    rng2 = np.random.default_rng(23)
+    am1n = am1 + rng2.normal(0, 0.01, am1.shape)
+    am2 = np.sin(2 * np.pi * 440 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3.7 * t + 1.1))
+
+    rngv = np.random.default_rng(11)
+    _ = rngv.normal(0, 0.01, 16000)  # keep the video textures on the
+    # same deterministic draw path as the pytest fixture
+    tex = np.kron(rngv.integers(0, 256, (6, 8)), np.ones((4, 4), dtype=np.int64)).astype(np.uint8)
+    bf = np.stack([tex, tex // 2, tex // 3], axis=2)
+    frames = [bf.copy() for _ in range(4)]
+    for i, fr in enumerate(frames):
+        fr[:, :, 1] = np.minimum(fr[:, :, 1].astype(np.int16) + i * 10, 255).astype(np.uint8)
+    corrupted = [fr.copy() for fr in frames]
+    corrupted[2][::8, ::8] = 0
+    tex2 = np.kron(rngv.integers(0, 256, (6, 8)), np.ones((4, 4), dtype=np.int64)).astype(np.uint8)
+    other_frames = [np.stack([tex2, tex2, tex2], axis=2) for _ in range(4)]
+
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_png(noisy))),  # near-dup of 1, other container
+        (3, bytearray(encode_bmp(other))),
+        (4, bytearray(encode_wav(8000, am1))),
+        (5, bytearray(encode_wav(8000, am1n))),  # same envelope as 4
+        (6, bytearray(encode_wav(8000, am2))),
+        (7, bytearray(encode_avi(frames))),
+        (8, bytearray(encode_avi(corrupted))),  # one damaged frame
+        (9, bytearray(encode_avi(other_frames))),
+        (10, bytearray(b"\xff\xd8\xff not decodable")),  # excluded
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    return media_near_duplicates(media, max_hamming=6).select(
+        "id_a", "id_b", "modality", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 # =========================================================================
 # Event-time windows (the idiomatic-Spark extension; §2.10 note)
 # =========================================================================
@@ -1778,24 +1872,29 @@ def w_rank_dense_ties(spark, sf_dir):
 )
 def window_spend_quartiles(spark, sf_dir):
     """ntile + percent_rank (the remaining rank-family primitives):
-    customer spend quartiles over a GLOBAL ordering.  An unpartitioned
-    window is a single-partition funnel — fine here because the input
-    is already one row per customer (an aggregate, |customers| ≪
-    |orders|); at true scale prefer approx quantile cuts + a bucket
-    join (agg_quantile_rows / shuffle_order are that path).  The
-    custkey tiebreak makes both functions deterministic."""
-    from pyspark.sql import Window
-
+    customer spend quartiles over a GLOBAL ordering — WITHOUT the
+    unpartitioned window those functions usually imply.  The global
+    rank comes from two-pass partition-offset numbering over quantile
+    range buckets (operators.windows.global_row_number — one
+    hash-partitioned exchange, no single-task funnel), then ntile and
+    percent_rank are pure per-row arithmetic on (rank, n): the
+    custkey tiebreak makes the order total, so rank == row_number and
+    percent_rank = (rn-1)/(n-1) exactly.  This is the form that
+    survives a fact-table-sized input; the oracle stays the standard
+    window SQL."""
     o = load_table(spark, sf_dir, "orders")
+    from adfs_spark.operators.windows import global_row_number, ntile_of
+
     spend = o.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).cast("double").alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), "o_custkey")
-    return spend.select(
+    keyed = spend.withColumn("_negspend", -F.col("total_spend"))
+    ranked, n = global_row_number(keyed, "_negspend", ["o_custkey"], out_col="_rn")
+    return ranked.select(
         "o_custkey",
         "total_spend",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 5).alias("pct_rank"),
+        ntile_of(F.col("_rn"), n, 4).alias("quartile"),
+        F.round((F.col("_rn") - 1) / F.lit(max(n - 1, 1)), 5).alias("pct_rank"),
     )
 
 
@@ -4135,11 +4234,12 @@ _suite(
         ("u2_masked_update", ["o_orderkey", "o_orderpriority", "updated"]),
         ("u3_tombstone_preview", ["o_orderkey", "new_version"]),
         ("u5_id_alloc", ["o_orderkey", "new_id"]),
+        ("u6_append_overlay", ["form", "k", "v"]),
     ],
     [
         ("o_orderkey", _L), ("price", _D), ("src", _S),
         ("o_orderpriority", _S), ("updated", _L), ("new_version", _L),
-        ("new_id", _L),
+        ("new_id", _L), ("form", _S), ("k", _L), ("v", _D),
     ],
 )
 
@@ -4292,6 +4392,18 @@ _suite(
     ],
 )
 
+_suite(
+    "mm_suite",
+    [
+        ("mm_feature_extract", ["media_id", "payload_size", "content_hash"]),
+        ("mm_media_neardup", ["id_a", "id_b", "modality", "hamming"]),
+    ],
+    [
+        ("media_id", _L), ("payload_size", _L), ("content_hash", _S),
+        ("id_a", _L), ("id_b", _L), ("modality", _S), ("hamming", _L),
+    ],
+)
+
 # The driver verifies the first 50 entries — this list IS the contract.
 # Ordering: suites and single queries covering SURVEY §2 first, then
 # the LLM-pipeline families, TPC-H headliners, and (last) the two
@@ -4333,7 +4445,7 @@ EXPORTED: list[str] = [
     "sim_knn_join",
     "sim_ivf_suite",
     "sim_embedding_neardup_exact",
-    "mm_feature_extract",
+    "mm_suite",
     "events_window_suite",
     "events_sessionize",
     "q1_pricing_summary",

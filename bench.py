@@ -79,6 +79,45 @@ def bench_extras(spark) -> dict[str, float]:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
+    out.update(bench_incremental_split(spark))
+    return out
+
+
+def bench_incremental_split(spark) -> dict[str, float]:
+    """The incremental-dedup claim is O(batch + candidates) PER BATCH
+    against a one-time index build; the self-contained
+    dedup_minhash_incremental entry times both together (it must, for
+    the oracle), overstating per-batch cost ~5x.  Here the two phases
+    get their own numbers: the index is built and MATERIALIZED once
+    (the 100 TB deployment stores it as a table), then the per-batch
+    incremental pass runs against the stored index."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from adfs_spark.catalog import load_table
+    from adfs_spark.functions.dedup import minhash_dedup_incremental, minhash_index
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).persist()
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="adfs_bench_idx_")
+    out: dict[str, float] = {}
+    t0 = time.time()
+    minhash_index(corpus, "doc_id", "text").write.mode("overwrite").parquet(tmp)
+    out["dedup_minhash_index_build"] = round(time.time() - t0, 3)
+    idx = spark.read.parquet(tmp)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        minhash_dedup_incremental(
+            new, corpus, idx, "doc_id", "text"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    out["dedup_minhash_incremental_batch"] = round(best, 3)
+    corpus.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -335,6 +374,19 @@ def main() -> int:
     ns_ops = bench_namespace_ops(spark) if RUN_WRITES else {}
     extras = bench_extras(spark) if RUN_EXTRAS else {}
 
+    # Machine-recorded LSH banding evidence at THIS SF (max bucket,
+    # Σ pair-work, candidates/doc) — the numbers that prove the
+    # dedup_minhash_lsh plan stays candidate-sparse as data grows
+    # (previously ad hoc prose in SCALE.md §11).
+    lsh_stats = {}
+    if RUN_EXTRAS:
+        from adfs_spark.catalog import load_table
+        from adfs_spark.functions.dedup import minhash_lsh_stats
+
+        lsh_stats = minhash_lsh_stats(
+            load_table(spark, SF_DIR, "documents"), "doc_id", "text"
+        )
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -348,6 +400,7 @@ def main() -> int:
                 "write_total_sec": round(sum(writes.values()), 3),
                 "namespace_ops": ns_ops,
                 "extra_queries": extras,
+                "dedup_lsh_stats": lsh_stats,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }
