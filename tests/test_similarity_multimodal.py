@@ -533,3 +533,42 @@ def test_media_near_duplicates_audio_video_and_isolation(spark):
     pairs = media_near_duplicates(media, max_hamming=6).collect()
     got = {(r["id_a"], r["id_b"], r["modality"]) for r in pairs}
     assert got == {(1, 2, "audio"), (4, 5, "video")}
+
+
+def test_knn_join_blocked_equals_brute(spark):
+    """The blocked exact k-NN tier (driver-iterated right blocks, numpy
+    tile scoring reduced to k inside each task) must equal the
+    broadcast brute tier row-for-row — same neighbors, same tie order,
+    sims equal to 1e-9."""
+    from adfs_spark.catalog import load_table
+    from adfs_spark.functions.similarity import knn_join_blocked, knn_join_brute
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    left = emb.filter("vec_id % 5 = 0")
+    right = emb
+    brute = {
+        (r["query_id"], r["_rn"]): (r["neighbor_id"], round(r["sim"], 9))
+        for r in _with_rank(knn_join_brute(left, right, k=3, exclude_self=True)).collect()
+    }
+    # tiny blocks force the multi-block merge path
+    blocked = {
+        (r["query_id"], r["_rn"]): (r["neighbor_id"], round(r["sim"], 9))
+        for r in _with_rank(
+            knn_join_blocked(left, right, k=3, exclude_self=True, block_rows=37)
+        ).collect()
+    }
+    assert blocked.keys() == brute.keys()
+    mismatches = {
+        q: (blocked[q], brute[q])
+        for q in brute
+        if blocked[q][0] != brute[q][0] or abs(blocked[q][1] - brute[q][1]) > 1e-6
+    }
+    assert not mismatches, list(mismatches.items())[:5]
+
+
+def _with_rank(df):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("sim"), "neighbor_id")
+    return df.withColumn("_rn", F.row_number().over(w))
