@@ -67,7 +67,20 @@ def replicate(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        replica.apply_directly(batch.drop(OP_COL))
+        # Exclude FENCED (aborted) version ranges: a writer that died
+        # between its changelog append and its publish leaves rows the
+        # batch reads may pick up from the raw files; fences are
+        # permanent, so filtering at apply time is always safe.  (The
+        # residual window — a row applied before its fence was recorded
+        # — is closed by the strict pull-based path, ``sync_from``,
+        # whose delta() reads are manifest-gated end to end.)
+        rows = batch.drop(OP_COL)
+        meta = source._overlay_meta()
+        if meta and meta.get("aborted"):
+            absv = F.abs(F.col("version"))
+            for lo, hi in meta["aborted"]:
+                rows = rows.filter(~absv.between(int(lo), int(hi)))
+        replica.apply_directly(rows)
 
     return (
         changelog_stream(spark, source)

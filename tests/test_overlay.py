@@ -207,3 +207,58 @@ def test_time_travel_across_append_writes(spark, tmp_path):
     t.upsert(spark.createDataFrame([(77, "late")], "k: long, v: string"), mode="append")
     tt = {r["k"]: r["v"] for r in t.live_as_of(mark).collect()}
     assert tt[0] == "zero" and 1 in tt and 77 not in tt
+
+
+def test_vacuum_with_pending_overlay(spark, tmp_path):
+    """vacuum under a pending overlay: monotonic ct means folded-bucket
+    rewrites can't resurrect changelog rows, and the live view stays
+    exactly the overlay semantics before and after."""
+    t = _mk(spark, tmp_path, n=30, num_buckets=4)
+    t.delete_where(F.col("k") < 5, mode="merge")   # tombstones v31..35
+    horizon = t.max_version()
+    t.update_where(F.col("k") == 9, {"v": F.lit("nine")}, mode="append")
+    t.delete_where(F.col("k") == 10, mode="append")
+    before = _live(t)
+    removed = t.vacuum(horizon)
+    assert removed == 5  # the five merged tombstones are physically gone
+    assert _live(t) == before
+    # overlay still pending (vacuum is not a fold), and folding after
+    # the vacuum converges to the same state
+    t.compact()
+    assert _live(t) == before
+    # the appended tombstone for k=10 is still a tombstone (not vacuumed
+    # — it is above the horizon)
+    snap = {r["k"]: r["version"] for r in t.snapshot().collect()}
+    assert snap[10] < 0
+
+
+def test_replicate_skips_fenced_ranges(spark, tmp_path, monkeypatch):
+    """The streaming edit-log applier must not replay a crashed
+    writer's fenced changelog rows into a replica."""
+    from adfs_spark.streaming.loops import replicate
+
+    t = _mk(spark, tmp_path, n=6, name="master")
+    v0 = t.max_version()
+    # crashed append: rows land in the changelog, publish fails, the
+    # failure handler fences them
+    real = VersionedTable._mark_visible
+
+    def boom(self, vt_new):
+        raise RuntimeError("crash")
+
+    monkeypatch.setattr(VersionedTable, "_mark_visible", boom)
+    with pytest.raises(RuntimeError):
+        t.upsert(
+            spark.createDataFrame([(99, "GHOST")], "k: long, v: string"), mode="append"
+        )
+    monkeypatch.setattr(VersionedTable, "_mark_visible", real)
+    t.upsert(spark.createDataFrame([(2, "two")], "k: long, v: string"), mode="append")
+
+    replica = VersionedTable(spark, SPEC, str(tmp_path / "replica"))
+    replica.init()
+    sq = replicate(t, replica, str(tmp_path / "ckpt"))
+    sq.awaitTermination()
+    live = {r["k"]: r["v"] for r in replica.live().collect()}
+    assert 99 not in live          # fenced row never replicated
+    assert live[2] == "two"        # committed append replicated
+    assert live[0] == "v0"
