@@ -40,18 +40,25 @@ class FileSystemStore:
     txn: TransactionLog
 
     @classmethod
-    def create_at(cls, spark: SparkSession, root: str) -> "FileSystemStore":
+    def create_at(
+        cls, spark: SparkSession, root: str, backend=None
+    ) -> "FileSystemStore":
         """Bootstrap the four nn_state tables under one transaction log
         (table init itself is non-transactional — it is mkfs, not a
-        verb)."""
-        ns = Namespace.create_at(spark, os.path.join(root, "fs"))
-        blocks = VersionedTable(spark, BLOCK, os.path.join(root, "blocks"))
+        verb).  ``backend`` (a :class:`~adfs_spark.backend.
+        CommitBackend`) swaps the commit-plane medium for every table
+        AND the shared manifest — local FS by default."""
+        from adfs_spark.backend import LocalCommitBackend
+
+        be = backend if backend is not None else LocalCommitBackend()
+        ns = Namespace.create_at(spark, os.path.join(root, "fs"), backend=be)
+        blocks = VersionedTable(spark, BLOCK, os.path.join(root, "blocks"), backend=be)
         blocks.init()
-        dns = VersionedTable(spark, DATANODE, os.path.join(root, "dns"))
+        dns = VersionedTable(spark, DATANODE, os.path.join(root, "dns"), backend=be)
         dns.init()
-        leases = VersionedTable(spark, LEASE, os.path.join(root, "leases"))
+        leases = VersionedTable(spark, LEASE, os.path.join(root, "leases"), backend=be)
         leases.init()
-        txn = TransactionLog(root)
+        txn = TransactionLog(root, backend=be)
         for t in (ns.table, blocks, dns, leases):
             txn.enroll(t)
         return cls(ns, BlockMap(ns, blocks, dns, leases), txn)
@@ -96,7 +103,15 @@ class FileSystemStore:
     def complete_file(self, path: str, now_ms: int | None = None) -> int:
         """complete (completeFile :1102-1131): final length (A3 sum over
         the block table's primary replicas), lease-holder clear on FILE,
-        and the LEASE row drop are one commit.  Returns the length."""
+        and the LEASE row drop are one commit.  Returns the length.
+
+        The per-holder LEASE row is dropped only when the holder has no
+        OTHER file still under construction — the reference removes the
+        lease iff it holds no remaining paths
+        (LeaseManager.removeLease :122-133, ``leases.remove`` only if
+        ``!lease.hasPath()``); a holder with two files open keeps lease
+        protection (with a refreshed time) for the still-open one."""
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
         with self.txn.transaction():
             row = self.namespace.get_file_info(path)
             if row is None or row["length"] == -1:
@@ -105,7 +120,15 @@ class FileSystemStore:
             total = self.blockmap.file_length_from_blocks(int(row["id"]))
             self.namespace.complete_file(path, total)
             if holder is not None:
-                self.blockmap.leases.delete_where(F.col("holder") == holder)
+                # read-your-own-writes: this file's holder is already
+                # cleared inside the open txn, so any hit is another file
+                still_open = self.namespace.ns().filter(
+                    F.col("leaseHolder") == holder
+                ).take(1)
+                if still_open:
+                    self.blockmap.leases.upsert(self._lease_row(holder, now))
+                else:
+                    self.blockmap.leases.delete_where(F.col("holder") == holder)
             return total
 
     def delete(self, path: str, recursive: bool = False) -> int:
@@ -130,9 +153,25 @@ class FileSystemStore:
             ).select("id", "datanodeId")
             blk.delete_where_keys(blk_keys)
             if holder_rows:
-                self.blockmap.leases.delete_where(
-                    F.col("holder").isin([r["leaseHolder"] for r in holder_rows])
-                )
+                # keep the lease for any holder that still has an
+                # under-construction file OUTSIDE the deleted subtree
+                # (LeaseManager.removeLease :122-133 — remove only when
+                # the holder has no remaining paths); anti-join against
+                # the subtree ids, then drop leases only for holders
+                # with nothing left
+                holders = sorted({r["leaseHolder"] for r in holder_rows})
+                survivors = {
+                    r["leaseHolder"]
+                    for r in self.namespace.ns()
+                    .filter(F.col("leaseHolder").isin(holders))
+                    .join(sub.select("id"), "id", "left_anti")
+                    .select("leaseHolder")
+                    .distinct()
+                    .collect()
+                }
+                drop = [h for h in holders if h not in survivors]
+                if drop:
+                    self.blockmap.leases.delete_where(F.col("holder").isin(drop))
             return self.namespace.delete(path, recursive=recursive)
 
     def _lease_row(self, holder: str, now: int):

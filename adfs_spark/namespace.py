@@ -76,10 +76,13 @@ class Namespace:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def create_at(cls, spark: SparkSession, root: str) -> "Namespace":
+    def create_at(cls, spark: SparkSession, root: str, backend=None) -> "Namespace":
         """Create an empty namespace (root row id=0, parity with
         FileRepository.createMeta :99-107)."""
-        t = VersionedTable(spark, FILE, root)
+        if backend is not None:
+            t = VersionedTable(spark, FILE, root, backend=backend)
+        else:
+            t = VersionedTable(spark, FILE, root)
         root_row = spark.createDataFrame(
             [(ROOT_ID, ROOT_ID, "", DIR_LENGTH, 0, 0, 0, 0, 0, DIR_PERM, None, 0, -1, -1)],
             FILE.struct_type(include_version=False),

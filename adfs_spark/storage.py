@@ -42,13 +42,14 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from adfs_spark.backend import CommitBackend, LocalCommitBackend
 from adfs_spark.schema import VERSION_COL, TableSpec
 
 OP_COL = "_op"  # INSERT / UPDATE / DELETE, DistributedOperation op types
@@ -189,6 +190,27 @@ class VersionedTable:
     (DistributedOperationQueue.getOperations :82-103,
     FSNamesystem.startFileInternal :842-870)."""
 
+    backend: CommitBackend = field(default_factory=LocalCommitBackend)
+    """Commit-plane storage (locks, commit manifests, overlay
+    watermarks).  Every durability primitive routes through the SIX
+    verbs of :class:`~adfs_spark.backend.CommitBackend` — swap in an
+    object-store implementation (conditional PUT + atomic object
+    create) and the protocol carries over unchanged; the
+    MemoryCommitBackend fake runs the same protocol tests to prove the
+    verb set is sufficient.  Data-plane I/O (parquet buckets, changelog
+    files) stays with Spark."""
+
+    overlay_fold_factor: int = 4
+    """Read-amplification bound on the pending overlay: when the
+    unfolded changelog tail exceeds ``append_threshold *
+    overlay_fold_factor`` versions, the next append-routed write folds
+    instead (and :meth:`snapshot` drops the broadcast hint in favor of
+    a shuffle merge as a second guard) — otherwise a long append streak
+    grows the overlay key broadcast without bound and eventually OOMs
+    the driver on every read.  Enrolled tables never self-fold (a fold
+    inside an uncommitted transaction leaks); they rely on the shuffle
+    fallback plus a periodic :meth:`compact`."""
+
     def _cast_spec(self, df: DataFrame) -> DataFrame:
         """Project onto the spec's columns WITH the spec's exact types.
         Every write funnels through this so the changelog stays
@@ -251,19 +273,24 @@ class VersionedTable:
         return os.path.join(self.root, OVERLAY_META)
 
     def _local_overlay_meta(self) -> dict | None:
+        raw = self.backend.read(self.overlay_meta_path)
+        if raw is None:
+            return None
         try:
-            with open(self.overlay_meta_path) as f:
-                return json.load(f)
-        except (OSError, ValueError):
+            return json.loads(raw)
+        except ValueError:
             return None
 
     def _overlay_meta(self) -> dict | None:
         """Effective visibility metadata.  Standalone tables: the local
         ``_overlay.json``.  Enrolled tables: ct from the local file
-        (physical fold state), vt + aborted from the transaction log's
-        manifest — the single source that flips atomically across
-        tables; inside an open transaction the writer's own staged
-        watermark is merged in (read-your-own-writes)."""
+        (physical fold state), vt from the transaction log's manifest —
+        the single source that flips atomically across tables — and
+        aborted = the UNION of manifest fences and any fences recorded
+        in the local file (e.g. from a crash while the table was still
+        standalone, pre-enrollment — fences are permanent, so the union
+        is always safe); inside an open transaction the writer's own
+        staged watermark is merged in (read-your-own-writes)."""
         local = self._local_overlay_meta()
         if self.txn is None:
             return local
@@ -271,12 +298,16 @@ class VersionedTable:
         if local is None and m is None:
             return None
         ct = int(local["compacted_through"]) if local else 0
+        local_ab = [list(r) for r in (local or {}).get("aborted", [])]
         if m is not None:
             vt = int(m.get("visible_through", 0))
             aborted = [list(r) for r in m.get("aborted", [])]
+            for r in local_ab:
+                if r not in aborted:
+                    aborted.append(r)
         else:
             vt = int(local.get("visible_through", ct)) if local else ct
-            aborted = list(local.get("aborted", [])) if local else []
+            aborted = local_ab
         return {
             "compacted_through": ct,
             "visible_through": max(vt, ct),
@@ -284,10 +315,9 @@ class VersionedTable:
         }
 
     def _write_overlay_meta(self, meta: dict) -> None:
-        tmp = self.overlay_meta_path + f".tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self.overlay_meta_path)
+        self.backend.replace(
+            self.overlay_meta_path, json.dumps(meta).encode()
+        )
 
     def _current_stats_max(self) -> int:
         """max abs(version) present in current/ — min/max on the raw
@@ -359,7 +389,54 @@ class VersionedTable:
         ct = max(stats, int(meta.get("compacted_through", 0)))
         meta["compacted_through"] = ct
         meta["visible_through"] = max(ct, int(meta.get("visible_through", 0)))
+        meta["aborted"] = self._prune_fences(
+            [list(r) for r in meta.get("aborted", [])], ct
+        )
         self._write_overlay_meta(meta)
+
+    def _prune_fences(self, aborted: list[list[int]], ct: int) -> list[list[int]]:
+        """Retire fences wholly below the fold horizon: their orphaned
+        rows are PHYSICALLY deleted from the changelog, then the range
+        entries are dropped (locally, and — for enrolled tables — staged
+        for removal in the open transaction's manifest commit).  Without
+        this a crash-heavy history grows the fence list, and every
+        read's exclusion predicate, without bound.  Rows are deleted
+        BEFORE the entry is dropped, so delta()/snapshot_as_of stay
+        sound: once no fence names a range, nothing physically remains
+        in it."""
+        done = [r for r in aborted if int(r[1]) <= ct]
+        if not done:
+            return aborted
+        self._drop_changelog_ranges(done)
+        if self.txn is not None and self.txn.active:
+            self.txn.stage_fence_prune(self.spec.name, done)
+        return [r for r in aborted if int(r[1]) > ct]
+
+    def _drop_changelog_ranges(self, ranges: list[list[int]]) -> None:
+        """Rewrite the changelog vbucket partitions overlapping
+        ``ranges`` with the fenced rows filtered out — data-plane I/O
+        (the same tmp+swap pattern as current/; a transactional table
+        format's DELETE at scale).  Cost is bounded by the crashed
+        batches' own vbucket directories, and runs only when a fence
+        retires."""
+        hit: set[int] = set()
+        for lo, hi in ranges:
+            hit.update(range(int(lo) // VBUCKET_SIZE, int(hi) // VBUCKET_SIZE + 1))
+        schema = self.spec.struct_type().add(OP_COL, T.StringType())
+        absv = F.abs(F.col(VERSION_COL))
+        keep = F.lit(True)
+        for lo, hi in ranges:
+            keep = keep & ~absv.between(int(lo), int(hi))
+        for vb in sorted(hit):
+            d = os.path.join(self.changelog_path, f"{VBUCKET_COL}={vb}")
+            if not os.path.isdir(d):
+                continue
+            kept = self.spark.read.schema(schema).parquet(d).filter(keep)
+            tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
+            kept.write.mode("overwrite").parquet(tmp)
+            final = self.spark.read.schema(schema).parquet(tmp)
+            final.write.mode("overwrite").parquet(d)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _mark_visible(self, vt_new: int) -> None:
         """After a changelog-append write: publish versions up to
@@ -429,24 +506,36 @@ class VersionedTable:
         """All current rows including tombstones — current/ plus the
         pending changelog overlay, LWW-merged.
 
-        The overlay merge never shuffles the table: the (small, bounded
-        by ``append_threshold``) overlay is LWW-collapsed on its own,
-        then its key set broadcast-splits current/ into uncontested
-        rows (kept as-is via a broadcast anti-join) and contested rows
-        (broadcast semi-join, re-merged with the overlay in a window
-        over only that small set).  With nothing pending this is
-        exactly the bare current/ scan."""
+        While the overlay stays small (one append batch is bounded by
+        ``append_threshold``) the merge never shuffles the table: the
+        overlay is LWW-collapsed on its own, then its key set
+        broadcast-splits current/ into uncontested rows (kept as-is via
+        a broadcast anti-join) and contested rows (broadcast semi-join,
+        re-merged with the overlay in a window over only that small
+        set).  The overlay grows across successive append-mode writes,
+        so past ``append_threshold * overlay_fold_factor`` unfolded
+        versions the broadcast hint is dropped and the same split runs
+        as shuffle joins (AQE still broadcasts if runtime stats allow)
+        — a long un-compacted append streak degrades to a shuffle, it
+        never OOMs the driver.  With nothing pending this is exactly
+        the bare current/ scan."""
         df = self._read_current_raw()
         cur = df.drop(KBUCKET_COL) if self.num_buckets else df
         pend = self._pending_overlay()
         if pend is None:
             return cur
+        meta = self._overlay_meta()
+        bound = self.append_threshold * self.overlay_fold_factor
+        small = (
+            int(meta["visible_through"]) - int(meta["compacted_through"]) <= bound
+        )
+        hint = F.broadcast if small else (lambda d: d)
         pk = list(self.spec.primary_key)
         ov = _latest_by_abs_version(pend, pk)
         ovk = ov.select(*pk)
-        contested = cur.join(F.broadcast(ovk), pk, "left_semi")
+        contested = cur.join(hint(ovk), pk, "left_semi")
         merged = _latest_by_abs_version(contested.unionByName(ov), pk)
-        return cur.join(F.broadcast(ovk), pk, "left_anti").unionByName(merged)
+        return cur.join(hint(ovk), pk, "left_anti").unionByName(merged)
 
     def live(self) -> DataFrame:
         """P5: the live view — tombstones stripped."""
@@ -534,34 +623,26 @@ class VersionedTable:
         return os.path.join(self.root, COMMITS_DIR)
 
     def last_commit_id(self) -> int:
-        if not os.path.isdir(self.commits_path):
-            return 0
         ids = [
             int(f.split(".", 1)[0])
-            for f in os.listdir(self.commits_path)
+            for f in self.backend.list(self.commits_path)
             if f.endswith(".commit")
         ]
         return max(ids, default=0)
 
     def _reserve_commit(self, cid: int) -> str | None:
-        os.makedirs(self.commits_path, exist_ok=True)
         lock = os.path.join(self.commits_path, f"{cid}.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:  # steal a crashed writer's expired lease
-                if time.time() - os.path.getmtime(lock) > LOCK_TTL_SEC:
-                    os.unlink(lock)
-                    # the dead writer may have appended without
-                    # publishing — fence its tail once we next hold
-                    # the reservation
-                    self._fence_after_acquire = True
-            except OSError:
-                pass
-            return None
-        os.write(fd, f"pid={os.getpid()} ts={time.time()}\n".encode())
-        os.close(fd)
-        return lock
+        payload = f"pid={os.getpid()} ts={time.time()}\n".encode()
+        if self.backend.put_if_absent(lock, payload):
+            return lock
+        mt = self.backend.mtime(lock)
+        if mt is not None and time.time() - mt > LOCK_TTL_SEC:
+            # steal a crashed writer's expired lease; the dead writer
+            # may have appended without publishing — fence its tail
+            # once we next hold the reservation
+            self.backend.delete(lock)
+            self._fence_after_acquire = True
+        return None
 
     def _transact(self, body: Callable[[], object], op: str) -> object:
         """Run ``body`` (the full read-stamp-merge-write of one write
@@ -599,16 +680,19 @@ class VersionedTable:
                     self._fence_orphans()
                 except Exception:
                     pass
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
+                self.backend.delete(lock)
                 raise
             # meta stays Spark-free: a max_version() probe here would
-            # run an extra job inside the critical section per write
-            with open(lock, "a") as f:
-                f.write(json.dumps({"op": op}) + "\n")
-            os.replace(lock, os.path.join(self.commits_path, f"{nxt}.commit"))
+            # run an extra job inside the critical section per write.
+            # Publish order: the .commit object appears first (atomic
+            # replace), then the lock is released — a crash in between
+            # leaves a stale lock alongside the commit, which the next
+            # writer's reservation on cid+1 never contends with.
+            self.backend.replace(
+                os.path.join(self.commits_path, f"{nxt}.commit"),
+                json.dumps({"op": op, "pid": os.getpid()}).encode(),
+            )
+            self.backend.delete(lock)
             return result
         raise WriteConflictError(
             f"could not reserve commit after {_MAX_COMMIT_RETRIES} attempts"
@@ -704,11 +788,23 @@ class VersionedTable:
         distributed path."""
         if not self._driver_appendable():
             return None
+        t0 = time.time()
         rows = hit.take(self.append_threshold + 1)
+        t1 = time.time()
         if len(rows) > self.append_threshold:
             return None
         n = self._driver_append_rows(rows, op, base, negate)
+        t2 = time.time()
         self._mark_visible(base + n)
+        t3 = time.time()
+        # machine-recorded per-phase breakdown of the small-batch write
+        # (hit scan / parquet append / watermark publish) — bench reads
+        # this to prove where the namespace-op floor actually sits
+        self.last_write_phases = {
+            "hit_scan_sec": round(t1 - t0, 4),
+            "driver_append_sec": round(t2 - t1, 4),
+            "publish_sec": round(t3 - t2, 4),
+        }
         return base + n
 
     def _publish(self, stamped_ops: DataFrame, op: str, vt_new: int, mode: str) -> None:
@@ -744,6 +840,16 @@ class VersionedTable:
             # into current/ before the manifest commit — enrolled
             # tables always publish through the changelog
             mode = "append"
+        elif mode in ("append", "auto"):
+            meta = self._overlay_meta()
+            if meta is not None and (
+                int(meta["visible_through"]) - int(meta["compacted_through"])
+                > self.append_threshold * self.overlay_fold_factor
+            ):
+                # the pending overlay is past the read-amplification
+                # bound: fold this write (the merge carries the whole
+                # overlay down with it) instead of growing it further
+                mode = "merge"
         pk = list(self.spec.primary_key)
         base = self._stamp_base()
         if mode in ("append", "auto"):
@@ -854,14 +960,56 @@ class VersionedTable:
         next merge-mode write or ``compact()``.  Returns the new
         visibility watermark.  This is the SCALE.md §12 high-churn
         ingest surface: append micro-batches at O(batch) cost, pay the
-        rewrite once per compaction cycle."""
+        rewrite once per compaction cycle.
+
+        Rows whose abs(version) is at or below the fold horizon
+        (``compacted_through``) CANNOT publish through the watermark —
+        the pending overlay reads only (ct, vt], so they would be
+        appended yet permanently invisible.  A replica replaying an
+        older-versioned op after a compact hits exactly this; such rows
+        are split off and folded through the LWW merge path instead
+        (same per-key outcome as the standalone U4 ``apply_directly``:
+        they win iff newer than the stored version).  Inside an open
+        multi-verb transaction a fold would leak pre-commit state, so
+        the split is rejected loudly there — replay below the horizon
+        is a standalone/sync surface, not a namespace-verb one."""
 
         def body() -> int:
             rows = self._cast_spec(ops)
-            row = rows.agg(F.max(VERSION_COL), F.min(VERSION_COL)).first()
+            meta = self._overlay_meta()
+            ct = int(meta["compacted_through"]) if meta else 0
+            absv = F.abs(F.col(VERSION_COL))
+            row = rows.agg(
+                F.max(VERSION_COL), F.min(VERSION_COL), F.min(absv)
+            ).first()
             vt_new = max(int(row[0] or 0), -int(row[1] or 0), 0)
+            min_abs = int(row[2] or 0)
+            if ct and min_abs and min_abs <= ct:
+                if self.txn is not None and self.txn.active:
+                    raise ValueError(
+                        f"append_ops: incoming versions reach {min_abs} "
+                        f"<= compacted_through {ct}; below-horizon replay "
+                        "cannot publish atomically inside an open "
+                        "transaction — run it standalone (sync_from / "
+                        "apply_directly)"
+                    )
+                old = rows.filter(absv <= ct)
+                self._append_changelog(old.withColumn(OP_COL, F.lit(op)))
+                self._merge_write(old)
+                rows = rows.filter(absv > ct)
+                if vt_new <= ct:  # every row was below the horizon
+                    return self.last_visible()
+            fold = (
+                self.txn is None
+                and meta is not None
+                and int(meta["visible_through"]) - ct
+                > self.append_threshold * self.overlay_fold_factor
+            )
             self._publish(
-                rows.withColumn(OP_COL, F.lit(op)), op, vt_new, "append"
+                rows.withColumn(OP_COL, F.lit(op)),
+                op,
+                vt_new,
+                "merge" if fold else "append",
             )
             return max(vt_new, self.last_visible())
 
@@ -1202,11 +1350,13 @@ class TransactionLog:
     pre-transaction state.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend: CommitBackend | None = None):
         self.root = root
+        self.backend = backend if backend is not None else LocalCommitBackend()
         self.tables: dict[str, VersionedTable] = {}
         self._staged: dict[str, int] | None = None
         self._touched: set[str] = set()
+        self._pruned: dict[str, list[list[int]]] = {}
         self._fence_after_acquire = False
 
     @property
@@ -1225,11 +1375,9 @@ class TransactionLog:
     # -- manifest ----------------------------------------------------------
 
     def last_commit_id(self) -> int:
-        if not os.path.isdir(self.commits_path):
-            return 0
         ids = [
             int(f.split(".", 1)[0])
-            for f in os.listdir(self.commits_path)
+            for f in self.backend.list(self.commits_path)
             if f.endswith(".commit")
         ]
         return max(ids, default=0)
@@ -1238,10 +1386,14 @@ class TransactionLog:
         cid = self.last_commit_id()
         if cid == 0:
             return {"tables": {}}
+        raw = self.backend.read(
+            os.path.join(self.commits_path, f"{cid}.commit")
+        )
+        if raw is None:
+            return {"tables": {}}
         try:
-            with open(os.path.join(self.commits_path, f"{cid}.commit")) as f:
-                return json.load(f)
-        except (OSError, ValueError):
+            return json.loads(raw)
+        except ValueError:
             return {"tables": {}}
 
     def table_meta(self, name: str) -> dict | None:
@@ -1265,34 +1417,44 @@ class TransactionLog:
     def touch(self, table: VersionedTable) -> None:
         self._touched.add(table.spec.name)
 
+    def stage_fence_prune(
+        self, name: str, ranges: list[list[int]]
+    ) -> None:
+        """Stage retired fence ranges (rows already physically deleted
+        by the table's fold — see ``VersionedTable._prune_fences``) for
+        removal from the manifest at this transaction's commit."""
+        if not self.active:
+            raise RuntimeError("stage_fence_prune() outside an open transaction")
+        self._pruned.setdefault(name, []).extend(list(r) for r in ranges)
+
     # -- lock + commit protocol -------------------------------------------
 
     def _reserve(self, cid: int) -> str | None:
-        os.makedirs(self.commits_path, exist_ok=True)
         lock = os.path.join(self.commits_path, f"{cid}.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:  # steal a crashed writer's expired lease
-                if time.time() - os.path.getmtime(lock) > LOCK_TTL_SEC:
-                    os.unlink(lock)
-                    # the dead writer may have appended to ANY enrolled
-                    # table without publishing — fence all tails under
-                    # the next reservation
-                    self._fence_after_acquire = True
-            except OSError:
-                pass
-            return None
-        os.write(fd, f"pid={os.getpid()} ts={time.time()}\n".encode())
-        os.close(fd)
-        return lock
+        payload = f"pid={os.getpid()} ts={time.time()}\n".encode()
+        if self.backend.put_if_absent(lock, payload):
+            return lock
+        mt = self.backend.mtime(lock)
+        if mt is not None and time.time() - mt > LOCK_TTL_SEC:
+            # steal a crashed writer's expired lease; the dead writer
+            # may have appended to ANY enrolled table without
+            # publishing — fence all tails under the next reservation
+            self.backend.delete(lock)
+            self._fence_after_acquire = True
+        return None
 
     def _commit(
-        self, lock: str, cid: int, staged: dict[str, int], fence_names: set[str]
+        self,
+        lock: str,
+        cid: int,
+        staged: dict[str, int],
+        fence_names: set[str],
+        pruned: dict[str, list[list[int]]] | None = None,
     ) -> None:
-        """Write the cumulative manifest into the lock file and rename
-        it to ``<cid>.commit`` — the manifest is written LAST and
-        appears atomically with full content."""
+        """Publish the cumulative manifest as ``<cid>.commit`` (atomic
+        replace — readers see nothing or the full content), then
+        release the lock.  ``pruned`` removes retired fence ranges
+        whose rows the committing fold already physically deleted."""
         manifest = self.latest()
         tables = manifest.setdefault("tables", {})
         for name in sorted(fence_names):
@@ -1309,9 +1471,19 @@ class TransactionLog:
         for name, vt in staged.items():
             e = tables.setdefault(name, {"visible_through": 0, "aborted": []})
             e["visible_through"] = max(int(e.get("visible_through", 0)), vt)
-        with open(lock, "w") as f:
-            json.dump(manifest, f)
-        os.replace(lock, os.path.join(self.commits_path, f"{cid}.commit"))
+        for name, ranges in (pruned or {}).items():
+            e = tables.get(name)
+            if not e:
+                continue
+            drop = [list(r) for r in ranges]
+            e["aborted"] = [
+                r for r in e.get("aborted", []) if list(r) not in drop
+            ]
+        self.backend.replace(
+            os.path.join(self.commits_path, f"{cid}.commit"),
+            json.dumps(manifest).encode(),
+        )
+        self.backend.delete(lock)
 
     def transaction(self):
         """Context manager: one atomic multi-table commit scope."""
@@ -1341,7 +1513,7 @@ class _Transaction:
                 log._commit(lock, nxt, {}, set(log.tables))
                 continue
             self._lock, self._cid = lock, nxt
-            log._staged, log._touched = {}, set()
+            log._staged, log._touched, log._pruned = {}, set(), {}
             return log
         raise WriteConflictError(
             f"could not reserve txn commit after {_MAX_COMMIT_RETRIES} attempts"
@@ -1350,9 +1522,10 @@ class _Transaction:
     def __exit__(self, exc_type, exc, tb) -> bool:
         log = self.log
         staged, touched = log._staged or {}, log._touched
-        log._staged, log._touched = None, set()
+        pruned = log._pruned
+        log._staged, log._touched, log._pruned = None, set(), {}
         if exc_type is None:
-            log._commit(self._lock, self._cid, staged, set())
+            log._commit(self._lock, self._cid, staged, set(), pruned)
         else:
             # failed verb: publish NOTHING; fence every touched table's
             # appended tail in a fence-only commit (still holding the
@@ -1360,8 +1533,5 @@ class _Transaction:
             try:
                 log._commit(self._lock, self._cid, {}, touched | set(staged))
             except Exception:
-                try:
-                    os.unlink(self._lock)
-                except OSError:
-                    pass
+                log.backend.delete(self._lock)
         return False

@@ -61,26 +61,30 @@ def replicate(
     idempotently merge each micro-batch into the replica (U4
     last-writer-wins makes at-least-once replay safe; barrier =
     ``processAllAvailable``, parity with waitUntilWorkSizeIsEmpty
-    :163-170)."""
+    :163-170).
+
+    PUBLISHED versions only: the file source reads raw changelog
+    files, which may include rows a writer appended but has not yet
+    made visible (its watermark bump — or its fence, if it crashed —
+    comes later).  Applying those raw rows would let the replica
+    permanently diverge on exactly the keys a fence later retracts.
+    So the micro-batch content is used as a TRIGGER only; the rows
+    actually applied come from ``source.delta(applied+1, vt)`` — the
+    manifest-gated read that caps at the source's ``visible_through``
+    and excludes every fenced range.  Rows above the watermark are
+    thereby deferred to a later micro-batch (they apply once vt passes
+    them), making the fence filter belt-and-suspenders rather than the
+    only guard."""
     spark = source.spark
+    state = {"applied": replica.max_version()}
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
+        vt = source.last_visible()
+        if vt <= state["applied"]:
             return
-        # Exclude FENCED (aborted) version ranges: a writer that died
-        # between its changelog append and its publish leaves rows the
-        # batch reads may pick up from the raw files; fences are
-        # permanent, so filtering at apply time is always safe.  (The
-        # residual window — a row applied before its fence was recorded
-        # — is closed by the strict pull-based path, ``sync_from``,
-        # whose delta() reads are manifest-gated end to end.)
-        rows = batch.drop(OP_COL)
-        meta = source._overlay_meta()
-        if meta and meta.get("aborted"):
-            absv = F.abs(F.col("version"))
-            for lo, hi in meta["aborted"]:
-                rows = rows.filter(~absv.between(int(lo), int(hi)))
+        rows = source.delta(state["applied"] + 1, vt).drop(OP_COL)
         replica.apply_directly(rows)
+        state["applied"] = vt
 
     return (
         changelog_stream(spark, source)

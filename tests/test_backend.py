@@ -1,0 +1,173 @@
+"""CommitBackend abstraction: the commit/lock/publish protocol runs on
+exactly six storage verbs (put_if_absent / replace / read / delete /
+list / mtime) — proven by running the same protocol suites against the
+local-FS backend and an injected in-memory object-store fake.  Parity
+goal: the reference's pluggable storage layer
+(HDFS/com/taobao/adfs/database/DatabaseExecutor.java:82-92, three
+backends behind one interface)."""
+
+from __future__ import annotations
+
+import inspect
+
+import pytest
+from pyspark.sql import functions as F
+
+from adfs_spark.backend import LocalCommitBackend, MemoryCommitBackend
+from adfs_spark.schema import ColumnSpec, TableSpec
+from adfs_spark.storage import TransactionLog, VersionedTable
+
+SPEC = TableSpec(
+    name="bk",
+    columns=(ColumnSpec("k", "long"), ColumnSpec("v", "string")),
+    primary_key=("k",),
+    versioned=True,
+)
+
+BACKENDS = [LocalCommitBackend, MemoryCommitBackend]
+
+
+def _mk(spark, tmp_path, backend, n=10, name="t", **kw):
+    t = VersionedTable(spark, SPEC, str(tmp_path / name), backend=backend, **kw)
+    t.init(
+        spark.createDataFrame([(i, f"v{i}") for i in range(n)], "k: long, v: string")
+    )
+    return t
+
+
+def _live(t):
+    return {r["k"]: r["v"] for r in t.live().collect()}
+
+
+# -- backend unit semantics ------------------------------------------------
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS)
+def test_backend_verbs(tmp_path, backend_cls):
+    be = backend_cls()
+    key = str(tmp_path / "commits" / "1.lock")
+    assert be.read(key) is None
+    assert be.mtime(key) is None
+    assert be.put_if_absent(key, b"a")
+    assert not be.put_if_absent(key, b"b")  # conditional create
+    assert be.read(key) == b"a"
+    assert be.mtime(key) is not None
+    be.replace(key, b"c")  # atomic overwrite
+    assert be.read(key) == b"c"
+    names = be.list(str(tmp_path / "commits"))
+    assert "1.lock" in names
+    be.delete(key)
+    be.delete(key)  # idempotent
+    assert be.read(key) is None
+    assert be.list(str(tmp_path / "commits")) == []
+
+
+# -- protocol suites over both backends ------------------------------------
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS)
+def test_write_protocol_roundtrip(spark, tmp_path, backend_cls):
+    """init / upsert / update / delete / compact through either
+    backend: same results, commit ids advance, locks drain."""
+    t = _mk(spark, tmp_path, backend_cls(), name=f"rt_{backend_cls.__name__}")
+    t.upsert(spark.createDataFrame([(3, "X"), (20, "new")], "k: long, v: string"))
+    t.update_where(F.col("k") == 0, {"v": F.lit("zero")}, mode="append")
+    t.delete_where(F.col("k") == 1, mode="append")
+    t.compact()
+    live = _live(t)
+    assert live[3] == "X" and live[20] == "new" and live[0] == "zero"
+    assert 1 not in live
+    assert t.last_commit_id() >= 5
+    # every reservation was released: no stale .lock objects remain
+    assert not [
+        f for f in t.backend.list(t.commits_path) if f.endswith(".lock")
+    ]
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS)
+def test_crashed_append_fenced_either_backend(spark, tmp_path, backend_cls, monkeypatch):
+    t = _mk(spark, tmp_path, backend_cls(), name=f"cr_{backend_cls.__name__}")
+    real = VersionedTable._mark_visible
+
+    def boom(self, vt_new):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(VersionedTable, "_mark_visible", boom)
+    with pytest.raises(RuntimeError):
+        t.upsert(
+            spark.createDataFrame([(99, "GHOST")], "k: long, v: string"),
+            mode="append",
+        )
+    monkeypatch.setattr(VersionedTable, "_mark_visible", real)
+    assert 99 not in _live(t)
+    meta = t._overlay_meta()
+    assert meta["aborted"], "crashed tail must be fenced"
+    # later writes stamp past the fence and stay visible
+    t.upsert(spark.createDataFrame([(7, "seven")], "k: long, v: string"), mode="append")
+    assert _live(t)[7] == "seven"
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS)
+def test_txn_atomic_commit_either_backend(spark, tmp_path, backend_cls):
+    """Two tables, one transaction: both watermarks flip in one
+    manifest commit regardless of backend."""
+    be = backend_cls()
+    a = _mk(spark, tmp_path, be, name=f"ta_{backend_cls.__name__}")
+    b = _mk(spark, tmp_path, be, name=f"tb_{backend_cls.__name__}")
+    log = TransactionLog(str(tmp_path / f"txn_{backend_cls.__name__}"), backend=be)
+    log.enroll(a)
+    log.enroll(b)
+    with log.transaction():
+        a.upsert(spark.createDataFrame([(50, "A")], "k: long, v: string"))
+        b.upsert(spark.createDataFrame([(60, "B")], "k: long, v: string"))
+    assert _live(a)[50] == "A" and _live(b)[60] == "B"
+    # aborted verb publishes neither
+    with pytest.raises(RuntimeError):
+        with log.transaction():
+            a.upsert(spark.createDataFrame([(70, "X")], "k: long, v: string"))
+            raise RuntimeError("verb failed")
+    assert 70 not in _live(a)
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS)
+def test_stale_lock_steal_either_backend(spark, tmp_path, backend_cls, monkeypatch):
+    """A crashed writer's lock is stolen after the TTL on either
+    medium (mtime drives the lease)."""
+    import adfs_spark.storage as st
+
+    t = _mk(spark, tmp_path, backend_cls(), name=f"st_{backend_cls.__name__}")
+    nxt = t.last_commit_id() + 1
+    lock = f"{t.commits_path}/{nxt}.lock"
+    assert t.backend.put_if_absent(lock, b"dead writer")
+    monkeypatch.setattr(st, "LOCK_TTL_SEC", 0.0)
+    t.upsert(spark.createDataFrame([(5, "five")], "k: long, v: string"))
+    assert _live(t)[5] == "five"
+
+
+def test_commit_plane_calls_no_os_primitives():
+    """The protocol methods touch storage ONLY through the backend:
+    no direct os-level create/rename/unlink/stat/listdir in any
+    commit-plane function."""
+    from adfs_spark import storage
+
+    protocol_fns = [
+        VersionedTable._reserve_commit,
+        VersionedTable._transact,
+        VersionedTable.last_commit_id,
+        VersionedTable._local_overlay_meta,
+        VersionedTable._write_overlay_meta,
+        TransactionLog._reserve,
+        TransactionLog._commit,
+        TransactionLog.last_commit_id,
+        TransactionLog.latest,
+        storage._Transaction.__enter__,
+        storage._Transaction.__exit__,
+    ]
+    forbidden = (
+        "os.open", "os.replace", "os.unlink", "os.listdir",
+        "os.makedirs", "os.path.getmtime", "O_CREAT", "O_EXCL",
+    )
+    for fn in protocol_fns:
+        src = inspect.getsource(fn)
+        for verb in forbidden:
+            assert verb not in src, f"{fn.__qualname__} uses {verb} directly"

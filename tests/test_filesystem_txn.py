@@ -136,3 +136,37 @@ def test_txn_stale_lock_steal_fences_all_tables(fs, spark, monkeypatch):
     assert not ns.ns().filter(F.col("name") == "ghost").take(1)
     meta = fs.txn.latest()["tables"]["file"]
     assert [v0 + 1, v0 + 1] in meta["aborted"]
+
+
+def test_lease_survives_while_holder_has_other_open_file(fs):
+    """ADVICE r4: complete_file must drop the per-holder LEASE row only
+    when the holder has NO remaining under-construction file — the
+    reference removes a lease iff it holds no paths
+    (LeaseManager.removeLease :122-133)."""
+    ns, bm = fs.namespace, fs.blockmap
+    fs.create_file("/data/a", lease_holder="cli-1")
+    fs.create_file("/data/b", lease_holder="cli-1")
+    assert bm.leases.live().count() == 1
+    fs.complete_file("/data/a", now_ms=777)
+    # cli-1 still has /data/b open: the lease survives, time refreshed
+    rows = bm.leases.live().collect()
+    assert [r["holder"] for r in rows] == ["cli-1"]
+    assert rows[0]["time"] == 777
+    fs.complete_file("/data/b")
+    assert bm.leases.live().count() == 0  # last open file -> lease dropped
+
+
+def test_delete_keeps_lease_for_files_outside_subtree(fs):
+    """Deleting a subtree must not strip lease protection from a
+    holder's still-open file elsewhere in the namespace."""
+    ns, bm = fs.namespace, fs.blockmap
+    fs.namespace.mkdirs("/data/sub")
+    fs.create_file("/data/sub/f1", lease_holder="cli-2")
+    fs.create_file("/data/keep", lease_holder="cli-2")
+    fs.create_file("/data/sub/f2", lease_holder="cli-3")
+    assert {r["holder"] for r in bm.leases.live().collect()} == {"cli-2", "cli-3"}
+    fs.delete("/data/sub", recursive=True)
+    # cli-3's only file died with the subtree -> lease dropped;
+    # cli-2 still holds /data/keep -> lease survives
+    assert {r["holder"] for r in bm.leases.live().collect()} == {"cli-2"}
+    assert ns.exists("/data/keep")

@@ -262,3 +262,165 @@ def test_replicate_skips_fenced_ranges(spark, tmp_path, monkeypatch):
     assert 99 not in live          # fenced row never replicated
     assert live[2] == "two"        # committed append replicated
     assert live[0] == "v0"
+
+
+def test_append_ops_below_horizon_folds_lww(spark, tmp_path):
+    """ADVICE r4: ops whose abs(version) <= compacted_through cannot
+    publish through the watermark (the overlay reads only (ct, vt]) —
+    append_ops must fold them through the LWW merge path instead, so a
+    replica replaying an older-versioned op after a compact neither
+    loses the update nor resurrects overwritten state."""
+    t = _mk(spark, tmp_path, n=5)
+    t.update_where(F.col("k") == 2, {"v": F.lit("newer")}, mode="merge")
+    t.compact()
+    ct = t._overlay_meta()["compacted_through"]
+    stored = {r["k"]: r["version"] for r in t.snapshot().collect()}
+    assert ct == max(stored.values()) == stored[2]
+    # replayed op BELOW the horizon, newer than k=3's stored version:
+    # must win; replayed op older than k=2's stored version: must lose
+    ops = spark.createDataFrame(
+        [(3, "replayed-win", ct), (2, "replayed-lose", 1)],
+        "k: long, v: string, version: long",
+    )
+    t.append_ops(ops)
+    live = _live(t)
+    assert live[3] == "replayed-win"
+    assert live[2] == "newer"
+    # mixed batch: below-horizon rows fold, above-horizon rows publish
+    ct2 = t._overlay_meta()["compacted_through"]
+    mixed = spark.createDataFrame(
+        [(4, "old-win", stored[4] + 1), (0, "fresh", ct2 + 1)],
+        "k: long, v: string, version: long",
+    )
+    assert stored[4] + 1 <= ct2
+    vt = t.append_ops(mixed)
+    assert vt >= ct2 + 1
+    live = _live(t)
+    assert live[4] == "old-win" and live[0] == "fresh"
+
+
+def test_append_ops_below_horizon_rejected_in_open_txn(spark, tmp_path):
+    from adfs_spark.storage import TransactionLog
+
+    t = _mk(spark, tmp_path, n=5, name="enr")
+    t.compact()
+    ct = t._overlay_meta()["compacted_through"]
+    log = TransactionLog(str(tmp_path / "txn"))
+    log.enroll(t)
+    ops = spark.createDataFrame([(1, "old", ct)], "k: long, v: string, version: long")
+    with pytest.raises(ValueError, match="below-horizon"):
+        with log.transaction():
+            t.append_ops(ops)
+
+
+def test_overlay_autofold_bounds_pending_tail(spark, tmp_path):
+    """ADVICE r4: the pending overlay is bounded — once vt - ct exceeds
+    append_threshold * overlay_fold_factor, the next append-routed
+    write folds instead of growing it, so a long append streak can
+    never make the read-side overlay broadcast unbounded."""
+    t = _mk(spark, tmp_path, n=40, num_buckets=4)
+    t.append_threshold = 5
+    t.overlay_fold_factor = 2          # bound = 10 pending versions
+    for i in range(6):                 # 6 x 3-row appends = 18 versions
+        t.update_where(
+            F.col("k").isin([i, i + 10, i + 20]),
+            {"v": F.lit(f"b{i}")},
+            mode="append",
+        )
+        m = t._overlay_meta()
+        assert m["visible_through"] - m["compacted_through"] <= 10 + 3
+    # semantics unchanged by the interleaved folds
+    live = _live(t)
+    for i in range(6):
+        assert live[i] == f"b{i}" and live[i + 10] == f"b{i}"
+
+
+def test_fences_pruned_after_fold(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #8: a crash-heavy history must not grow the fence
+    list without bound — once a fold passes a fenced range, its orphan
+    rows are physically deleted from the changelog and the fence entry
+    dropped; delta()/time-travel stay orphan-free afterwards."""
+    t = _mk(spark, tmp_path, n=8)
+    real = VersionedTable._mark_visible
+
+    def boom(self, vt_new):
+        raise RuntimeError("crash")
+
+    for i in range(3):  # three crashed appends -> three fences
+        monkeypatch.setattr(VersionedTable, "_mark_visible", boom)
+        with pytest.raises(RuntimeError):
+            t.upsert(
+                spark.createDataFrame([(90 + i, "GHOST")], "k: long, v: string"),
+                mode="append",
+            )
+        monkeypatch.setattr(VersionedTable, "_mark_visible", real)
+        t.upsert(
+            spark.createDataFrame([(i, f"ok{i}")], "k: long, v: string"),
+            mode="append",
+        )
+    assert len(t._overlay_meta()["aborted"]) == 3
+    vmax = t.max_version()
+    t.compact()
+    meta = t._overlay_meta()
+    assert meta["aborted"] == []                       # fences retired
+    assert meta["compacted_through"] >= vmax
+    # the orphan rows are PHYSICALLY gone: a raw changelog scan finds
+    # no ghost keys, so time travel needs no fence predicate to be right
+    ghosts = t.changelog().filter(F.col("k") >= 90).count()
+    assert ghosts == 0
+    d = {r["k"] for r in t.delta(1, vmax).collect()}
+    assert d == set(range(8)) | {0, 1, 2}
+    live = _live(t)
+    assert live[0] == "ok0" and live[2] == "ok2" and 90 not in live
+
+
+def test_fences_pruned_in_txn_manifest(spark, tmp_path, monkeypatch):
+    """Enrolled tables: retired fences leave the manifest too (staged
+    through the open transaction's commit)."""
+    from adfs_spark.storage import TransactionLog
+
+    t = _mk(spark, tmp_path, n=6, name="mf")
+    log = TransactionLog(str(tmp_path / "txnp"))
+    log.enroll(t)
+    # a failed verb fences its appended tail in the manifest
+    with pytest.raises(RuntimeError):
+        with log.transaction():
+            t.upsert(spark.createDataFrame([(50, "X")], "k: long, v: string"))
+            raise RuntimeError("verb failed")
+    assert log.latest()["tables"]["ovl"]["aborted"]
+    t.upsert(spark.createDataFrame([(1, "one")], "k: long, v: string"))
+    t.compact()
+    assert log.latest()["tables"]["ovl"].get("aborted", []) == []
+    assert t._overlay_meta()["aborted"] == []
+    live = _live(t)
+    assert live[1] == "one" and 50 not in live
+
+
+def test_replicate_defers_unpublished_rows(spark, tmp_path):
+    """ADVICE r4: the streaming applier must gate on the source's
+    visibility watermark — rows a writer appended but never published
+    must NOT reach the replica, and must flow once published."""
+    from adfs_spark.streaming.loops import replicate
+
+    t = _mk(spark, tmp_path, n=4, name="m2")
+    v0 = t.max_version()
+    # stage an UNPUBLISHED append (changelog rows exist, no watermark
+    # bump, no fence yet — the exact crash window)
+    rows = spark.createDataFrame(
+        [(9, "pending", v0 + 1)], "k: long, v: string, version: long"
+    )
+    t._append_changelog(rows.withColumn(OP_COL, F.lit("UPSERT")))
+    replica = VersionedTable(spark, SPEC, str(tmp_path / "rep2"))
+    replica.init()
+    sq = replicate(t, replica, str(tmp_path / "ck2"))
+    sq.awaitTermination()
+    live = {r["k"]: r["v"] for r in replica.live().collect()}
+    assert 9 not in live                  # unpublished row deferred
+    assert live[0] == "v0"
+    # now publish it and write one more row; the stream catches up
+    t._mark_visible(v0 + 1)
+    t.upsert(spark.createDataFrame([(8, "eight")], "k: long, v: string"), mode="append")
+    sq = replicate(t, replica, str(tmp_path / "ck2"))
+    sq.awaitTermination()
+    live = {r["k"]: r["v"] for r in replica.live().collect()}
+    assert live[9] == "pending" and live[8] == "eight"
