@@ -44,6 +44,16 @@ def get_spark(
         # catalog layer (catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # take(n)/limit collection defaults to trying ONE partition and
+        # growing by scaleUpFactor — for the write path's bounded hit
+        # scans (predicates matching a few hundred rows spread across
+        # every partition) that is 3-4 SEQUENTIAL tiny jobs per write.
+        # Start limit scans wide: one job over up to shuffle-width
+        # partitions, which is the fixed floor of a small mutation.
+        .config(
+            "spark.sql.limit.initialNumPartitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

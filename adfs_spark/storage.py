@@ -541,6 +541,42 @@ class VersionedTable:
         """P5: the live view — tombstones stripped."""
         return self.snapshot().filter(F.col(VERSION_COL) >= 0)
 
+    def _live_hits(self, predicate=None, keys: DataFrame | None = None) -> DataFrame:
+        """Live rows matching ``predicate`` (or whose pk appears in
+        ``keys``) with the pending overlay LWW-merged — the write path's
+        hit scan.
+
+        Cheaper than ``live().filter(...)``: the full snapshot() merge
+        anti/semi-splits the WHOLE table on the overlay key set before
+        the filter can prune anything.  Here the filter pushes down to
+        the current/ parquet scan and the (small) overlay rides along
+        complete; the LWW window then runs over hits + overlay only.
+        Sound because an overlay row always outranks the same key's
+        current row (overlay versions ∈ (ct, vt], current ≤ ct): for a
+        key with any overlay row the merge winner is an overlay row
+        whether or not the current row survived the pushed filter, and
+        for a key with none the pushed filter equals the post-merge
+        filter.  The final post-merge ``predicate`` filter drops keys
+        whose LATEST row no longer matches."""
+        pk = list(self.spec.primary_key)
+        cur = self._read_current_raw()
+        if self.num_buckets:
+            cur = cur.drop(KBUCKET_COL)
+        pend = self._pending_overlay()
+        if keys is not None:
+            keyset = keys.select(*[c for c in keys.columns if c in pk])
+            cur = cur.join(keyset, pk, "left_semi")
+            if pend is not None:
+                pend = pend.join(keyset, pk, "left_semi")
+        if pend is None:
+            base = cur if predicate is None else cur.filter(predicate)
+        else:
+            pre = cur if predicate is None else cur.filter(predicate)
+            base = _latest_by_abs_version(pre.unionByName(pend), pk)
+            if predicate is not None:
+                base = base.filter(predicate)
+        return base.filter(F.col(VERSION_COL) >= 0)
+
     def point_lookup(self, key_values: Sequence[tuple | object]) -> DataFrame:
         """S1/S3 point reads with PHYSICAL bucket pruning — the
         engine's analog of a HandlerSocket indexed point `find`
@@ -891,11 +927,7 @@ class VersionedTable:
         Returns the new max version (post-write watermark)."""
 
         def body() -> int:
-            pk = list(self.spec.primary_key)
-            cur = self.snapshot()
-            live = cur.filter(F.col(VERSION_COL) >= 0)
-            hit = live.filter(predicate)
-            upd = hit
+            upd = self._live_hits(predicate=predicate)
             for col, val in assignments.items():
                 upd = upd.withColumn(col, val if hasattr(val, "_jc") else F.lit(val))
             upd = self._cast_spec(upd)
@@ -909,9 +941,7 @@ class VersionedTable:
         Returns the new max version (post-write watermark)."""
 
         def body() -> int:
-            pk = list(self.spec.primary_key)
-            cur = self.snapshot()
-            hit = cur.filter(F.col(VERSION_COL) >= 0).filter(predicate)
+            hit = self._live_hits(predicate=predicate)
             return self._write_op(hit, "DELETE", mode, negate=True)[0]
 
         return self._transact(body, "DELETE")  # type: ignore[return-value]
@@ -927,10 +957,7 @@ class VersionedTable:
         """(tombstones, stamp base, row count) — count comes free from
         the stamping pass."""
         pk = list(self.spec.primary_key)
-        cur = self.snapshot()
-        hit = cur.filter(F.col(VERSION_COL) >= 0).join(
-            keys.select(*[c for c in keys.columns if c in pk]), pk, "left_semi"
-        )
+        hit = self._live_hits(keys=keys)
         base = self._stamp_base()
         tomb, n = _stamp_versions_n(hit, pk, base, negate=True)
         return self._cast_spec(tomb), base, n
@@ -944,10 +971,7 @@ class VersionedTable:
         rows tombstoned."""
 
         def body() -> int:
-            pk = list(self.spec.primary_key)
-            hit = self.snapshot().filter(F.col(VERSION_COL) >= 0).join(
-                keys.select(*[c for c in keys.columns if c in pk]), pk, "left_semi"
-            )
+            hit = self._live_hits(keys=keys)
             return self._write_op(hit, "DELETE", mode, negate=True)[1]
 
         return self._transact(body, "DELETE")  # type: ignore[return-value]

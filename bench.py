@@ -263,25 +263,49 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
     n_leases = leases.count()
     timed("recoverLease", n_leases, lambda: noop(leases))
 
-    # Real write path: a versioned namespace table in a tempdir
+    # Real write path: a versioned namespace table in a tempdir.  The
+    # spec carries the FILE columns the mutation verbs touch
+    # (File.java:30-58: replication byte, leaseHolder, length) so the
+    # setReplication / append / open-close analogs exercise honest
+    # masked updates and point reads, not toy schemas.
     spec = TableSpec(
         name="bench_ns",
         columns=(
             ColumnSpec("id", "long"),
             ColumnSpec("parentId", "long"),
             ColumnSpec("name", "string"),
+            ColumnSpec("replication", "byte"),
+            ColumnSpec("leaseHolder", "string"),
+            ColumnSpec("length", "long"),
         ),
         primary_key=("id",),
         versioned=True,
     )
+    ns_full = ns.select(
+        "id",
+        "parentId",
+        "name",
+        F.lit(3).cast("byte").alias("replication"),
+        F.lit(None).cast("string").alias("leaseHolder"),
+        # leaves (id >= 10000) are files with a size; the rest are dirs
+        F.when(F.col("id") >= 10000, F.col("id") % 100000).otherwise(-1)
+        .cast("long")
+        .alias("length"),
+    )
     root = tempfile.mkdtemp(prefix="adfs_bench_ns_")
     t = VersionedTable(spark, spec, root, num_buckets=32)
-    t.init(ns)
-    # create1/mkdirs: one new child per existing leaf, REAL versioned upsert
-    new_rows = ns.filter(F.col("id") >= 10000).select(
+    t.init(ns_full)
+    appended_rows = 0  # everything the final fold must carry
+
+    # create1: one new child per existing leaf, REAL versioned upsert
+    # (merge mode — the bulk-create path folds immediately)
+    new_rows = ns_full.filter(F.col("id") >= 10000).select(
         (F.col("id") + 1_000_000).alias("id"),
         F.col("id").alias("parentId"),
         F.concat(F.lit("part-"), F.col("name")).alias("name"),
+        "replication",
+        "leaseHolder",
+        "length",
     )
     n_new = new_rows.count()
     t0 = time.time()
@@ -299,12 +323,98 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
     # (FileRepository.updateInternal :226-286); the deferred fold is
     # timed separately below as ``compact_after_ops``.
     n_moved = ns.filter(F.col("parentId") == 105).count()
-    t0 = time.time()
-    t.update_where(F.col("parentId") == 105, {"parentId": F.lit(106)}, mode="append")
+    # best-of-2: the same move in each direction (105→106, back again)
+    # — writes are not idempotent so repeat-the-op is the only honest
+    # best-of, and the reverse move is the identical op shape
+    best, phases = float("inf"), {}
+    for src, dst in ((105, 106), (106, 105)):
+        t0 = time.time()
+        t.update_where(
+            F.col("parentId") == src, {"parentId": F.lit(dst)}, mode="append"
+        )
+        dt = time.time() - t0
+        appended_rows += n_moved
+        if dt < best:
+            best, phases = dt, dict(getattr(t, "last_write_phases", {}))
     out["rename"] = {
         "entities": n_moved,
-        "sec": round(time.time() - t0, 3),
-        "per_sec": int(max(n_moved, 1) / (time.time() - t0)),
+        "sec": round(best, 3),
+        "per_sec": int(max(n_moved, 1) / best),
+        # machine-recorded floor evidence: hit scan / parquet append /
+        # watermark publish (storage.last_write_phases)
+        "phases": phases,
+    }
+    # append (BASELINE.md append1-3): reopen complete files for write —
+    # reacquire the lease on a file subset (U2 masked leaseHolder update)
+    n_app = ns_full.filter(
+        (F.col("id") >= 10000) & (F.col("id") % 11 == 0)
+    ).count()
+    t0 = time.time()
+    t.update_where(
+        (F.col("id") >= 10000) & (F.col("id") % 11 == 0) & (F.col("id") < 1_000_000),
+        {"leaseHolder": F.lit("bench-writer")},
+        mode="append",
+    )
+    dt = time.time() - t0
+    appended_rows += n_app
+    out["append"] = {
+        "entities": n_app,
+        "sec": round(dt, 3),
+        "per_sec": int(max(n_app, 1) / dt),
+        "phases": dict(getattr(t, "last_write_phases", {})),
+    }
+    # setReplication: U2 masked update of the replication byte on a 10%
+    # file subset (BASELINE.md setReplication row)
+    n_repl = ns_full.filter(
+        (F.col("id") >= 10000) & (F.col("id") % 10 == 0)
+    ).count()
+    t0 = time.time()
+    t.update_where(
+        (F.col("id") >= 10000) & (F.col("id") % 10 == 0) & (F.col("id") < 1_000_000),
+        {"replication": F.lit(2).cast("byte")},
+        mode="append",
+    )
+    dt = time.time() - t0
+    appended_rows += n_repl
+    out["setReplication"] = {
+        "entities": n_repl,
+        "sec": round(dt, 3),
+        "per_sec": int(max(n_repl, 1) / dt),
+        "phases": dict(getattr(t, "last_write_phases", {})),
+    }
+    # open-close (BASELINE.md open-close): open a batch of files for
+    # read — the pk-bucket-pruned point lookup (S3 path) returning the
+    # file rows a client needs to start reading (overlay-merged: the
+    # pending point mutations above are visible); close is a no-op
+    open_ids = [int(r["id"]) for r in ns_full.filter(
+        (F.col("id") >= 10000) & (F.col("id") % 7 == 0)
+    ).select("id").collect()][:2000]
+    timed(
+        "openClose",
+        len(open_ids),
+        lambda: noop(t.point_lookup(open_ids)),
+    )
+    # mkdirs: one new directory per existing leaf — the point-mutation
+    # shape (BASELINE.md mkdirs, the op the reference wins): small-batch
+    # changelog append + visibility bump, fold priced separately below.
+    dir_rows = ns_full.filter(F.col("id") >= 10000).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        F.col("id").alias("parentId"),
+        F.concat(F.lit("dir-"), F.col("name")).alias("name"),
+        F.lit(3).cast("byte").alias("replication"),
+        F.lit(None).cast("string").alias("leaseHolder"),
+        F.lit(-1).cast("long").alias("length"),
+    )
+    n_dirs = dir_rows.count()
+    t0 = time.time()
+    t.upsert(dir_rows, mode="append")
+    dt = time.time() - t0
+    appended_rows += n_dirs
+    out["mkdirs"] = {
+        "entities": n_dirs,
+        "sec": round(dt, 3),
+        "per_sec": int(n_dirs / dt),
+        "phases": dict(getattr(t, "last_write_phases", {})),
     }
     # delete: guarded recursive subtree tombstone via semi-join keys
     # (auto mode: subtree-sized batches append, huge ones fold)
@@ -312,19 +422,20 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
     n_del = del_keys.count()
     t0 = time.time()
     t.delete_where_keys(del_keys.select(F.col("id")), mode="auto")
+    appended_rows += n_del
     out["delete"] = {
         "entities": n_del,
         "sec": round(time.time() - t0, 3),
         "per_sec": int(n_del / (time.time() - t0)),
     }
     # the deferred cost the append path amortizes: one fold covering
-    # BOTH ops above (entities = total rows folded)
+    # every append-mode op above (entities = total rows folded)
     t0 = time.time()
     t.compact()
     out["compact_after_ops"] = {
-        "entities": n_moved + n_del,
+        "entities": appended_rows,
         "sec": round(time.time() - t0, 3),
-        "per_sec": int(max(n_moved + n_del, 1) / (time.time() - t0)),
+        "per_sec": int(max(appended_rows, 1) / (time.time() - t0)),
     }
     ns.unpersist()
     paths.unpersist()
