@@ -507,6 +507,44 @@ def ivf_pq_topk(
     )
 
 
+_KNN_BLOCK_CACHE: dict = {}
+
+
+def _load_knn_block(path: str):
+    """Task-side load of one staged right-side block → (ids, matrix,
+    norms), with a SIZE-1 per-python-worker cache: worker reuse
+    (``spark.python.worker.reuse``, on by default) keeps the process
+    alive across tasks, so each worker reads a block once per block
+    pass instead of once per left partition.  Returns (None, None,
+    None) for a block directory that got no rows (dynamic partition
+    writes skip empty blocks)."""
+    import glob
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cached = _KNN_BLOCK_CACHE.get(path)
+    if cached is not None:
+        return cached
+    files = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+    if not files:
+        out = (None, None, None)
+    else:
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=["_rid", "_rvec"]) for f in files
+        )
+        ids = tbl.column("_rid").to_numpy().astype(np.int64)
+        mat = np.array(tbl.column("_rvec").to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = np.nan  # zero-norm → NaN sim, sorts last
+        out = (ids, mat, nrm)
+    _KNN_BLOCK_CACHE.clear()  # size-1: hold only the current block
+    _KNN_BLOCK_CACHE[path] = out
+    return out
+
+
 def knn_join_blocked(
     left: DataFrame,
     right: DataFrame,
@@ -516,27 +554,36 @@ def knn_join_blocked(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     block_rows: int = 50_000,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Exact k-NN join with NO broadcast-sized-right requirement — the
     scale tier :func:`knn_join_brute` documents as missing.
 
     Exact k-NN is intrinsically O(|L|·|R|) similarity work; the design
     question is only how to partition the product without shuffling it.
-    Here the RIGHT side streams through in driver-iterated blocks of
-    ``block_rows`` vectors (a block of 50k×128-d floats is ~25 MB —
-    comfortably a task-broadcast), and each block pass is ONE
-    Arrow-batched ``mapInPandas`` over the left partitions: a numpy
-    matmul scores the whole (partition × block) tile and reduces it to
-    k rows per left vector BEFORE anything leaves the task.  The
-    shuffle that merges blocks therefore carries |L|·k·⌈|R|/block⌉
-    (sim, id) pairs — never the |L|·|R| product — and one final
-    per-left top-k (window over the pre-reduced union) finishes.
+    The RIGHT side is staged ONCE as a block-partitioned parquet
+    directory (one distributed write job — no data row ever visits the
+    driver), then each block pass is ONE Arrow-batched ``mapInPandas``
+    over the left partitions: the task reads its block's parquet
+    (~25 MB for 50k×128-d floats, cached per python worker so a
+    reused worker pays the read once per block), a numpy matmul scores
+    the whole (partition × block) tile, and reduces it to k rows per
+    left vector BEFORE anything leaves the task.  The shuffle that
+    merges blocks therefore carries |L|·k·⌈|R|/block⌉ (sim, id) pairs
+    — never the |L|·|R| product — and one final per-left top-k (window
+    over the pre-reduced union) finishes.  On a cluster the staging
+    directory lives on shared storage (the same side-file pattern a
+    map-side join uses); ``scratch_dir`` overrides the default
+    tempdir.  The driver handles only metadata: block count and the
+    staged directory listing.
 
     Equal to :func:`knn_join_brute` by construction (pinned by
     test_knn_join_blocked_equals_brute): per-block exact top-k merged
     over all blocks IS the global exact top-k.  Ties broken by
     neighbor id ascending, matching the brute tier.
     """
+    import tempfile
+
     import numpy as np
     import pandas as pd
 
@@ -545,23 +592,25 @@ def knn_join_blocked(
     l = left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec"))
     n_right = r.count()
     n_blocks = max(1, -(-n_right // block_rows))
-    # deterministic block assignment: hash-mod on the right id
-    r = r.withColumn("_blk", F.pmod(F.xxhash64(F.col("_rid")), F.lit(n_blocks)))
+    # deterministic block assignment: hash-mod on the right id; stage
+    # the right side once, partitioned by block (task-side access path)
+    stage = scratch_dir or tempfile.mkdtemp(prefix="adfs_knn_blk_")
+    (
+        r.withColumn("_blk", F.pmod(F.xxhash64(F.col("_rid")), F.lit(n_blocks)))
+        .write.mode("overwrite")
+        .partitionBy("_blk")
+        .parquet(stage)
+    )
 
     out_schema = "_lid long, _rid long, sim double"
     partials = None
     for b in range(n_blocks):
-        blk = r.filter(F.col("_blk") == b).drop("_blk").collect()
-        if not blk:
-            continue
-        rids = np.array([row["_rid"] for row in blk], dtype=np.int64)
-        rmat = np.array([row["_rvec"] for row in blk], dtype=np.float64)
-        rnorm = np.linalg.norm(rmat, axis=1)
-        rnorm[rnorm == 0] = np.nan  # zero-norm → NaN sim, sorts last
-        bc = spark.sparkContext.broadcast((rids, rmat, rnorm))
+        block_path = f"{stage}/_blk={b}"
 
-        def score_block(batches, _bc=bc):
-            ids_r, mat_r, nrm_r = _bc.value
+        def score_block(batches, _path=block_path):
+            ids_r, mat_r, nrm_r = _load_knn_block(_path)
+            if ids_r is None:
+                return
             for pdf in batches:
                 if pdf.empty:
                     continue

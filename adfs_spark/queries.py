@@ -3736,6 +3736,115 @@ def d6_heartbeat_converged(spark, sf_dir):
     return dn.live().select("id", "lastUpdated", "load")
 
 
+@q("stream_neardup_pairs", _JACCARD_SQL)
+def stream_neardup_pairs(spark, sf_dir):
+    """Streaming near-dup dedup as a driver row — the d5/d6
+    convergence-oracle pattern applied to the ingest tier
+    (:func:`~adfs_spark.streaming.loops.neardup_stream`): the
+    documents table arrives in three ingest waves (file source, one
+    wave per micro-batch under availableNow); each epoch dedups
+    against the accumulated corpus index, emits the pairs it
+    completes, then appends its own banded rows.  The UNION of
+    per-epoch pair outputs must equal the exact all-pairs 3-gram
+    Jaccard oracle over the FULL table — the same oracle as the batch
+    ``dedup_minhash_lsh`` row — so the incremental index, epoch
+    fencing, and exactly-once pair emission are value-checked end to
+    end.  Wave files are written driver-side (bounded: this row runs
+    at correctness scale, like the d6 heartbeat waves)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from adfs_spark.streaming.loops import neardup_stream
+
+    root = _tmp_root("adfs_sstream_")
+    src = os.path.join(root, "waves")
+    os.makedirs(src)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for w in range(3):
+        wave = d.filter(F.col("doc_id") % 3 == w).toPandas()
+        pq_.write_table(
+            pa.Table.from_pandas(wave, preserve_index=False),
+            os.path.join(src, f"wave{w}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = neardup_stream(
+        stream, spark, os.path.join(root, "state"), os.path.join(root, "ckpt"),
+        num_hashes=64, num_bands=16, threshold=0.8,
+    )
+    sq.awaitTermination()
+    pairs = spark.read.parquet(os.path.join(root, "state", "pairs"))
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+@q(
+    "stream_ivm_groupagg",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS g,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+                FROM orders WHERE o_orderkey % 20 = 0),
+       fin AS (SELECT k,
+                CASE WHEN k % 80 = 0 THEN 'MOVED' ELSE g END AS g,
+                CASE WHEN k % 60 = 0 THEN v + 111.0 ELSE v END AS v
+               FROM base WHERE k % 100 <> 0)
+       SELECT g, round(sum(v), 2) AS sum_v, count(*) AS n_rows
+       FROM fin GROUP BY g""",
+)
+def stream_ivm_groupagg(spark, sf_dir):
+    """Stateful IVM as a driver row: a source VersionedTable mutates
+    (value update, GROUP MOVE, tombstone delete), the streaming
+    maintainer (:func:`~adfs_spark.streaming.loops.
+    maintain_group_aggregate`) consumes its changelog micro-batches and
+    incrementally recomputes only the affected groups; the converged
+    aggregate table must equal the relational group-by over the final
+    state.  The group-move case is the hard one — the maintainer must
+    find the row's OLD group from changelog history, not just the
+    batch's new image."""
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+    from adfs_spark.streaming.loops import maintain_group_aggregate
+
+    root = _tmp_root("adfs_ivm_")
+    src_spec = TableSpec(
+        name="ivm_src",
+        columns=(
+            ColumnSpec("k", "long"),
+            ColumnSpec("g", "string"),
+            ColumnSpec("v", "double"),
+        ),
+        primary_key=("k",),
+        versioned=True,
+    )
+    base = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        _dec("o_totalprice").cast("double").alias("v"),
+    )
+    src = VersionedTable(spark, src_spec, os.path.join(root, "src"))
+    src.init(base)
+    src.update_where(F.col("k") % 60 == 0, {"v": F.col("v") + 111.0})
+    src.update_where(F.col("k") % 80 == 0, {"g": F.lit("MOVED")})
+    src.delete_where(F.col("k") % 100 == 0)
+
+    agg_spec = TableSpec(
+        name="ivm_agg",
+        columns=(
+            ColumnSpec("g", "string"),
+            ColumnSpec("sum_v", "double"),
+            ColumnSpec("n_rows", "long"),
+        ),
+        primary_key=("g",),
+        versioned=True,
+    )
+    agg = VersionedTable(spark, agg_spec, os.path.join(root, "agg"))
+    agg.init()
+    sq = maintain_group_aggregate(src, agg, "g", "v", os.path.join(root, "ckpt"))
+    sq.awaitTermination()
+    return agg.live().select("g", F.round("sum_v", 2).alias("sum_v"), "n_rows")
+
+
 @q(
     "s11_ddl_source",
     """SELECT * FROM (VALUES
@@ -4218,12 +4327,16 @@ _suite(
         ("u_sync_roundtrip", ["mode", "k", "v"]),
         ("d5_editlog_converged", ["k", "v"]),
         ("d6_heartbeat_converged", ["id", "lastUpdated", "load"]),
+        ("stream_neardup_pairs", ["id_a", "id_b", "jaccard"]),
+        ("stream_ivm_groupagg", ["g", "sum_v", "n_rows"]),
     ],
     [
         ("o_orderkey", _L), ("version", _L), ("op", _S),
         ("tbl", _S), ("ddl", _S),
         ("mode", _S), ("k", _L), ("v", _D),
         ("id", _L), ("lastUpdated", _L), ("load", _D),
+        ("id_a", _L), ("id_b", _L), ("jaccard", _D),
+        ("g", _S), ("sum_v", _D), ("n_rows", _L),
     ],
 )
 

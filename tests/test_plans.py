@@ -323,3 +323,30 @@ def test_tfidf_token_table_shuffles_once(spark):
     ]
     assert len(live) == 2, "tfidf shuffle count moved:\n" + "\n".join(live)
     assert "Window" in final  # top-k window present, fed shuffle-free
+
+
+def test_plans_md_is_fresh():
+    """PLANS.md must be regenerated whenever queries.py (or the bench
+    query lists) change: its recorded Source-Hash has to match the
+    current inputs, and every bench query — extras included — needs a
+    plan section.  Regenerate with `python tools/dump_plans.py`."""
+    import os
+    import re
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from bench import BENCH_EXTRAS, BENCH_QUERIES
+    from dump_plans import plans_source_hash
+
+    with open(os.path.join(here, "PLANS.md")) as f:
+        text = f.read()
+    m = re.search(r"Source-Hash: ([0-9a-f]+)", text)
+    assert m, "PLANS.md has no Source-Hash — regenerate with tools/dump_plans.py"
+    assert m.group(1) == plans_source_hash(), (
+        "PLANS.md is stale (queries.py or the bench lists changed since "
+        "generation) — rerun `python tools/dump_plans.py`"
+    )
+    sections = set(re.findall(r"^## (\S+)$", text, re.M))
+    missing = [q for q in BENCH_QUERIES + BENCH_EXTRAS if q not in sections]
+    assert not missing, f"PLANS.md lacks plan sections for: {missing}"

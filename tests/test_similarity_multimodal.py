@@ -572,3 +572,17 @@ def _with_rank(df):
 
     w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("sim"), "neighbor_id")
     return df.withColumn("_rn", F.row_number().over(w))
+
+
+def test_knn_join_blocked_never_collects_rows():
+    """VERDICT r4 #5: the blocked tier stages the right side as
+    block-partitioned parquet read task-side — no data-row collect()
+    or per-block driver broadcast remains in the loop."""
+    import inspect
+
+    from adfs_spark.functions.similarity import knn_join_blocked
+
+    src = inspect.getsource(knn_join_blocked)
+    assert ".collect()" not in src
+    assert "broadcast(" not in src
+    assert 'partitionBy("_blk")' in src
