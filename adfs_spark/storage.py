@@ -871,6 +871,10 @@ class VersionedTable:
         publish for explicit ``append``, to a fold for ``auto``."""
         if mode not in ("merge", "append", "auto"):
             raise ValueError(f"unknown write mode {mode!r}")
+        # phases are per-write evidence: clear up front so a write that
+        # takes the distributed path never reports a PREVIOUS write's
+        # driver-append breakdown as its own
+        self.last_write_phases = {}
         if self.txn is not None:
             # a fold inside an uncommitted transaction would leak rows
             # into current/ before the manifest commit — enrolled
