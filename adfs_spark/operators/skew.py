@@ -1,0 +1,163 @@
+"""Skew-aware operator forms: salted windows and split-union joins.
+
+Spark's own defenses cover most skew: partial (map-side) aggregation
+collapses hot groupBy keys before the shuffle, and AQE splits oversized
+sort-merge-join partitions at runtime.  Two shapes remain exposed:
+
+- **Windowed top-k / argmax**: ``row_number() OVER (PARTITION BY k)``
+  funnels EVERY row of a hot key through one task — partial
+  aggregation can't help (row identity must survive) and AQE won't
+  split a window partition.  A key holding 100M rows at 100 TB is a
+  straggler task, or an OOM.
+- **Joins AQE can't rewrite**: stream-static joins, and broadcast-
+  ineligible right sides where one hot key dominates the probe side.
+
+The operators here bound both:
+
+- :func:`salted_topk` — two-phase top-k: a salt column splits each
+  key's rows across ``salt`` sub-partitions, a local window keeps k
+  per sub-partition (parallel, bounded), then the final window ranks
+  only the surviving ``salt * k`` rows per key.  Correct because the
+  global top-k is a subset of the union of sub-partition top-k's.
+- :func:`heavy_hitter_keys` — sample-based hot-key detection; the
+  result is bounded by 1/min_frac keys regardless of table size.
+- :func:`skew_split_join` — split-union: rows with hot keys join
+  against a broadcast slice of the right side (no shuffle of the hot
+  partitions at all); the long tail takes the ordinary shuffle join.
+  The union of the two disjoint halves is exactly the plain join.
+
+The reference meets the same problem as hot rows behind its
+distributed lock manager and caches them per-namenode
+(DistributedLocker.java:103-160, the hot-directory case of
+FileRepository); a shared-nothing shuffle engine salts instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SALT = "_skew_salt"
+_LRN = "_skew_local_rn"
+
+
+def _cols(cs: Sequence) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+    rank_col: str = "rank",
+    salt: int = 32,
+) -> DataFrame:
+    """Top-k rows per key with NO single-task-per-key funnel.
+
+    Phase 1 ranks within (key, salt) sub-partitions — each task sees at
+    most |key| / salt rows of a hot key — and keeps k; phase 2 ranks
+    the ≤ salt·k survivors per key.  Output is identical to the plain
+    ``row_number() <= k`` window PROVIDED ``order_cols`` is a total
+    order within each key (the same requirement the plain form needs
+    to be deterministic at all).
+
+    The salt is ``monotonically_increasing_id() % salt``: deterministic
+    per task attempt, uniformly spreads rows of one key that share a
+    partition, and never consults data values (a value-derived salt
+    would re-cluster identical rows).  Result values don't depend on
+    WHICH sub-partition a row landed in, so task retries are safe.
+    """
+    order = _cols(order_cols)
+    salted = df.withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    )
+    local = Window.partitionBy(*keys, _SALT).orderBy(*order)
+    survivors = (
+        salted.withColumn(_LRN, F.row_number().over(local))
+        .filter(F.col(_LRN) <= k)
+        .drop(_SALT, _LRN)
+    )
+    final = Window.partitionBy(*keys).orderBy(*order)
+    return survivors.withColumn(rank_col, F.row_number().over(final)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def salted_argmax(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence,
+    salt: int = 32,
+) -> DataFrame:
+    """One winning row per key (the k=1 case), funnel-free."""
+    return salted_topk(df, keys, order_cols, k=1, salt=salt).drop("rank")
+
+
+def heavy_hitter_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    min_frac: float = 0.01,
+    sample_frac: float = 0.05,
+    seed: int = 7,
+) -> DataFrame:
+    """Keys holding ≥ ``min_frac`` of rows, estimated from a sample.
+
+    Returns a key-columns DataFrame of AT MOST 1/min_frac rows (a key
+    above the threshold in the sample occupies that fraction of it) —
+    always broadcast-safe, never proportional to table size.  One
+    sample-sized aggregation; the count threshold is applied against
+    the sample's own total so ``sample_frac`` cancels out.  The total
+    arrives as a broadcast 1-row cross join — an unpartitioned window
+    would funnel every sampled key through one task, the exact shape
+    this module exists to avoid.
+    """
+    s = df.sample(fraction=sample_frac, seed=seed).groupBy(*keys).count()
+    tot = s.agg(F.sum("count").alias("_tot"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .filter(F.col("count") >= F.col("_tot") * min_frac)
+        .select(*keys)
+    )
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    heavy: DataFrame | None = None,
+    how: str = "inner",
+    min_frac: float = 0.01,
+) -> DataFrame:
+    """``left.join(right, on, how)`` with hot-key partitions routed
+    around the shuffle.
+
+    ``heavy`` (or :func:`heavy_hitter_keys` of the left side when
+    omitted) is broadcast to split both inputs; the hot-key half joins
+    against the broadcast right slice map-side — the rows that would
+    have formed the oversized shuffle partitions never move — and the
+    cold half takes the ordinary shuffle join.  The two halves are
+    key-disjoint, so their union is exactly the plain join.
+
+    Supported ``how``: inner / left (the splits below are only
+    key-disjoint-complete for these).  The broadcast right slice is
+    bounded by |heavy keys| × right's per-key fan-out; when one key's
+    RIGHT side is itself huge, salting-with-replication is the
+    remaining tool — explode the right slice over salt values instead
+    of broadcasting (not needed for any benched shape, documented for
+    the 100 TB operator).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how}")
+    on = list(on)
+    if heavy is None:
+        heavy = heavy_hitter_keys(left, on, min_frac=min_frac)
+    hk = F.broadcast(heavy.select(*on).distinct())
+    l_hot = left.join(hk, on, "left_semi")
+    l_cold = left.join(hk, on, "left_anti")
+    r_hot = right.join(hk, on, "left_semi")
+    hot = l_hot.join(F.broadcast(r_hot), on, how)
+    cold = l_cold.join(right, on, how)
+    return hot.unionByName(cold)

@@ -322,6 +322,35 @@ def j5_anti_stored(spark, sf_dir):
 
 
 @q(
+    "j_skew_split",
+    """SELECT o_orderkey, o_custkey, c_name
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE o_totalprice > 150000""",
+)
+def j_skew_split(spark, sf_dir):
+    """Skew-aware split-union join (operators/skew.py): hot probe keys
+    detected by sampling, routed through a broadcast slice of the
+    build side; the long tail takes the ordinary shuffle join.  The
+    oracle is the PLAIN join — the operator is a pure physical
+    rewrite, so the driver row proves the split+union reconstructs it
+    exactly (the 100 TB shape AQE can't reach: stream-static joins and
+    pre-shuffle hot-partition routing)."""
+    from adfs_spark.operators.skew import skew_split_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return skew_split_join(o, c, ["o_custkey"], min_frac=0.005).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@q(
     "j6_secondary_index_join",
     "SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey",
 )
@@ -479,6 +508,29 @@ def w2_topk_per_group(spark, sf_dir):
         .filter(F.col("rank") <= 2)
         .select("l_orderkey", "l_linenumber", "rank")
     )
+
+
+@q(
+    "w_topk_salted",
+    """SELECT l_orderkey, l_linenumber, rn AS rank FROM
+       (SELECT l_orderkey, l_linenumber, row_number() OVER
+          (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 2""",
+)
+def w_topk_salted(spark, sf_dir):
+    """W2's semantics through the funnel-free two-phase salted window
+    (operators/skew.py salted_topk): phase 1 keeps k per (key, salt)
+    sub-partition, phase 2 ranks only the ≤ salt·k survivors — no
+    single task ever sees a whole hot key.  Oracle = the plain window
+    SQL, proving the rewrite is exact."""
+    from adfs_spark.operators.skew import salted_topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return salted_topk(
+        li, ["l_orderkey"], [F.desc("l_quantity"), "l_linenumber"], k=2, salt=8
+    ).select("l_orderkey", "l_linenumber", "rank")
 
 
 @q(
@@ -1499,20 +1551,34 @@ def q5_nation_revenue(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AFRICA"))
+    # Dim restriction FIRST: region⋈nation is constant-size, so the
+    # ~10 valid nation keys broadcast onto customer/supplier as
+    # map-side joins — every downstream shuffle then moves only the
+    # qualifying ~40% of customers/orders instead of dropping them
+    # after the fact-fact join (Catalyst won't reorder the join chain
+    # without CBO stats, so the restriction must be authored early).
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    c2 = c.join(F.broadcast(nr), c["c_nationkey"] == nr["n_nationkey"]).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    s2 = s.join(
+        F.broadcast(nr.select("n_nationkey")),
+        s["s_nationkey"] == nr["n_nationkey"],
+    ).select("s_suppkey", "s_nationkey")
     # lineitem⋈orders is fact-fact → shuffle (AQE handles skew).
-    # Only nation/region are constant-size → forced broadcast;
     # customer/supplier grow with SF (sf100 customer ≈ 15M rows), so a
     # forced broadcast would OOM executors at scale — AQE decides from
-    # runtime sizes instead.
+    # runtime sizes for the filtered c2/s2 sides instead.
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(c2, o["o_custkey"] == c2["c_custkey"])
         .join(
-            s,
-            (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+            s2,
+            (li["l_suppkey"] == s2["s_suppkey"])
+            & (s2["s_nationkey"] == F.col("c_nationkey")),
         )
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
     return j.groupBy("n_name").agg(
         F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
@@ -4225,8 +4291,12 @@ _suite(
         ("j5_anti_reported", ["event_id"]),
         ("j5_anti_stored", ["o_orderkey"]),
         ("j5_corrupt_classify", ["id", "class"]),
+        ("j_skew_split", ["o_orderkey", "o_custkey", "c_name"]),
     ],
-    [("event_id", _L), ("o_orderkey", _L), ("id", _L), ("class", _S)],
+    [
+        ("event_id", _L), ("o_orderkey", _L), ("id", _L), ("class", _S),
+        ("o_custkey", _L), ("c_name", _S),
+    ],
 )
 
 _suite(
@@ -4263,11 +4333,13 @@ _suite(
         ("w4_pick_one_per_group", ["c_nationkey", "c_custkey", "c_name"]),
         ("sort_topk_global", ["o_orderkey", "o_totalprice"]),
         ("w_rank_dense_ties", ["o_custkey", "o_orderkey", "rnk", "drnk"]),
+        ("w_topk_salted", ["l_orderkey", "l_linenumber", "rank"]),
     ],
     [
         ("o_orderkey", _L), ("priority", _L), ("c_nationkey", _L),
         ("c_custkey", _L), ("c_name", _S), ("o_totalprice", _D),
         ("o_custkey", _L), ("rnk", _L), ("drnk", _L),
+        ("l_orderkey", _L), ("l_linenumber", _L), ("rank", _L),
     ],
 )
 

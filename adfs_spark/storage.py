@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from adfs_spark.backend import CommitBackend, LocalCommitBackend
+from adfs_spark.functions import xxh
 from adfs_spark.schema import VERSION_COL, TableSpec
 
 OP_COL = "_op"  # INSERT / UPDATE / DELETE, DistributedOperation op types
@@ -584,12 +585,15 @@ class VersionedTable:
 
         ``key_values``: primary-key tuples (bare values for a 1-column
         pk).  With a bucketed layout the pk-hash bucket of each key is
-        computed on a keys-sized literal frame (bounded by the number
-        of keys requested, never by table size) and the scan filters
-        on the ``_kb`` PARTITION column — so a point read touches
-        O(|keys|/num_buckets) of the table's files regardless of table
-        size, mirroring the B-tree descent the reference gets from
-        MySQL.  Falls back to a broadcast semi-join on the unbucketed
+        computed ON THE DRIVER in pure Python (``functions.xxh`` is
+        bit-identical to the layout's ``xxhash64`` — no Spark job at
+        all for int/str/bool keys; exotic key types fall back to one
+        keys-sized job, bounded by the number of keys requested, never
+        by table size) and the scan filters on the ``_kb`` PARTITION
+        column — so a point read touches O(|keys|/num_buckets) of the
+        table's files regardless of table size, mirroring the B-tree
+        descent the reference gets from MySQL, and the whole lookup is
+        ONE job.  Falls back to a broadcast semi-join on the unbucketed
         layout.  Tombstones are stripped (P5)."""
         pk = list(self.spec.primary_key)
         vals = [
@@ -601,12 +605,13 @@ class VersionedTable:
         keys = self.spark.createDataFrame(vals, pk_schema)
         if not self.num_buckets:
             return self.live().join(F.broadcast(keys), pk, "left_semi")
-        buckets = sorted(
-            {
+        py_buckets = {xxh.kbucket_of(v, self.num_buckets) for v in vals}
+        if None in py_buckets:  # non-replicable cast: one keys-sized job
+            py_buckets = {
                 r["_b"]
                 for r in keys.select(self._kbucket().alias("_b")).collect()
             }
-        )
+        buckets = sorted(py_buckets)
         raw = self._read_current_raw().filter(F.col(KBUCKET_COL).isin(buckets))
         hit = raw.drop(KBUCKET_COL).join(F.broadcast(keys), pk, "left_semi")
         pend = self._pending_overlay()

@@ -72,11 +72,17 @@ def test_q5_fact_join_not_broadcast_on_big_side(spark):
     # joins on all 6 tables compile; small-SF statistics may still pick
     # runtime broadcasts, which is AQE's call, not a forced hint
     assert "Join" in p
-    # the contract: only the constant-size dims (nation, region) carry a
-    # broadcast HINT — customer/supplier grow with SF and must be left
-    # to AQE (a forced broadcast OOMs executors at sf100)
+    # the contract: only constant-size frames carry a broadcast HINT —
+    # region into nation, then the ≤|nation| region-filtered nation
+    # slice onto customer AND supplier (the early dim restriction, so
+    # downstream shuffles move only qualifying rows).  customer /
+    # supplier themselves grow with SF and must be left to AQE (a
+    # forced broadcast OOMs executors at sf100)
+    # 4 occurrences: nr's internal region hint prints under BOTH reuses
+    # of the nr subtree (customer's and supplier's), plus the two nr
+    # hints themselves
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 4
 
 
 def test_q3_q14_no_forced_broadcast_of_scaled_tables(spark):
