@@ -202,6 +202,7 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
 
     from pyspark.sql import functions as F
 
+    from adfs_spark.catalog import load_table
     from adfs_spark.operators.hierarchy import (
         recursive_delete_set,
         resolve_paths_batch,
@@ -262,6 +263,28 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
     leases = QUERIES["u_lease_recovery_append"][0](spark, SF_DIR)
     n_leases = leases.count()
     timed("recoverLease", n_leases, lambda: noop(leases))
+    # Block-health counters (published rows getUnderReplicatedBlocks /
+    # getCorruptBlocksCount / getMissingBlocksCount): the reference
+    # memoizes these namenode-side and serves them via point RPC; the
+    # batch analog RECOMPUTES each from the full replica set in one
+    # aggregation plan.  entities = replica/report rows scanned per
+    # recompute — the honest batch-side denominator.
+    li_blocks = QUERIES["a6_having_under_threshold"][0](spark, SF_DIR)
+    n_replicas = load_table(spark, SF_DIR, "lineitem").count()
+    timed(
+        "getUnderReplicatedBlocks",
+        n_replicas,
+        lambda: li_blocks.count(),
+    )
+    classify = QUERIES["j5_corrupt_classify"][0](spark, SF_DIR)
+    n_report = load_table(spark, SF_DIR, "orders").count()
+    timed(
+        "getCorruptBlocksCount",
+        n_report,
+        lambda: classify.filter(F.col("class") == "corrupt").count(),
+    )
+    missing = QUERIES["j5_anti_stored"][0](spark, SF_DIR)
+    timed("getMissingBlocksCount", n_report, lambda: missing.count())
 
     # Real write path: a versioned namespace table in a tempdir.  The
     # spec carries the FILE columns the mutation verbs touch
@@ -363,6 +386,20 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
         "per_sec": int(max(n_app, 1) / dt),
         "phases": dict(getattr(t, "last_write_phases", {})),
     }
+    # sync (published rows sync1-3: edit-log fsync throughput): the
+    # engine's durability step IS the changelog append + watermark
+    # publish — the machine-measured sub-phases of the append op above
+    # (everything except the read-side hit scan).  Reported as its own
+    # row so the baseline's sync verbs have a named analog.
+    _ph = out["append"]["phases"]
+    _dur = float(_ph.get("driver_append_sec", 0)) + float(_ph.get("publish_sec", 0))
+    if _dur > 0:
+        out["sync"] = {
+            "entities": n_app,
+            "sec": round(_dur, 3),
+            "per_sec": int(n_app / _dur),
+            "derived_from": "append.phases: changelog durable write + visibility publish",
+        }
     # setReplication: U2 masked update of the replication byte on a 10%
     # file subset (BASELINE.md setReplication row)
     n_repl = ns_full.filter(
