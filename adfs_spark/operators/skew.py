@@ -161,3 +161,50 @@ def skew_split_join(
     hot = l_hot.join(F.broadcast(r_hot), on, how)
     cold = l_cold.join(right, on, how)
     return hot.unionByName(cold)
+
+
+def replicated_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    heavy: DataFrame | None = None,
+    how: str = "inner",
+    min_frac: float = 0.01,
+    salt: int = 16,
+) -> DataFrame:
+    """``left.join(right, on, how)`` with hot keys salted-and-replicated
+    — the tier above :func:`skew_split_join` for keys whose RIGHT slice
+    is itself too large to broadcast (a hot key with millions of build
+    rows breaks the broadcast route; nothing breaks this one).
+
+    Hot-key LEFT rows get a deterministic salt in ``[0, salt)``; the
+    hot-key RIGHT slice is replicated once per salt value; the hot join
+    runs on ``(keys…, salt)`` so one hot key's pairs spread across
+    ``salt`` shuffle partitions instead of funneling into one task.
+    Exact because every left row meets every right row of its key in
+    exactly one sub-partition (the left row's salt), and each left row
+    carries exactly one salt — so ``how='left'`` accounting also
+    survives.  Cost: the hot right slice shuffles ``salt`` times —
+    bounded by |heavy keys| · fan-out · salt, chosen over an unbounded
+    broadcast.  The cold tail takes the ordinary shuffle join; the two
+    halves are key-disjoint, so their union is exactly the plain join.
+
+    Same ``how`` limits as :func:`skew_split_join` (inner/left): a
+    right/full join would count each unmatched right REPLICA once.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"replicated_skew_join supports inner/left, got {how}")
+    on = list(on)
+    if heavy is None:
+        heavy = heavy_hitter_keys(left, on, min_frac=min_frac)
+    hk = F.broadcast(heavy.select(*on).distinct())
+    l_hot = left.join(hk, on, "left_semi").withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    )
+    l_cold = left.join(hk, on, "left_anti")
+    r_hot = right.join(hk, on, "left_semi").withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    hot = l_hot.join(r_hot, on + [_SALT], how).drop(_SALT)
+    cold = l_cold.join(right, on, how)
+    return hot.unionByName(cold)

@@ -351,6 +351,34 @@ def j_skew_split(spark, sf_dir):
 
 
 @q(
+    "j_skew_replicated",
+    """SELECT o_orderkey, o_custkey, c_name
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE o_orderpriority = '1-URGENT'""",
+)
+def j_skew_replicated(spark, sf_dir):
+    """Salt-and-replicate skew join (operators/skew.py
+    replicated_skew_join): the tier above j_skew_split for hot keys
+    whose build slice is too large to broadcast — hot left rows get a
+    salt, the hot right slice replicates once per salt value, the hot
+    join shuffles on (key, salt).  Oracle = the PLAIN join; the driver
+    row proves the salted reconstruction is exact."""
+    from adfs_spark.operators.skew import replicated_skew_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return replicated_skew_join(
+        o, c, ["o_custkey"], min_frac=0.005, salt=8
+    ).select("o_orderkey", "o_custkey", "c_name")
+
+
+@q(
     "j6_secondary_index_join",
     "SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey",
 )
@@ -4292,6 +4320,7 @@ _suite(
         ("j5_anti_stored", ["o_orderkey"]),
         ("j5_corrupt_classify", ["id", "class"]),
         ("j_skew_split", ["o_orderkey", "o_custkey", "c_name"]),
+        ("j_skew_replicated", ["o_orderkey", "o_custkey", "c_name"]),
     ],
     [
         ("event_id", _L), ("o_orderkey", _L), ("id", _L), ("class", _S),

@@ -94,6 +94,51 @@ def test_skew_split_join_rejects_unsupported_how(spark, skewed):
         skew.skew_split_join(skewed, right, ["key"], how="full")
 
 
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_replicated_skew_join_equals_plain_join(spark, skewed, how):
+    right = spark.range(0, 400).select(
+        F.col("id").alias("key"), (F.col("id") * 7).alias("rv")
+    )
+    got = skew.replicated_skew_join(
+        skewed, right, ["key"], how=how, min_frac=0.1, salt=8
+    )
+    exp = skewed.join(right, ["key"], how)
+    assert sorted(
+        map(tuple, got.select("key", "seq", "val", "rv").collect())
+    ) == sorted(map(tuple, exp.select("key", "seq", "val", "rv").collect()))
+
+
+def test_replicated_skew_join_hot_right_fanout(spark, skewed):
+    """The case this tier exists for: the HOT key's right slice has
+    fan-out (every left row must meet every right row of the key
+    exactly once, across salt sub-partitions)."""
+    right = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (0, "c"), (7, "x")], "key long, tag string"
+    )
+    heavy = spark.createDataFrame([(0,)], "key long")
+    got = skew.replicated_skew_join(skewed, right, ["key"], heavy=heavy, salt=4)
+    exp = skewed.join(right, ["key"], "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_replicated_skew_join_rejects_unsupported_how(spark, skewed):
+    right = spark.range(3).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError):
+        skew.replicated_skew_join(skewed, right, ["key"], how="right")
+
+
+def test_replicated_skew_join_salts_the_hot_exchange(spark, skewed):
+    """The hot half's join key must include the salt column — the plan
+    shuffles on (key, salt), never on the bare hot key."""
+    right = spark.range(0, 400).select(
+        F.col("id").alias("key"), (F.col("id") * 7).alias("rv")
+    )
+    heavy = spark.createDataFrame([(0,)], "key long")
+    got = skew.replicated_skew_join(skewed, right, ["key"], heavy=heavy, salt=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_skew_salt" in plan
+
+
 def test_salted_topk_no_single_partition_exchange(skewed):
     """The phase-1 window must partition on (key, salt): the physical
     plan's first window exchange hashes BOTH columns — the funnel
