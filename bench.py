@@ -27,6 +27,11 @@ RUN_WRITES = os.environ.get("SPARK_GRAFT_BENCH_WRITES", "1") == "1"
 # Extras are read-only query timings — gated on their OWN flag so a
 # large-SF run that disables the write benches keeps the extras section.
 RUN_EXTRAS = os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "1") == "1"
+# Layout experiment (bucketed-table co-location vs plain parquet for the
+# shuffle-heavy fact family) — OFF by default: its staging write
+# dominates at sf0.1 and the evidence point is the ladder (sf1/sf10),
+# where tools-driven runs enable it.
+RUN_LAYOUT = os.environ.get("SPARK_GRAFT_BENCH_LAYOUT", "0") == "1"
 
 # Representative slice of the suite: scans, the big joins/aggs, argmax,
 # anti-join diff, LWW merge, hierarchy, text/dedup/similarity extensions.
@@ -118,6 +123,83 @@ def bench_incremental_split(spark) -> dict[str, float]:
     out["dedup_minhash_incremental_batch"] = round(best, 3)
     corpus.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def bench_layout(spark) -> dict[str, float]:
+    """Co-located (bucketed) layout vs plain parquet for the
+    shuffle-heavy fact family (j1 / a2 / a3 shapes).
+
+    At 100 TB the fix for these queries is LAYOUT, not plan tweaks: a
+    fact table bucketed on its join/group key makes every repeated
+    join/agg on that key exchange-free (plan-pinned by
+    tests/test_plans.py's bucketed-join test).  The staging write is
+    the amortized cost — paid once per layout, repaid on every
+    subsequent query on the key — and is reported separately, never
+    netted against the query times.  ``bucketed_join_exchanges``
+    records the hash-exchange count of the bucketed join plan (0 =
+    the co-location actually engaged) so the speedup can't be claimed
+    while the plan silently shuffles."""
+    from pyspark.sql import functions as F
+
+    from adfs_spark.catalog import load_table
+    from adfs_spark.sources.generic import write_bucketed_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_extendedprice"
+    )
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+    def fact_join(li_df, o_df):
+        return li_df.join(
+            o_df.filter(F.col("o_orderstatus") == "F"),
+            li_df["l_orderkey"] == o_df["o_orderkey"],
+        ).select("l_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+
+    def argmax(li_df):
+        return li_df.groupBy("l_orderkey").agg(
+            F.max_by(
+                F.struct("l_linenumber", "l_shipdate"),
+                F.struct("l_shipdate", "l_linenumber"),
+            ).alias("_w")
+        )
+
+    def sum_parent(li_df):
+        return li_df.groupBy("l_orderkey").agg(
+            F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")
+        )
+
+    shapes = [("j1_fact", fact_join), ("a2_argmax", argmax), ("a3_sum", sum_parent)]
+
+    def best_of(fn, frames, n=2):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn(*frames).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    out: dict[str, float] = {}
+    for name, fn in shapes:
+        frames = (li, o) if name == "j1_fact" else (li,)
+        out[f"plain_{name}"] = best_of(fn, frames)
+
+    nb = int(os.environ.get("SPARK_GRAFT_LAYOUT_BUCKETS", "32"))
+    t0 = time.time()
+    write_bucketed_table(li, "bench_li_bkt", ("l_orderkey",), num_buckets=nb)
+    write_bucketed_table(o, "bench_o_bkt", ("o_orderkey",), num_buckets=nb)
+    out["stage_bucketed_sec"] = round(time.time() - t0, 3)
+    li_b = spark.table("bench_li_bkt")
+    o_b = spark.table("bench_o_bkt")
+    plan = fact_join(li_b, o_b)._jdf.queryExecution().executedPlan().toString()
+    out["bucketed_join_exchanges"] = plan.count("Exchange hashpartitioning")
+    for name, fn in shapes:
+        frames = (li_b, o_b) if name == "j1_fact" else (li_b,)
+        out[f"bucketed_{name}"] = best_of(fn, frames)
+    spark.sql("DROP TABLE IF EXISTS bench_li_bkt")
+    spark.sql("DROP TABLE IF EXISTS bench_o_bkt")
     return out
 
 
@@ -521,6 +603,7 @@ def main() -> int:
     writes = bench_writes(spark) if RUN_WRITES else {}
     ns_ops = bench_namespace_ops(spark) if RUN_WRITES else {}
     extras = bench_extras(spark) if RUN_EXTRAS else {}
+    layout = bench_layout(spark) if RUN_LAYOUT else {}
 
     # Machine-recorded LSH banding evidence at THIS SF (max bucket,
     # Σ pair-work, candidates/doc) — the numbers that prove the
@@ -548,6 +631,7 @@ def main() -> int:
                 "write_total_sec": round(sum(writes.values()), 3),
                 "namespace_ops": ns_ops,
                 "extra_queries": extras,
+                "layout": layout,
                 "dedup_lsh_stats": lsh_stats,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
