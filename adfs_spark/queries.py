@@ -406,15 +406,15 @@ def j6_secondary_index_join(spark, sf_dir):
 )
 def a2_group_argmax(spark, sf_dir):
     """A2/W1: BlockEntry primary-replica argmax(generationStamp, version)
-    ≡ argmax(l_shipdate, l_linenumber) per order (BlockEntry.java:42-63)."""
+    ≡ argmax(l_shipdate, l_linenumber) per order (BlockEntry.java:42-63).
+    Uses the packed-long argmax (the two order columns encode into one
+    comparable long, so the agg is a primitive max over 8-byte shuffle
+    rows — the struct max_by general form lives in group_argmax)."""
+    from adfs_spark.operators.aggregates import group_argmax_packed
+
     li = load_table(spark, sf_dir, "lineitem")
-    win = group_argmax(
-        li,
-        ["l_orderkey"],
-        ["l_shipdate", "l_linenumber"],
-        payload_cols=["l_orderkey", "l_linenumber", "l_shipdate"],
-    )
-    return win.select(
+    won = group_argmax_packed(li, ["l_orderkey"], "l_shipdate", "l_linenumber")
+    return won.select(
         "l_orderkey", "l_linenumber", _day("l_shipdate").alias("last_shipdate")
     )
 

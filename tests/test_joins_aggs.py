@@ -64,6 +64,46 @@ def test_group_argmax_primary_replica(tables):
     assert one["l_linenumber"] == expect["l_linenumber"]
 
 
+def test_group_argmax_packed_equals_general(tables, spark):
+    from adfs_spark.operators.aggregates import group_argmax_packed
+
+    li = tables["lineitem"]
+    packed = group_argmax_packed(li, ["l_orderkey"], "l_shipdate", "l_linenumber")
+    general = group_argmax(
+        li,
+        ["l_orderkey"],
+        ["l_shipdate", "l_linenumber"],
+        payload_cols=["l_orderkey", "l_shipdate", "l_linenumber"],
+    )
+    cols = ["l_orderkey", "l_shipdate", "l_linenumber"]
+    assert sorted(map(tuple, packed.select(*cols).collect())) == sorted(
+        map(tuple, general.select(*cols).collect())
+    )
+
+
+def test_group_argmax_packed_pre_epoch_timestamps(spark):
+    """Negative epoch seconds must order and decode exactly (arithmetic
+    shift + pmod, never float division)."""
+    from adfs_spark.operators.aggregates import group_argmax_packed
+
+    df = spark.createDataFrame(
+        [
+            (1, "1961-04-12 00:00:00", 3),
+            (1, "1961-04-12 00:00:00", 5),
+            (1, "1969-12-31 23:59:59", 0),
+            (2, "1955-11-05 06:00:00", 7),
+            (2, "1955-11-05 06:00:01", 1),
+        ],
+        "k int, ts string, i int",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "i")
+    got = {
+        (r["k"]): (str(r["ts"]), r["i"])
+        for r in group_argmax_packed(df, ["k"], "ts", "i").collect()
+    }
+    assert got[1] == ("1969-12-31 23:59:59", 0)
+    assert got[2] == ("1955-11-05 06:00:01", 1)
+
+
 def test_last_by_ordinal(tables):
     got = last_by_ordinal(tables["lineitem"], "l_orderkey", "l_linenumber")
     mx = (

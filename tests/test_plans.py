@@ -43,14 +43,33 @@ def test_anti_join_strategy(spark):
 
 
 def test_argmax_is_partial_aggregate(spark):
+    # a2 rides the packed-long argmax: a primitive partial max over one
+    # 8-byte encoded column — map-side combine, no window, no struct
+    # max_by buffer
     p = plan_of(spark, "a2_group_argmax")
-    assert "partial_max_by" in p  # map-side combine, not a window
-    assert "Window" not in p
-    # the payload struct defeats optimizer pruning, so the caller must
-    # pre-prune: only the 3 needed columns may reach the scan
+    assert "partial_max" in p
+    assert "max_by" not in p and "Window" not in p
+    # only the 3 needed columns may reach the scan
     read = p.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read and "l_shipdate" in read
     assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+def test_group_argmax_general_form_is_partial_max_by(spark):
+    # the general struct-order operator keeps its map-side max_by shape
+    from adfs_spark.catalog import load_table
+    from adfs_spark.operators.aggregates import group_argmax
+
+    li = load_table(spark, SF, "lineitem")
+    out = group_argmax(
+        li,
+        ["l_orderkey"],
+        ["l_shipdate", "l_linenumber"],
+        payload_cols=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in p
+    assert "Window" not in p
 
 
 def test_topk_avoids_global_sort(spark):
