@@ -69,6 +69,7 @@ def repeated_spans(
     text_col: str,
     window: int = 8,
     min_docs: int = 2,
+    fingerprint: str = "md5",
 ) -> DataFrame:
     """Substring-level dedup: ``window``-token spans occurring in
     ≥ ``min_docs`` DISTINCT documents (the train-set contamination
@@ -82,15 +83,23 @@ def repeated_spans(
     containing it; callers cut every other occurrence.
 
     Scale shape: one map-side posexplode of per-doc span arrays (no
-    shuffle), then ONE groupBy on the 16-byte fingerprint with
-    partial aggregation — shuffle volume is O(total tokens), the
-    intrinsic lower bound for substring dedup, and the fingerprint
-    keyspace is uniform so there is no skew.  Docs shorter than the
-    window contribute their single truncated span.
+    shuffle), then ONE groupBy on the fingerprint with partial
+    aggregation — shuffle volume is O(total tokens), the intrinsic
+    lower bound for substring dedup, and the fingerprint keyspace is
+    uniform so there is no skew.  Docs shorter than the window
+    contribute their single truncated span.
+
+    ``fingerprint``: ``"md5"`` (default — a hex string DuckDB can
+    recompute, the oracle-checked form) or ``"xxhash64"`` (an 8-byte
+    long: ~2× cheaper to compute and half the shuffle width — the
+    100 TB form; same grouping behavior, collisions ~|spans|²/2⁶⁴).
     """
+    if fingerprint not in ("md5", "xxhash64"):
+        raise ValueError(f"fingerprint must be md5|xxhash64, got {fingerprint}")
+    fp = F.md5 if fingerprint == "md5" else F.xxhash64
     toks = whitespace_tokens(F.col(text_col))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1)))
-    spans = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))))
+    spans = F.transform(idx, lambda i: fp(F.concat_ws(" ", F.slice(toks, i, window))))
     per_span = df.select(
         F.col(id_col).alias("_id"), F.explode(spans).alias("span_fp")
     )

@@ -73,6 +73,8 @@ BENCH_EXTRAS = [
 
 
 def bench_extras(spark) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
     from adfs_spark.queries import QUERIES
 
     out: dict[str, float] = {}
@@ -84,6 +86,34 @@ def bench_extras(spark) -> dict[str, float]:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
+    # dedup_repeated_spans with the 8-byte xxhash64 fingerprint — the
+    # 100 TB form (the md5 entry above is the oracle-portable default;
+    # same plan, ~half the hash cost and shuffle width).  Same corpus
+    # construction as the QUERIES entry.
+    from adfs_spark.catalog import load_table
+    from adfs_spark.functions import text as textf
+    from adfs_spark.functions.dedup import repeated_spans
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    full = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    toks = textf.whitespace_tokens(F.col("text"))
+    tail = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, F.greatest(F.size(toks) - 19, F.lit(1)), 20)
+        ).alias("text"),
+    )
+    corpus = d.unionByName(full).unionByName(tail)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        repeated_spans(
+            corpus, "doc_id", "text", fingerprint="xxhash64"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    out["dedup_repeated_spans_xxh"] = round(best, 3)
     out.update(bench_incremental_split(spark))
     return out
 

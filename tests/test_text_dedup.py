@@ -318,6 +318,35 @@ def test_repeated_spans_short_docs_truncate(spark):
     assert len(out) == 1 and out[0]["n_docs"] == 2  # the truncated "x y" span
 
 
+def test_repeated_spans_xxhash64_same_groups(spark):
+    """The scale fingerprint (xxhash64 long) must produce the SAME
+    group structure as the oracle-portable md5 form — fingerprints
+    differ, the (n_docs, n_occurrences, keeper) multiset doesn't."""
+    from adfs_spark.functions.dedup import repeated_spans
+
+    base = "a b c d e f g h i j k l m n o p"
+    tail = "i j k l m n o p"
+    df = spark.createDataFrame(
+        [(1, base), (2, tail), (3, base), (4, "q r s")],
+        "doc_id: long, text: string",
+    )
+    md5_groups = sorted(
+        (r["n_docs"], r["n_occurrences"], r["keeper"])
+        for r in repeated_spans(df, "doc_id", "text", window=8).collect()
+    )
+    xxh = repeated_spans(df, "doc_id", "text", window=8, fingerprint="xxhash64")
+    assert dict(xxh.dtypes)["span_fp"] == "bigint"
+    xxh_groups = sorted(
+        (r["n_docs"], r["n_occurrences"], r["keeper"]) for r in xxh.collect()
+    )
+    assert md5_groups == xxh_groups
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_spans(df, "doc_id", "text", fingerprint="sha1")
+
+
 def test_regex_tokens_uses_passed_column(spark):
     """regex_tokens must tokenize the COLUMN IT IS GIVEN — a prior
     form went through F.expr and read the column literally named
