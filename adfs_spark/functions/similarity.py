@@ -655,3 +655,202 @@ def knn_join_blocked(
             F.col("_lid").alias("query_id"), F.col("_rid").alias("neighbor_id"), "sim"
         )
     )
+
+
+def ann_recall_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_queries: int = 8,
+    lsh_bits: int = 8,
+    lsh_hamming: int = 2,
+    ivf_cells: int = 16,
+    n_probe: int = 2,
+    kmeans_iters: int = 3,
+    pq_m: int = 4,
+    pq_k: int = 16,
+    shortlist: int = 100,
+    train_cap: int = 20_000,
+) -> dict:
+    """Machine-recorded recall/scan evidence for the ANN tiers — the
+    similarity-search analog of ``dedup.minhash_lsh_stats``.
+
+    For ``n_queries`` deterministic query vectors (the rows with
+    smallest md5(id) — the same engine-stable pseudo-random draw
+    k-means init uses), computes the exact cosine top-k ground truth,
+    then recall@k, wall time, and rows-scanned for each approximate
+    tier at THIS corpus size:
+
+    - ``lsh``   — :class:`DeterministicHyperplaneLSH`, hamming-probe
+    - ``ivf``   — k-means cells, ``n_probe`` nearest cells probed
+    - ``ivfpq`` — same cells, ADC over PQ codes, exact re-rank of a
+      ``shortlist`` (codes-only scan + |shortlist| embedding reads)
+
+    Training (k-means centroids, PQ codebooks) runs on a hash-mod
+    sample capped at ``train_cap`` vectors — the 100 TB shape: train on
+    a sample, encode the full corpus in one map-only pass.  Only the
+    centroid/codebook matrices and per-query top-k id lists ever reach
+    the driver; every scan stays distributed.
+
+    ``scan_frac`` is the prune evidence: the fraction of corpus rows
+    the tier's probed buckets/cells actually contain, averaged over the
+    queries (brute ≡ 1.0 by construction).  A recall number without its
+    scan fraction is not evidence — full-scan "ANN" trivially recalls
+    everything.
+    """
+    import time as _time
+
+    from pyspark import StorageLevel
+
+    base = df.select(F.col(id_col), F.col(vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = base.count()
+    if n == 0:
+        base.unpersist()
+        return {"n_vectors": 0}
+    k = min(k, n)
+    nq = min(n_queries, n)
+    qrows = base.orderBy(F.md5(F.col(id_col).cast("string"))).limit(nq).collect()
+    dim = len(qrows[0][vec_col])
+
+    mod = max(1, n // train_cap)
+    sample = base.filter(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s_n = sample.count()
+    cells_k = max(1, min(ivf_cells, s_n))
+    t0 = _time.time()
+    cents = kmeans_train(
+        sample, k=cells_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_train(
+        sample,
+        m=pq_m,
+        k=max(1, min(pq_k, s_n)),
+        iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    train_sec = _time.time() - t0
+
+    assigned = ivf_assign(base, cents, id_col=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    encoded = (
+        pq_encode(assigned, books, vec_col=vec_col)
+        .select(F.col(id_col), "ivf_cell", "pq_code")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lsh = DeterministicHyperplaneLSH(dim, num_bits=lsh_bits, salt="lsh")
+    bucketed = lsh.bucketize(base, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the derived tables BEFORE timing queries (an index is
+    # built once, queried many times)
+    assigned.count(), encoded.count(), bucketed.count()
+
+    tiers = {
+        t: {"hits": 0, "sec": 0.0, "scanned": 0}
+        for t in ("brute", "lsh", "ivf", "ivfpq")
+    }
+    for row in qrows:
+        qv = [float(x) for x in row[vec_col]]
+        t0 = _time.time()
+        truth = {
+            r[id_col]
+            for r in brute_force_topk(
+                base, qv, k=k, id_col=id_col, vec_col=vec_col
+            ).collect()
+        }
+        tiers["brute"]["sec"] += _time.time() - t0
+        tiers["brute"]["scanned"] += n
+        tiers["brute"]["hits"] += k
+
+        t0 = _time.time()
+        got = {
+            r[id_col]
+            for r in lsh.topk(
+                bucketed, qv, k=k, id_col=id_col, vec_col=vec_col,
+                max_hamming=lsh_hamming,
+            ).collect()
+        }
+        tiers["lsh"]["sec"] += _time.time() - t0
+        tiers["lsh"]["hits"] += len(got & truth)
+
+        t0 = _time.time()
+        got = {
+            r[id_col]
+            for r in ivf_topk(
+                assigned, cents, qv, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            ).collect()
+        }
+        tiers["ivf"]["sec"] += _time.time() - t0
+        tiers["ivf"]["hits"] += len(got & truth)
+
+        t0 = _time.time()
+        got = {
+            r[id_col]
+            for r in ivf_pq_topk(
+                encoded, cents, books, qv, k=k, n_probe=n_probe,
+                id_col=id_col, rerank_with=base, shortlist=shortlist,
+                vec_col=vec_col,
+            ).collect()
+        }
+        tiers["ivfpq"]["sec"] += _time.time() - t0
+        tiers["ivfpq"]["hits"] += len(got & truth)
+
+        # rows the probed buckets/cells contain — counted outside the
+        # timed sections (it is evidence collection, not query work)
+        qsig = 0
+        for i, plane in enumerate(lsh.planes):
+            if sum(p * v for p, v in zip(plane, qv)) >= 0:
+                qsig |= 1 << i
+        probes = [qsig]
+        if lsh_hamming >= 1:
+            probes += [qsig ^ (1 << i) for i in range(lsh_bits)]
+        if lsh_hamming >= 2:
+            probes += [
+                qsig ^ (1 << i) ^ (1 << j)
+                for i in range(lsh_bits)
+                for j in range(i + 1, lsh_bits)
+            ]
+        tiers["lsh"]["scanned"] += (
+            bucketed.filter(F.col("bucket").isin(probes)).count()
+        )
+        d2 = [sum((a - b) * (a - b) for a, b in zip(c, qv)) for c in cents]
+        probed_cells = [
+            i for i, _ in sorted(enumerate(d2), key=lambda t: t[1])[:n_probe]
+        ]
+        in_cells = assigned.filter(F.col("ivf_cell").isin(probed_cells)).count()
+        tiers["ivf"]["scanned"] += in_cells
+        tiers["ivfpq"]["scanned"] += in_cells
+
+    out = {
+        "n_vectors": n,
+        "dim": dim,
+        "k": k,
+        "n_queries": nq,
+        "train_sample": s_n,
+        "train_sec": round(train_sec, 3),
+        "config": {
+            "lsh_bits": lsh_bits,
+            "lsh_hamming": lsh_hamming,
+            "ivf_cells": cells_k,
+            "n_probe": n_probe,
+            "pq_m": pq_m,
+            "pq_k": pq_k,
+            "shortlist": shortlist,
+        },
+        "tiers": {
+            t: {
+                "recall": round(v["hits"] / (nq * k), 4),
+                "sec": round(v["sec"], 3),
+                "scan_frac": round(v["scanned"] / (nq * n), 4),
+            }
+            for t, v in tiers.items()
+        },
+    }
+    for cached in (bucketed, encoded, assigned, sample, base):
+        cached.unpersist()
+    return out

@@ -648,6 +648,17 @@ def main() -> int:
             load_table(spark, SF_DIR, "documents"), "doc_id", "text"
         )
 
+    # Machine-recorded ANN evidence at THIS SF: recall@k AND the scan
+    # fraction it was bought at, per approximate tier (LSH hamming-probe,
+    # IVF n_probe cells, IVF-PQ codes+re-rank) against the exact
+    # brute-force ground truth — recall without its scan fraction is not
+    # evidence, and neither is a recall measured only at toy scale.
+    ann_stats = {}
+    if RUN_EXTRAS:
+        from adfs_spark.functions.similarity import ann_recall_stats
+
+        ann_stats = ann_recall_stats(load_table(spark, SF_DIR, "embeddings"))
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -663,6 +674,7 @@ def main() -> int:
                 "extra_queries": extras,
                 "layout": layout,
                 "dedup_lsh_stats": lsh_stats,
+                "ann_recall": ann_stats,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }
