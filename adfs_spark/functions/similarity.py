@@ -414,6 +414,26 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*codes))
 
 
+PQ_SHORTLIST_DIVISOR = 250
+"""Auto-shortlist rule: ``shortlist = max(100, 10·k, n_probed / 250)``.
+
+ADC distance error is per-row noise, so the number of true top-k rows
+the approximate ranking pushes past any FIXED cutoff grows with the
+number of rows ranked — a constant shortlist that is generous at one
+scale silently starves recall at the next.  Measured on the fixture
+ladder (8 queries, k=10, m=4/k=16 codebooks, n_probe=2): at sf10
+(~25k probed rows) shortlist 100 → recall 1.0, but at sf100 (~247k
+probed rows) the same 100 → recall **0.24**; raising it to 1000 with
+the SAME codebooks recovers **0.975**, attributing the collapse to the
+cutoff, not codebook resolution.  n/250 reproduces both good settings
+(25k→100, 247k→988) and keeps the re-rank IO a fixed ~0.4% of the
+probed set as the corpus grows."""
+
+
+def _auto_shortlist(n_probed: int, k: int) -> int:
+    return max(100, 10 * k, n_probed // PQ_SHORTLIST_DIVISOR)
+
+
 def pq_topk(
     encoded: DataFrame,
     codebooks: Sequence[Sequence[Sequence[float]]],
@@ -422,7 +442,7 @@ def pq_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     rerank_with: DataFrame | None = None,
-    shortlist: int = 100,
+    shortlist: int | None = None,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query builds an m×k lookup
@@ -436,8 +456,14 @@ def pq_topk(
     two-stage deployment: ADC selects a ``shortlist`` (cheap, codes
     only), then exact cosine re-ranks just those rows — recall of the
     exact scan at a fraction of its IO, since only |shortlist|
-    embeddings are ever read."""
+    embeddings are ever read.  ``shortlist=None`` (the default) scales
+    it with the ranked-set size (:data:`PQ_SHORTLIST_DIVISOR` — a fixed
+    cutoff that recalls 1.0 at one decade collapses at the next); the
+    sizing count is one codes-only job, negligible next to the ADC
+    scan it gates."""
     q = [float(x) for x in query_vec]
+    if rerank_with is not None and shortlist is None:
+        shortlist = _auto_shortlist(encoded.count(), k)
     m = len(codebooks)
     sub = len(q) // m
     dist = F.lit(0.0)
@@ -453,7 +479,7 @@ def pq_topk(
     adc = (
         encoded.select(F.col(id_col), dist.alias("dist2"))
         .orderBy(F.asc("dist2"), F.col(id_col))
-        .limit(shortlist if rerank_with is not None else k)
+        .limit(int(shortlist) if rerank_with is not None else k)
     )
     if rerank_with is None:
         return adc
@@ -476,7 +502,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     rerank_with: DataFrame | None = None,
-    shortlist: int = 100,
+    shortlist: int | None = None,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The standard IVF-PQ composition: IVF prunes *which* rows are
@@ -486,7 +512,8 @@ def ivf_pq_topk(
     embedding read).  ``assigned_encoded`` carries both ``ivf_cell``
     (from :func:`ivf_assign`) and ``code_col`` (from
     :func:`pq_encode`); pass ``rerank_with`` for the exact re-rank
-    tier over the shortlist."""
+    tier over the shortlist (``None`` → auto-sized from the PROBED
+    row count, see :data:`PQ_SHORTLIST_DIVISOR`)."""
     q = [float(x) for x in query_vec]
     d2 = [
         sum((float(a) - b) * (float(a) - b) for a, b in zip(cent, q))
@@ -670,7 +697,7 @@ def ann_recall_stats(
     kmeans_iters: int = 3,
     pq_m: int = 4,
     pq_k: int = 16,
-    shortlist: int = 100,
+    shortlist: int | None = None,
     train_cap: int = 20_000,
 ) -> dict:
     """Machine-recorded recall/scan evidence for the ANN tiers — the
@@ -840,7 +867,11 @@ def ann_recall_stats(
             "n_probe": n_probe,
             "pq_m": pq_m,
             "pq_k": pq_k,
-            "shortlist": shortlist,
+            "shortlist": (
+                shortlist
+                if shortlist is not None
+                else f"auto(max(100,10k,n/{PQ_SHORTLIST_DIVISOR}))"
+            ),
         },
         "tiers": {
             t: {

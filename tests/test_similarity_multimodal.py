@@ -236,6 +236,36 @@ def test_ivf_pq_composition(spark):
     assert len(got) == 10
     assert got <= cluster5
 
+    # default shortlist=None auto-sizes from the probed row count
+    # (max(100, 10k, n/250)) — at this scale that covers the probed
+    # cells entirely, so the auto result must equal an uncapped one
+    auto = {
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            table, cents, books, q, k=10, n_probe=2, rerank_with=df
+        ).collect()
+    }
+    uncapped = {
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            table, cents, books, q, k=10, n_probe=2, rerank_with=df,
+            shortlist=1 << 20,
+        ).collect()
+    }
+    assert auto == uncapped
+
+
+def test_auto_shortlist_rule():
+    from adfs_spark.functions.similarity import _auto_shortlist
+
+    # the measured-good ladder settings reproduce: ~25k probed -> 100
+    # (recall 1.0 at sf10), ~247k probed -> 988 (recall 0.975 at sf100
+    # vs 0.24 at a fixed 100)
+    assert _auto_shortlist(25_000, 10) == 100
+    assert _auto_shortlist(247_000, 10) == 988
+    assert _auto_shortlist(50, 20) == 200
+    assert _auto_shortlist(0, 1) == 100
+
 
 def _png_with_filters(rgb, ftypes):
     """Hand-build a PNG using the given per-line filter types — tests
