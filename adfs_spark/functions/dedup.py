@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from adfs_spark.functions.text import whitespace_tokens
-from adfs_spark.functions.util import spread
+from adfs_spark.functions.util import bind, spread
 
 # Mersenne prime 2^31-1: universal-hash modulus.  Kept at 31 bits so
 # a·h+b (a,h < P) stays below 2^63 — ANSI mode (Spark 4 default)
@@ -36,12 +36,20 @@ _P = (1 << 31) - 1
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """n-token shingles (distinct), as strings."""
-    toks = whitespace_tokens(text)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    """n-token shingles (distinct), as strings.
+
+    Tokenization is let-bound (:func:`~adfs_spark.functions.util.bind`)
+    so the per-position lambda references a bound variable — an inlined
+    ``split()`` would re-tokenize the document once per shingle
+    position (O(tokens²))."""
+    return bind(
+        whitespace_tokens(text),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
     )
 
 
@@ -89,20 +97,67 @@ def repeated_spans(
     uniform so there is no skew.  Docs shorter than the window
     contribute their single truncated span.
 
-    ``fingerprint``: ``"md5"`` (default — a hex string DuckDB can
-    recompute, the oracle-checked form) or ``"xxhash64"`` (an 8-byte
-    long: ~2× cheaper to compute and half the shuffle width — the
-    100 TB form; same grouping behavior, collisions ~|spans|²/2⁶⁴).
+    ``fingerprint``:
+
+    - ``"md5"`` (default) — hex string of the span TEXT; DuckDB can
+      recompute it, so this is the oracle-checked form.
+    - ``"xxhash64"`` — 8-byte long of the span text: half the shuffle
+      width, but still pays the span-string construction (measured
+      only ~2–5 % faster — construction, not hashing, dominates).
+    - ``"tokenhash"`` — the O(tokens·window) LONG-ops form: each token
+      is hashed to a long ONCE, and a span's fingerprint hash-chains
+      its ``window`` token hashes (``acc ← xxhash64(acc, h)``) —
+      order-sensitive, no span string is ever built, so the per-span
+      work drops from copying ``window`` tokens into a new string to
+      ``window`` 2-long hashes.  Same grouping behavior as the text hashes
+      (collisions ~|spans|²/2⁶⁴; equality of group profiles vs md5 is
+      pinned by ``test_repeated_spans_tokenhash_equals_md5``).  This
+      is the 100 TB form — measured 2.0× end-to-end vs md5 at sf1/sf10
+      (SCALE.md §14.11).
     """
-    if fingerprint not in ("md5", "xxhash64"):
-        raise ValueError(f"fingerprint must be md5|xxhash64, got {fingerprint}")
-    fp = F.md5 if fingerprint == "md5" else F.xxhash64
+    if fingerprint not in ("md5", "xxhash64", "tokenhash"):
+        raise ValueError(
+            f"fingerprint must be md5|xxhash64|tokenhash, got {fingerprint}"
+        )
     toks = whitespace_tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1)))
-    spans = F.transform(idx, lambda i: fp(F.concat_ws(" ", F.slice(toks, i, window))))
-    per_span = df.select(
-        F.col(id_col).alias("_id"), F.explode(spans).alias("span_fp")
-    )
+    if fingerprint == "tokenhash":
+        # materialize the per-token hash array as its own column FIRST:
+        # referenced by name from the span lambda it is computed once
+        # per row, not re-derived per span position (an inlined
+        # transform inside the lambda would be)
+        hashed = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size("_th") - window + 1, F.lit(1))
+        )
+        spans = F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice("_th", i, window),
+                F.lit(0).cast("long"),
+                # hash-chain rather than Horner mult-add: ANSI mode
+                # (Spark 4 default) raises on long overflow, and
+                # xxhash64(acc, h) is order-sensitive with better
+                # mixing at the same cost
+                lambda acc, h: F.xxhash64(acc, h),
+            ),
+        )
+        per_span = hashed.select("_id", F.explode(spans).alias("span_fp"))
+    else:
+        # same materialize-first shape: tokenization (a split()) must
+        # be a named column when the span lambda references it, or the
+        # higher-order transform re-derives it per span position
+        fp = F.md5 if fingerprint == "md5" else F.xxhash64
+        tok_df = df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size("_tk") - window + 1, F.lit(1))
+        )
+        spans = F.transform(
+            idx, lambda i: fp(F.concat_ws(" ", F.slice("_tk", i, window)))
+        )
+        per_span = tok_df.select("_id", F.explode(spans).alias("span_fp"))
     return (
         per_span.groupBy("span_fp")
         .agg(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from adfs_spark.functions.util import bind
+
 # A BPE-ish pre-tokenization: word pieces, numbers, or single
 # non-space symbols (the GPT-2 pre-tokenizer family, simplified to a
 # regex Spark can run JVM-side).
@@ -135,19 +137,25 @@ def md5_fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def _span_array(toks: Column, window: int) -> Column:
+    """``window``-token span strings over a BOUND token array (callers
+    must pass a lambda variable or named column, never an inline
+    ``split()`` — see :func:`~adfs_spark.functions.util.bind`)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
+
+
 def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min of xxhash64 over
     ``window``-token shingles — robust to small edits, one 64-bit value
     per document. (xxhash64 is Spark-side; for cross-engine comparison
     use md5_fingerprint.)"""
-    toks = whitespace_tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+    return bind(
+        whitespace_tokens(text),
+        lambda toks: F.array_min(
+            F.transform(_span_array(toks, window), lambda s: F.xxhash64(s))
+        ),
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.array_min(hashes)
 
 
 def chunk_documents(
@@ -172,14 +180,18 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("require 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = whitespace_tokens(F.col(text_col))
-    n = F.size(toks)
-    # number of chunks: ceil(max(n - overlap, 1) / stride) for n > 0
-    n_chunks = F.ceil((F.greatest(n - overlap, F.lit(1))) / F.lit(stride))
-    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
-    chunks = F.transform(
-        starts, lambda i: F.slice(toks, i * stride + 1, max_tokens)
-    )
+
+    def chunks_of(toks: Column) -> Column:
+        # number of chunks: ceil(max(n - overlap, 1) / stride) for n > 0
+        n_chunks = F.ceil(
+            (F.greatest(F.size(toks) - overlap, F.lit(1))) / F.lit(stride)
+        )
+        starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+        return F.transform(
+            starts, lambda i: F.slice(toks, i * stride + 1, max_tokens)
+        )
+
+    chunks = bind(whitespace_tokens(F.col(text_col)), chunks_of)
     out = df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_index", "_ctoks"),
@@ -198,20 +210,15 @@ def rolling_fingerprint_md5(text: Column, window: int = 8) -> Column:
     property as :func:`rolling_fingerprint`, but md5 is identical in
     every engine, so the result is oracle-checkable (the lexicographic
     min over lowercase hex strings is hash-order equivalent)."""
-    toks = whitespace_tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+    return bind(
+        whitespace_tokens(text),
+        lambda toks: F.array_min(F.transform(_span_array(toks, window), F.md5)),
     )
-    return F.array_min(F.transform(shingles, F.md5))
 
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """All n-token word n-grams (with multiplicity), as strings."""
-    toks = whitespace_tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return bind(whitespace_tokens(text), lambda toks: _span_array(toks, n))
 
 
 def repetition_stats(

@@ -86,10 +86,14 @@ def bench_extras(spark) -> dict[str, float]:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
-    # dedup_repeated_spans with the 8-byte xxhash64 fingerprint — the
-    # 100 TB form (the md5 entry above is the oracle-portable default;
-    # same plan, ~half the hash cost and shuffle width).  Same corpus
-    # construction as the QUERIES entry.
+    # dedup_repeated_spans with the tokenhash rolling fingerprint — the
+    # 100 TB form (the md5 entry above is the oracle-portable default):
+    # per-token xxhash64 once, hash-chain per span, no span string
+    # built, 8-byte shuffle keys.  Replaces the xxhash64-of-span-text
+    # row benched in earlier rounds (negative result, SCALE.md §14.8:
+    # hashing the constructed string saved only 2-5% because the
+    # construction dominated — this form removes the construction).
+    # Same corpus construction as the QUERIES entry.
     from adfs_spark.catalog import load_table
     from adfs_spark.functions import text as textf
     from adfs_spark.functions.dedup import repeated_spans
@@ -110,10 +114,10 @@ def bench_extras(spark) -> dict[str, float]:
     for _ in range(2):
         t0 = time.time()
         repeated_spans(
-            corpus, "doc_id", "text", fingerprint="xxhash64"
+            corpus, "doc_id", "text", fingerprint="tokenhash"
         ).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
-    out["dedup_repeated_spans_xxh"] = round(best, 3)
+    out["dedup_repeated_spans_tokenhash"] = round(best, 3)
     out.update(bench_incremental_split(spark))
     return out
 

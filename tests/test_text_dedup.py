@@ -347,6 +347,36 @@ def test_repeated_spans_xxhash64_same_groups(spark):
         repeated_spans(df, "doc_id", "text", fingerprint="sha1")
 
 
+def test_repeated_spans_tokenhash_equals_md5(spark):
+    """The O(tokens) rolling form (per-token xxhash64 + Horner fold,
+    no span string built) must group identically to the md5-of-text
+    form — including order sensitivity ('a b' vs 'b a' spans differ)
+    and truncated short-doc spans."""
+    from adfs_spark.functions.dedup import repeated_spans
+
+    base = "a b c d e f g h i j k l m n o p"
+    rev = "p o n m l k j i h g f e d c b a"  # same tokens, other order
+    df = spark.createDataFrame(
+        [(1, base), (2, "i j k l m n o p"), (3, base), (4, rev), (5, "q r")],
+        "doc_id: long, text: string",
+    )
+    md5_groups = sorted(
+        (r["n_docs"], r["n_occurrences"], r["keeper"])
+        for r in repeated_spans(df, "doc_id", "text", window=8, min_docs=1).collect()
+    )
+    tk = repeated_spans(
+        df, "doc_id", "text", window=8, min_docs=1, fingerprint="tokenhash"
+    )
+    assert dict(tk.dtypes)["span_fp"] == "bigint"
+    tk_groups = sorted(
+        (r["n_docs"], r["n_occurrences"], r["keeper"]) for r in tk.collect()
+    )
+    assert md5_groups == tk_groups
+    # the reversed doc shares no window-8 span with base
+    n_shared = sum(1 for g in tk_groups if g[0] >= 2)
+    assert n_shared == len([g for g in md5_groups if g[0] >= 2])
+
+
 def test_regex_tokens_uses_passed_column(spark):
     """regex_tokens must tokenize the COLUMN IT IS GIVEN — a prior
     form went through F.expr and read the column literally named
