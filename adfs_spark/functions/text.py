@@ -45,9 +45,15 @@ def token_count(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    toks = whitespace_tokens(F.lower(text))
-    sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return sw / F.greatest(F.size(toks), F.lit(1))
+    # tokenization let-bound: filter() is a HOF, excluded from codegen
+    # subexpression elimination, so an unbound `toks` referenced twice
+    # (filter input + size) tokenizes twice — measured 1.45× end-to-end
+    # on the ratios battery at sf10 (SCALE.md §14.11)
+    def body(toks: Column) -> Column:
+        sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+        return sw / F.greatest(F.size(toks), F.lit(1))
+
+    return bind(whitespace_tokens(F.lower(text)), body)
 
 
 # the exact character set of the Java regex class [A-Za-z0-9\s]
@@ -66,9 +72,11 @@ def punct_ratio(text: Column) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
-    toks = whitespace_tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total / F.greatest(F.size(toks), F.lit(1))
+    def body(toks: Column) -> Column:
+        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        return total / F.greatest(F.size(toks), F.lit(1))
+
+    return bind(whitespace_tokens(text), body)
 
 
 def quality_score(text: Column) -> Column:
@@ -76,17 +84,24 @@ def quality_score(text: Column) -> Column:
     presence + low punctuation + sane word lengths.  The standard
     Gopher/C4-style rule family expressed as one JVM-side expression.
     """
-    n_tok = F.size(whitespace_tokens(text))
-    len_ok = (n_tok >= 10) & (n_tok <= 100000)
-    sw = stopword_ratio(text)
-    mwl = mean_word_length(text)
-    score = (
-        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(sw > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+    # one bound pass over the RAW tokens covers the length band and the
+    # mean word length (previously 3 separate tokenizations); the
+    # stopword piece binds the LOWERED tokens once inside
+    # stopword_ratio; punct_ratio is translate()-based, no tokens
+    def tok_parts(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        len_ok = (n_tok >= 10) & (n_tok <= 100000)
+        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        mwl = total / F.greatest(n_tok, F.lit(1))
+        return F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0)) + F.when(
+            (mwl >= 2) & (mwl <= 12), F.lit(0.2)
+        ).otherwise(F.lit(0.0))
+
+    return (
+        bind(whitespace_tokens(text), tok_parts)
+        + F.when(stopword_ratio(text) > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(punct_ratio(text) < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when((mwl >= 2) & (mwl <= 12), F.lit(0.2)).otherwise(F.lit(0.0))
     )
-    return score
 
 
 # -- language identification (character n-gram heuristic) ----------------
