@@ -125,9 +125,17 @@ def repeated_spans(
         # referenced by name from the span lambda it is computed once
         # per row, not re-derived per span position (an inlined
         # transform inside the lambda would be)
+        # coalesce NULL (NULL text) to an empty array so the NULL-text
+        # degenerate grouped with empty text, exactly as the md5 form
+        # does (slice(NULL) -> concat_ws "" -> md5 of empty string);
+        # without it aggregate(NULL,...) yields a NULL fingerprint and
+        # the two degenerates split into different groups
         hashed = df.select(
             F.col(id_col).alias("_id"),
-            F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+            F.coalesce(
+                F.transform(toks, lambda t: F.xxhash64(t)),
+                F.array().cast("array<bigint>"),
+            ).alias("_th"),
         )
         idx = F.sequence(
             F.lit(1), F.greatest(F.size("_th") - window + 1, F.lit(1))

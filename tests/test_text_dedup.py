@@ -445,3 +445,52 @@ def test_incremental_minhash_equals_batch_restriction(spark):
         "no new↔new pair found — fixture too weak"
     assert all(a in new_ids or b in new_ids for a, b, _ in got), \
         "corpus↔corpus pair leaked into the incremental result"
+
+
+def test_bound_token_functions_null_and_empty_text(spark):
+    """The bind() let-binding must preserve the pre-bind NULL/empty
+    semantics.  Those semantics (pinned here, not designed here): a
+    NULL text behaves exactly like an empty text — the span index
+    collapses to the single truncated span, whose slice is NULL, and
+    concat_ws skips NULLs, so both reduce to the EMPTY-SPAN
+    fingerprint; chunking drops empty chunks so neither yields rows."""
+    from pyspark.sql import functions as F
+
+    from adfs_spark.functions.dedup import repeated_spans, shingles
+    from adfs_spark.functions.text import (
+        chunk_documents,
+        rolling_fingerprint,
+        rolling_fingerprint_md5,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id: long, text: string"
+    )
+    row = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            rolling_fingerprint(F.col("text")).alias("fp"),
+            rolling_fingerprint_md5(F.col("text")).alias("fpm"),
+            F.size(word_ngrams(F.col("text"), 2)).alias("ng"),
+            F.size(shingles(F.col("text"), 2)).alias("sh"),
+        ).collect()
+    }
+    # NULL text == empty text: one empty span each, same fingerprint
+    assert row[1]["fp"] == row[2]["fp"] and row[1]["fpm"] == row[2]["fpm"]
+    assert row[1]["ng"] == 1 and row[2]["ng"] == 1
+    assert row[3]["fp"] != row[2]["fp"] and row[3]["ng"] == 2 and row[3]["sh"] == 2
+
+    # the NULL and empty docs therefore GROUP on the empty-span
+    # fingerprint in repeated_spans (both hash forms agree)
+    for fp in ("md5", "tokenhash"):
+        got = repeated_spans(
+            df, "doc_id", "text", window=2, min_docs=2, fingerprint=fp
+        ).collect()
+        assert len(got) == 1 and got[0]["n_docs"] == 2 and got[0]["keeper"] == 1
+
+    # chunking drops empty chunks: no rows for NULL or empty docs
+    ch = chunk_documents(df, "doc_id", "text", max_tokens=2)
+    assert ch.filter(F.col("doc_id").isin(1, 2)).count() == 0
+    assert ch.filter(F.col("doc_id") == 3).count() == 2
