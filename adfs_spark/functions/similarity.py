@@ -885,3 +885,193 @@ def ann_recall_stats(
     for cached in (bucketed, encoded, assigned, sample, base):
         cached.unpersist()
     return out
+
+
+# -- semantic dedup (SemDeDup) --------------------------------------------
+
+
+def semantic_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    kmeans_iters: int = 3,
+    centroids: "Sequence[Sequence[float]] | None" = None,
+    train_cap: int = 20_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): find semantic
+    near-duplicate pairs by clustering the embedding space and comparing
+    pairs ONLY within a cluster.
+
+    Returns ``(id_a, id_b, sim, cell)`` with ``sim`` = exact cosine
+    ≥ ``threshold`` and ``id_a < id_b``.  Distributed shape: k-means
+    centroids train on a hash-mod sample capped at ``train_cap`` (only
+    the k×dim matrix reaches the driver), assignment is one map-only
+    pass, and the candidate generation is a self-join keyed on
+    ``ivf_cell`` — pair work is Σ|cluster|² instead of |corpus|², the
+    same candidate-bounding contract as the MinHash/SimHash banding
+    tiers.  Versus the hyperplane-LSH tier
+    (:func:`embedding_near_duplicates`) this trades bucket recall noise
+    for data-adaptive partitions: LSH buckets split true neighbors that
+    straddle a hyperplane; k-means cells follow the density.  Both
+    under-recall pairs that straddle a partition boundary — that is the
+    published algorithm's contract, not an implementation shortcut.
+
+    Skew note: a degenerate corpus (all vectors identical) collapses
+    into one cluster and the self-join degrades to all-pairs.  Monitor
+    with :func:`semdedup_stats` (max cluster size and pair work are
+    machine-recorded per bench run, like ``dedup_lsh_stats``).
+    """
+    if centroids is None:
+        n = df.count()
+        mod = max(1, n // train_cap)
+        sample = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+        )
+        centroids = kmeans_train(
+            sample, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "ivf_cell"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        cosine(F.col("a._vec"), F.col("b._vec")).alias("sim"),
+        F.col("a.ivf_cell").alias("cell"),
+    )
+    return pairs.filter(F.col("sim") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    kmeans_iters: int = 3,
+    centroids: "Sequence[Sequence[float]] | None" = None,
+    train_cap: int = 20_000,
+) -> DataFrame:
+    """Drop semantic near-duplicates, keeping one representative per
+    duplicate group: the member with the LOWEST cosine similarity to
+    its cluster centroid (SemDeDup §3 keeps low-centroid-similarity
+    examples as the most informative; ties break on id).  Groups are
+    connected components of the threshold graph within each cluster
+    (``dedup.connected_components`` — pointer-jumping min-label, no
+    driver data).  Returns the surviving rows of ``df``.
+    """
+    from adfs_spark.functions.dedup import connected_components
+
+    if centroids is None:
+        n = df.count()
+        mod = max(1, n // train_cap)
+        sample = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+        )
+        centroids = kmeans_train(
+            sample, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+    pairs = semantic_duplicate_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        centroids=centroids,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    cent_arrays = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    with_sim = assigned.withColumn(
+        "_csim", cosine(F.col(vec_col), F.element_at(cent_arrays, F.col("ivf_cell") + 1))
+    )
+    member = comps.join(
+        with_sim.select(F.col(id_col).alias("node"), "_csim"), "node"
+    )
+    keepers = member.groupBy("component").agg(
+        F.min_by(F.col("node"), F.struct(F.col("_csim"), F.col("node"))).alias(
+            "_keep"
+        )
+    )
+    drop = (
+        comps.join(
+            keepers.select(F.col("_keep").alias("node")).withColumn(
+                "_is_keep", F.lit(True)
+            ),
+            "node",
+            "left",
+        )
+        .filter(F.col("_is_keep").isNull())
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def semdedup_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    kmeans_iters: int = 3,
+    train_cap: int = 20_000,
+    exact_recall_cap: int = 20_000,
+) -> dict:
+    """Machine-recorded SemDeDup evidence (the semantic analog of
+    ``dedup.minhash_lsh_stats``): cluster-size distribution, the pair
+    work Σc·(c−1)/2 the self-join actually does, duplicate pairs and
+    survivors, and — when the corpus is small enough to afford the
+    exact all-pairs ground truth (≤ ``exact_recall_cap`` rows) — recall
+    of the cluster-bounded pairs against the exact threshold pairs.
+    At larger scales recall is reported as None and the cluster/pair
+    bounds ARE the evidence (exact all-pairs is the quadratic this
+    operator exists to avoid)."""
+    n = df.count()
+    mod = max(1, n // train_cap)
+    sample = df.filter(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+    )
+    centroids = kmeans_train(
+        sample, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    sizes = assigned.groupBy("ivf_cell").agg(F.count("*").alias("c"))
+    agg = sizes.agg(
+        F.count("*").alias("n_cells"),
+        F.max("c").alias("max_cluster"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pair_work"),
+    ).collect()[0]
+    pairs = semantic_duplicate_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, centroids=centroids
+    ).persist()
+    n_pairs = pairs.count()
+    recall = None
+    if n <= exact_recall_cap:
+        base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        x, y = base.alias("x"), base.alias("y")
+        exact = (
+            x.join(y, F.col("x._id") < F.col("y._id"))
+            .select(cosine(F.col("x._vec"), F.col("y._vec")).alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .count()
+        )
+        recall = round(n_pairs / exact, 4) if exact else 1.0
+    pairs.unpersist()
+    return {
+        "n_vectors": n,
+        "n_clusters": int(agg["n_cells"]),
+        "max_cluster": int(agg["max_cluster"]),
+        "pair_work": int(agg["pair_work"]),
+        "n_dup_pairs": n_pairs,
+        "pairs_per_vector": round(n_pairs / max(n, 1), 4),
+        "recall_vs_exact": recall,
+        "threshold": threshold,
+    }

@@ -104,6 +104,115 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1).
+# The word-count band, mean-word-length band, and ≥2-required-stopwords
+# rule are Gopher's published values; the symbol rule is expressed as a
+# punctuation-character fraction (our corpus-portable variant of
+# Gopher's #/ellipsis symbol-to-word ratio) and the alpha-word rule is
+# Gopher's "80% of words contain an alphabetic character".
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_REQUIRED_STOPWORDS = 2
+
+
+def gopher_quality_flags(
+    text: Column,
+    required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+    min_stopwords: int = GOPHER_MIN_REQUIRED_STOPWORDS,
+) -> Column:
+    """Gopher-style document quality rules as one JVM-side struct.
+
+    Returns a struct of named booleans — ``word_count``,
+    ``mean_word_len``, ``symbol_ratio``, ``alpha_words``,
+    ``stopwords``, and ``pass_all`` (the conjunction) — true when the
+    document PASSES that rule.  This is the standard pre-training
+    document filter (Gopher A1.1; the same family C4 and RefinedWeb
+    use), expressed as a pure expression tree: one let-bound
+    tokenization feeds the word-count / mean-length / alpha-fraction
+    rules, one let-bound lowered tokenization feeds the stopword rule,
+    and the symbol rule is a single ``translate()`` pass — no Python,
+    no shuffle, whole-stage codegen end to end.
+    """
+
+    def raw_parts(toks: Column) -> Column:
+        n = F.size(toks)
+        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        mwl = total / F.greatest(n, F.lit(1))
+        alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        alpha_frac = alpha / F.greatest(n, F.lit(1))
+        return F.struct(
+            ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("word_count"),
+            (
+                (mwl >= GOPHER_MIN_MEAN_WORD_LEN) & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+            ).alias("mean_word_len"),
+            (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC).alias("alpha_words"),
+        )
+
+    def stop_part(toks: Column) -> Column:
+        hits = F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in required_stopwords])
+            )
+        )
+        return hits >= min_stopwords
+
+    # every flag coalesces NULL → false: a NULL/absent text FAILS the
+    # filter (and the oracle mirror does the same, so the cross-engine
+    # unpivot never drops a NULL cell)
+    raw = bind(whitespace_tokens(text), raw_parts)
+    wc = F.coalesce(raw["word_count"], F.lit(False))
+    mwl_ok = F.coalesce(raw["mean_word_len"], F.lit(False))
+    alpha_ok = F.coalesce(raw["alpha_words"], F.lit(False))
+    stop_ok = F.coalesce(
+        bind(whitespace_tokens(F.lower(text)), stop_part), F.lit(False)
+    )
+    symbol_ok = F.coalesce(punct_ratio(text) <= GOPHER_MAX_SYMBOL_RATIO, F.lit(False))
+    return F.struct(
+        wc.alias("word_count"),
+        mwl_ok.alias("mean_word_len"),
+        symbol_ok.alias("symbol_ratio"),
+        alpha_ok.alias("alpha_words"),
+        stop_ok.alias("stopwords"),
+        (wc & mwl_ok & symbol_ok & alpha_ok & stop_ok).alias("pass_all"),
+    )
+
+
+def gopher_rule_failures(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+    min_stopwords: int = GOPHER_MIN_REQUIRED_STOPWORDS,
+) -> DataFrame:
+    """Per-group rule report: for each quality rule, how many documents
+    FAIL it (plus a ``pass_all`` row counting documents passing every
+    rule).  One pass over the corpus, one unpivot (``stack`` — map-side),
+    one groupBy — two narrow shuffles at any scale, no Python.
+    """
+    flags = df.select(
+        F.col(group_col),
+        gopher_quality_flags(
+            F.col(text_col), required_stopwords, min_stopwords
+        ).alias("_q"),
+    )
+    rules = ["word_count", "mean_word_len", "symbol_ratio", "alpha_words", "stopwords"]
+    stack_expr = "stack({n}, {args}) as (rule, passed)".format(
+        n=len(rules) + 1,
+        args=", ".join([f"'{r}', _q.{r}" for r in rules] + ["'pass_all', _q.pass_all"]),
+    )
+    long = flags.select(group_col, F.expr(stack_expr))
+    return long.groupBy(group_col, "rule").agg(
+        F.sum(F.when(F.col("passed"), 0).otherwise(1)).alias("n_failed"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_passed"),
+    )
+
+
 # -- language identification (character n-gram heuristic) ----------------
 
 # Tiny per-language marker profiles: highly characteristic character

@@ -3599,6 +3599,82 @@ def pipeline_url_filter(spark, sf_dir):
     return kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+@q(
+    "pipeline_quality_rules",
+    """WITH toks AS (
+         SELECT source,
+                list_filter(string_split(text, ' '), x -> x <> '') AS tw,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS tl,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) AS punct
+         FROM documents),
+       flags AS (
+         SELECT source,
+                coalesce(len(tw) BETWEEN 50 AND 100000, FALSE) AS word_count,
+                coalesce((CAST(list_sum(list_transform(tw, x -> length(x))) AS DOUBLE)
+                   / greatest(len(tw), 1)) BETWEEN 3.0 AND 10.0, FALSE) AS mean_word_len,
+                coalesce(punct <= 0.1, FALSE) AS symbol_ratio,
+                coalesce(CAST(len(list_filter(tw, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / greatest(len(tw), 1) >= 0.80, FALSE) AS alpha_words,
+                coalesce(len(list_intersect(tl, ['the','a','data','row'])) >= 2,
+                  FALSE) AS stopwords
+         FROM toks),
+       withpass AS (
+         SELECT *, (word_count AND mean_word_len AND symbol_ratio
+                    AND alpha_words AND stopwords) AS pass_all
+         FROM flags),
+       longf AS (
+         SELECT source, rule, passed
+         FROM withpass
+         UNPIVOT (passed FOR rule IN (word_count, mean_word_len, symbol_ratio,
+                                      alpha_words, stopwords, pass_all)))
+       SELECT source, rule,
+              sum(CASE WHEN passed THEN 0 ELSE 1 END) AS n_failed,
+              sum(CASE WHEN passed THEN 1 ELSE 0 END) AS n_passed
+       FROM longf GROUP BY source, rule""",
+)
+def pipeline_quality_rules(spark, sf_dir):
+    """Gopher-rule document filter report (text.gopher_rule_failures):
+    per (source, rule) pass/fail counts for the published Gopher A1.1
+    quality rules — word-count band, mean-word-length band, symbol
+    ratio, alpha-word fraction, required stopwords — plus the
+    ``pass_all`` conjunction.  One let-bound tokenization pass, one
+    map-side stack unpivot, one groupBy; the oracle recomputes every
+    rule relationally (cross-engine parity on the rule booleans
+    themselves).
+
+    The stopword list is fixture-calibrated (the synthetic corpus has
+    no English function words beyond 'the'/'a', so Gopher's published
+    list would fail EVERY document — a vacuous value check, same
+    reasoning as the 0.45 cosine threshold in
+    ``sim_embedding_neardup_exact``); the published list stays the
+    library default."""
+    from adfs_spark.functions.text import gopher_rule_failures
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_rule_failures(
+        d, "text", "source", required_stopwords=("the", "a", "data", "row")
+    )
+
+
+@q("dedup_semantic", _NEARDUP_SQL)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (similarity.semantic_duplicate_pairs), full path:
+    k-means centroid training → cell assignment → intra-cell pair
+    generation → exact cosine verify.  Run with a SINGLE cluster so
+    every pair is intra-cell and the result is exactly the all-pairs
+    threshold pairs — the same oracle trick ``sim_ivf_topk`` uses
+    (probe-all ≡ brute force); cluster-bounded recall is pinned by the
+    planted-duplicates pytest and machine-recorded per bench run
+    (``semdedup_stats``)."""
+    from adfs_spark.functions.similarity import kmeans_train, semantic_duplicate_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, k=1, iters=1)
+    pairs = semantic_duplicate_pairs(e, threshold=0.45, centroids=cents)
+    return pairs.select("id_a", "id_b", F.round("sim", 5).alias("sim"))
+
+
 # =========================================================================
 # Round-3 members: real-write-path rows (S10/D3 sync, D5 editlog
 # convergence), the F7 block-locations projection, and the IVF-PQ ANN
@@ -4535,10 +4611,12 @@ _suite(
         ("pipeline_decontaminate", ["doc_id", "n_hits"]),
         ("pipeline_lm_score", ["doc_id", "n_tokens", "avg_logprob"]),
         ("pipeline_url_filter", ["domain", "n_docs"]),
+        ("pipeline_quality_rules", ["source", "rule", "n_failed", "n_passed"]),
         ("pipeline_shuffle_order", ["doc_id", "train_order"]),
         ("graph_pagerank", ["node", "rank"]),
         ("dedup_repeated_spans", ["span_fp", "n_docs", "n_occurrences", "keeper"]),
         ("dedup_minhash_incremental", ["id_a", "id_b", "jaccard"]),
+        ("dedup_semantic", ["id_a", "id_b", "sim"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -4546,9 +4624,10 @@ _suite(
         ("chunk_index", _L), ("chunk_text", _S), ("n_tokens", _L),
         ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
+        ("rule", _S), ("n_failed", _L), ("n_passed", _L),
         ("train_order", _L), ("rank", _D),
         ("span_fp", _S), ("n_occurrences", _L), ("keeper", _L),
-        ("id_a", _L), ("id_b", _L), ("jaccard", _D),
+        ("id_a", _L), ("id_b", _L), ("jaccard", _D), ("sim", _D),
     ],
 )
 

@@ -637,3 +637,126 @@ def test_ann_recall_stats_gate(tables):
     # codes+re-rank must not lose recall vs the cells it probes (the
     # shortlist covers the probed rows at this scale)
     assert t["ivfpq"]["recall"] >= t["ivf"]["recall"] - 0.1, t
+
+
+# -- SemDeDup (embedding-cluster semantic dedup) --------------------------
+
+
+def _exact_pairs(df, threshold):
+    base = df.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec"))
+    x, y = base.alias("x"), base.alias("y")
+    return (
+        x.join(y, F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            cosine(F.col("x._vec"), F.col("y._vec")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def test_semantic_pairs_single_cluster_equals_exact(tables):
+    """With k=1 every pair is intra-cluster, so SemDeDup pairs must be
+    EXACTLY the all-pairs threshold pairs."""
+    from adfs_spark.functions.similarity import semantic_duplicate_pairs
+
+    emb = tables["embeddings"]
+    thr = 0.44  # the fixture corpus tops out near 0.48 cosine
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_duplicate_pairs(emb, threshold=thr, n_clusters=1).collect()
+    }
+    want = {(r["id_a"], r["id_b"]) for r in _exact_pairs(emb, thr).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_semantic_pairs_clustered_subset_of_exact(tables):
+    """With k>1 the pairs are a subset of the exact threshold pairs
+    (clustering only PRUNES candidates — sims are always exact), and
+    near-identical vectors land in the same cluster so recall stays
+    high on this corpus."""
+    from adfs_spark.functions.similarity import semantic_duplicate_pairs
+
+    emb = tables["embeddings"]
+    thr = 0.44
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_duplicate_pairs(emb, threshold=thr, n_clusters=4).collect()
+    }
+    want = {(r["id_a"], r["id_b"]) for r in _exact_pairs(emb, thr).collect()}
+    assert got <= want
+
+
+def test_semantic_pairs_planted_duplicates_recall(spark):
+    """Planted near-identical groups: vectors within a group are tiny
+    perturbations of a shared base, groups are mutually far.  k-means
+    with k = n_groups must keep each group in ONE cell, so SemDeDup
+    finds every intra-group pair — the recall property on the data
+    shape the algorithm targets (true duplicates cluster together)."""
+    import math
+
+    from adfs_spark.functions.similarity import semantic_duplicate_pairs
+
+    dim, groups, per = 8, 3, 4
+    rows = []
+    vid = 0
+    for g in range(groups):
+        base = [0.0] * dim
+        base[g] = 1.0
+        base[g + 4] = 0.5
+        for j in range(per):
+            vec = [v + 0.001 * ((vid * 7 + i) % 3) for i, v in enumerate(base)]
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_duplicate_pairs(
+            df, threshold=0.999, n_clusters=groups, kmeans_iters=4
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for g in range(groups)
+        for a in range(g * per, (g + 1) * per)
+        for b in range(a + 1, (g + 1) * per)
+    }
+    assert got == want
+
+
+def test_semantic_dedup_survivors(tables):
+    """semantic_dedup keeps exactly one representative per duplicate
+    component: survivors = n - (members - components), every dropped id
+    appears in some duplicate pair, and the result is deterministic."""
+    from adfs_spark.functions.dedup import connected_components
+    from adfs_spark.functions.similarity import semantic_dedup, semantic_duplicate_pairs
+
+    emb = tables["embeddings"]
+    thr = 0.44
+    n = emb.count()
+    pairs = semantic_duplicate_pairs(emb, threshold=thr, n_clusters=1)
+    comps = connected_components(pairs, "id_a", "id_b").collect()
+    members = len(comps)
+    n_components = len({r["component"] for r in comps})
+    kept = semantic_dedup(emb, threshold=thr, n_clusters=1)
+    assert kept.count() == n - (members - n_components)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    dropped = {r["node"] for r in comps} - kept_ids
+    pair_ids = {r["id_a"] for r in pairs.collect()} | {
+        r["id_b"] for r in pairs.collect()
+    }
+    assert dropped <= pair_ids
+    # deterministic across a second run
+    kept2 = {r["vec_id"] for r in semantic_dedup(emb, threshold=thr, n_clusters=1).collect()}
+    assert kept2 == kept_ids
+
+
+def test_semdedup_stats_shape(tables):
+    from adfs_spark.functions.similarity import semdedup_stats
+
+    s = semdedup_stats(tables["embeddings"], threshold=0.44, n_clusters=4, kmeans_iters=2)
+    assert s["n_vectors"] > 0
+    assert s["n_clusters"] <= 4
+    assert s["pair_work"] < s["n_vectors"] * (s["n_vectors"] - 1) / 2
+    assert s["recall_vs_exact"] is None or 0.0 <= s["recall_vs_exact"] <= 1.0

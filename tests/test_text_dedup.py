@@ -494,3 +494,57 @@ def test_bound_token_functions_null_and_empty_text(spark):
     ch = chunk_documents(df, "doc_id", "text", max_tokens=2)
     assert ch.filter(F.col("doc_id").isin(1, 2)).count() == 0
     assert ch.filter(F.col("doc_id") == 3).count() == 2
+
+
+# -- Gopher quality rules --------------------------------------------------
+
+
+def test_gopher_quality_flags_values(spark):
+    from adfs_spark.functions.text import gopher_quality_flags
+
+    rows = spark.createDataFrame(
+        [
+            # 60 words, all alpha, has the/of/and/with, no punct
+            (1, " ".join(["the", "of", "and", "with"] * 15)),
+            # too short
+            (2, "the of and tiny"),
+            # no required stopwords
+            (3, " ".join(["zebra", "quartz"] * 30)),
+            # punctuation-heavy
+            (4, " ".join(["the!!!", "of???", "and###"] * 20)),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id: long, text: string",
+    ).select("doc_id", gopher_quality_flags(F.col("text")).alias("q"))
+    got = {r["doc_id"]: r["q"].asDict() for r in rows.collect()}
+    assert got[1]["pass_all"] is True
+    assert got[2]["word_count"] is False and got[2]["pass_all"] is False
+    assert got[3]["stopwords"] is False
+    assert got[4]["symbol_ratio"] is False
+    # NULL and empty text fail everything, never NULL out
+    for d in (5, 6):
+        assert got[d]["pass_all"] is False
+        assert all(v is not None for v in got[d].values())
+
+
+def test_gopher_rule_failures_counts(spark):
+    from adfs_spark.functions.text import gopher_rule_failures
+
+    df = spark.createDataFrame(
+        [
+            ("web", " ".join(["the", "of", "and", "with"] * 15)),
+            ("web", "short the of"),
+            ("books", None),
+        ],
+        "source: string, text: string",
+    )
+    out = {
+        (r["source"], r["rule"]): (r["n_failed"], r["n_passed"])
+        for r in gopher_rule_failures(df).collect()
+    }
+    # 6 rules x 2 sources present in the data
+    assert len(out) == 12
+    assert out[("web", "pass_all")] == (1, 1)
+    assert out[("books", "pass_all")] == (1, 0)
+    assert out[("web", "word_count")] == (1, 1)
