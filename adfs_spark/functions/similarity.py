@@ -948,6 +948,59 @@ def _semantic_assign(
     return assigned
 
 
+#: auto scorer routing: above this estimated intra-cell pair count the
+#: per-pair expression fold (interpreted HOF, ~50 µs/pair) loses to the
+#: per-cell numpy matrix scorer
+SEMDEDUP_ARROW_PAIRWORK = 2_000_000
+
+
+def _cell_pair_scorer(id_col: str, vec_col: str, threshold: float, tile: int = 4096):
+    """applyInPandas factory: exact cosine pairs ≥ threshold within ONE
+    cell, scored as a numpy matrix product (unit-normalize once, one
+    GEMM per row-tile against the cell) — the SemDeDup paper's own
+    within-cluster scoring shape.  Tiling bounds memory at tile×|cell|
+    scores; output is already threshold-filtered so only real
+    near-duplicates leave the worker."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "sim": [], "cell": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "sim": "float64", "cell": "int32"})
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        cell = int(pdf["ivf_cell"].iloc[0])
+        X = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0  # zero vectors never pass a positive threshold
+        U = X / nrm[:, None]
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            sims = U[lo:hi] @ U.T  # (hi-lo) × n
+            for r in range(lo, hi):
+                row = sims[r - lo]
+                # ids sorted ascending → columns after r are the id_b side
+                hits = np.nonzero(row[r + 1 :] >= threshold)[0] + r + 1
+                if hits.size:
+                    out_a.extend([ids[r]] * hits.size)
+                    out_b.extend(ids[hits])
+                    out_s.extend(row[hits])
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype="int64"),
+                "id_b": np.asarray(out_b, dtype="int64"),
+                "sim": np.asarray(out_s, dtype="float64"),
+                "cell": np.full(len(out_a), cell, dtype="int32"),
+            }
+        )
+
+    return score
+
+
 def semantic_duplicate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -957,6 +1010,7 @@ def semantic_duplicate_pairs(
     kmeans_iters: int = 3,
     centroids: "Sequence[Sequence[float]] | None" = None,
     train_cap: int = 20_000,
+    scorer: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): find semantic
     near-duplicate pairs by clustering the embedding space and comparing
@@ -984,6 +1038,28 @@ def semantic_duplicate_pairs(
     if centroids is None:
         centroids = _semantic_centroids(
             df, id_col, vec_col, n_clusters, kmeans_iters, train_cap
+        )
+    # scorer tiers: "expr" folds one JVM dot product per pair — zero
+    # Python, right while intra-cell pair work is small (and the form
+    # the oracle row value-checks).  "arrow" scores each cell as a
+    # numpy matrix product inside applyInPandas (~100× the interpreted
+    # fold's throughput) — the scale tier; at auto-k (cells ≈ 500 rows)
+    # pair work grows ~250·n, so past a few million pairs the GEMM wins.
+    if scorer == "auto":
+        k = max(1, len(centroids))
+        n = df.count()
+        scorer = (
+            "arrow"
+            if (n * n) / (2 * k) > SEMDEDUP_ARROW_PAIRWORK
+            else "expr"
+        )
+    if scorer == "arrow":
+        assigned = _semantic_assign(df, centroids, id_col, vec_col).select(
+            F.col(id_col), F.col(vec_col), "ivf_cell"
+        )
+        return assigned.groupBy("ivf_cell").applyInPandas(
+            _cell_pair_scorer(id_col, vec_col, threshold),
+            "id_a long, id_b long, sim double, cell int",
         )
     # norms precomputed per ROW, not per pair — cosine(a,b) recomputes
     # both operand norms for every pair it scores, so a cell with c

@@ -833,3 +833,23 @@ def test_semantic_auto_cluster_count(tables):
     )
     want = {(r["id_a"], r["id_b"]) for r in _exact_pairs(emb, 0.44).collect()}
     assert {(r["id_a"], r["id_b"]) for r in got.collect()} <= want
+
+
+def test_semantic_pairs_arrow_scorer_equals_expr(tables):
+    """The per-cell numpy matrix scorer (scale tier) must find exactly
+    the expression scorer's pairs, sims equal to fp tolerance."""
+    from adfs_spark.functions.similarity import semantic_duplicate_pairs
+
+    emb = tables["embeddings"]
+    kw = dict(threshold=0.44, n_clusters=4, kmeans_iters=2)
+    expr = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in semantic_duplicate_pairs(emb, scorer="expr", **kw).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in semantic_duplicate_pairs(emb, scorer="arrow", **kw).collect()
+    }
+    assert set(arrow) == set(expr) and len(expr) > 0
+    for k, v in arrow.items():
+        assert abs(v - expr[k]) < 1e-9
