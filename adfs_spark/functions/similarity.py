@@ -1183,14 +1183,24 @@ def semdedup_stats(
     n_pairs = pairs.count()
     recall = None
     if n <= exact_recall_cap:
-        base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        x, y = base.alias("x"), base.alias("y")
-        exact = (
-            x.join(y, F.col("x._id") < F.col("y._id"))
-            .select(cosine(F.col("x._vec"), F.col("y._vec")).alias("sim"))
-            .filter(F.col("sim") >= threshold)
-            .count()
-        )
+        # exact ground truth via tiled numpy GEMM on the collected
+        # matrix (n ≤ cap → ≤ ~10 MB of vectors; n²/2 INTERPRETED
+        # expression dots would take hours at the 20k cap — the first
+        # sf1 ladder attempt hit exactly that wall)
+        import numpy as np
+
+        rows = df.select(F.col(vec_col)).collect()
+        X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        U = X / nrm[:, None]
+        exact = 0
+        tile = 2048
+        for lo in range(0, len(U), tile):
+            hi = min(lo + tile, len(U))
+            sims = U[lo:hi] @ U.T
+            for r in range(lo, hi):
+                exact += int((sims[r - lo, r + 1 :] >= threshold).sum())
         recall = round(n_pairs / exact, 4) if exact else 1.0
     pairs.unpersist()
     return {
