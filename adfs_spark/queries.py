@@ -3675,6 +3675,50 @@ def dedup_semantic(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("sim", 5).alias("sim"))
 
 
+@q(
+    "pipeline_dsir_weights",
+    """WITH toks AS (SELECT doc_id, source,
+                            list_filter(string_split(text, ' '), x -> x <> '') AS t
+                     FROM documents),
+         grams AS (SELECT doc_id, source,
+                          ('0x' || substring(md5(array_to_string(t[i:i+1], ' ')), 1, 8))::BIGINT
+                            % 10000 AS bucket
+                   FROM toks, UNNEST(range(1, greatest(len(t)-1, 1)+1)) r(i)),
+         tc AS (SELECT bucket, count(*) AS tc FROM grams
+                WHERE source IN ('src0', 'src1') GROUP BY 1),
+         rc AS (SELECT bucket, count(*) AS rc FROM grams GROUP BY 1),
+         tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tc) AS T,
+                        (SELECT coalesce(sum(rc), 0) FROM rc) AS R),
+         ratio AS (SELECT b.b AS bucket,
+                          ln((coalesce(tc.tc, 0) + 1.0) / (tot.T + 10000))
+                            - ln((coalesce(rc.rc, 0) + 1.0) / (tot.R + 10000)) AS logratio
+                   FROM range(0, 10000) b(b)
+                   LEFT JOIN tc ON tc.bucket = b.b
+                   LEFT JOIN rc ON rc.bucket = b.b, tot)
+       SELECT g.doc_id, round(sum(ratio.logratio), 5) AS logweight
+       FROM grams g JOIN ratio ON ratio.bucket = g.bucket
+       GROUP BY g.doc_id""",
+)
+def pipeline_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (selection.bucket_logratio +
+    dsir_logweight; Xie et al. 2023, arXiv:2302.03169): hashed-bigram
+    bag-of-buckets models for a target domain (sources src0/src1) and
+    the full raw corpus, add-one smoothed, and the per-document
+    ``Σ count·(log p̂_target − log p̂_raw)`` score every raw document
+    would be resampled by.  Two groupBys build the 10k-row model; the
+    scoring pass is explode → broadcast join → one partially-aggregated
+    shuffle on doc_id.  The oracle recomputes the full estimator —
+    portable md5 bucket ids, smoothing, and all — relationally."""
+    from adfs_spark.functions.selection import bucket_logratio, dsir_logweight
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    ratio = bucket_logratio(target, d)
+    return dsir_logweight(d, ratio).select(
+        "doc_id", F.round("logweight", 5).alias("logweight")
+    )
+
+
 # =========================================================================
 # Round-3 members: real-write-path rows (S10/D3 sync, D5 editlog
 # convergence), the F7 block-locations projection, and the IVF-PQ ANN
@@ -4617,6 +4661,7 @@ _suite(
         ("dedup_repeated_spans", ["span_fp", "n_docs", "n_occurrences", "keeper"]),
         ("dedup_minhash_incremental", ["id_a", "id_b", "jaccard"]),
         ("dedup_semantic", ["id_a", "id_b", "sim"]),
+        ("pipeline_dsir_weights", ["doc_id", "logweight"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -4625,7 +4670,7 @@ _suite(
         ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
         ("rule", _S), ("n_failed", _L), ("n_passed", _L),
-        ("train_order", _L), ("rank", _D),
+        ("train_order", _L), ("rank", _D), ("logweight", _D),
         ("span_fp", _S), ("n_occurrences", _L), ("keeper", _L),
         ("id_a", _L), ("id_b", _L), ("jaccard", _D), ("sim", _D),
     ],

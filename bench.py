@@ -70,6 +70,7 @@ BENCH_EXTRAS = [
     "agg_unpivot_metrics",
     "window_spend_quartiles",
     "pipeline_quality_rules",
+    "pipeline_dsir_weights",
 ]
 
 
