@@ -501,6 +501,67 @@ def unigram_logprob(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical relevance (Robertson-Spärck Jones probabilistic
+    model, the Okapi BM25 form) of every document against a fixed term
+    set — the retrieval primitive next to the ANN tier: decontamination
+    lookups, per-domain seed queries, and keyword-driven corpus slicing
+    all reduce to it.
+
+    Distributed shape, designed around the query being SMALL (terms
+    ride the expression tree, never a join): one scan computes the
+    per-document term-frequency vector and length from a single
+    let-bound token array (no explode — the |docs|·|tokens| token
+    table never materializes); one tiny aggregate reduces it to the
+    corpus statistics (N, avgdl, per-term document frequency —
+    one row however large the corpus); the scoring pass is the same
+    tf vector crossed with the broadcast stats row, entirely
+    map-side.  Zero data-row shuffles at any corpus size.  idf is the
+    canonical ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — always ≥ 0, so
+    stopword-frequency terms degrade to ~0 instead of negative.
+    """
+    def _tf(term: str) -> Column:
+        # a dedicated closure per term: a `q=q` default param would
+        # make the lambda 2-ary, which F.filter reads as (elem, index)
+        return F.size(F.filter(F.col("_t"), lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(q).alias(f"_tf{i}") for i, q in enumerate(query_terms)]
+    # the token array is a named column referenced len(terms)+1 times —
+    # CollapseProject cannot re-inline a multiply-referenced non-cheap
+    # alias, so tokenization runs once per row (§ SCALE.md 14.11)
+    per_doc = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_t")
+    ).select(F.col(id_col), F.size("_t").alias("_dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    parts = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            1.0 + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        parts.append(idf * (tf * (k1 + 1.0)) / norm)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return scored.select(F.col(id_col), total.alias("bm25"))
+
+
 def extract_domain(url: Column) -> Column:
     """Registrable host from a URL (scheme and path stripped) — the
     key for per-domain corpus policies (blocklists, caps, dedup)."""

@@ -47,6 +47,32 @@ from adfs_spark.operators.windows import argmax_rows, priority_bucket, top_k
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
 
+# q5's early-dim-restriction crossover: the two extra broadcast stages
+# cost a fixed ~0.3 s, a loss while the whole fact-fact shuffle is a
+# few MB (sf0.1 lineitem = 11 MB on disk) and a −44% win from sf10 up
+# (110 MB at sf1 already wins).  64 MB sits between the measured loss
+# and the measured win.
+Q5_EARLY_RESTRICT_MIN_BYTES = 64 << 20
+
+
+def _table_disk_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk footprint of a fixture table — the table statistic a
+    CBO would read before ordering a join chain.  Works for single
+    parquet files and directory tables; None for non-local storage
+    (callers then default to the scale-safe plan)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        total = 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total if total > 0 else None
+    except OSError:
+        return None
+
+
 _TMP_ROOTS: list[str] = []
 
 
@@ -1571,43 +1597,73 @@ def q3_unshipped_revenue(spark, sf_dir):
        WHERE r_name IN ('ASIA', 'AFRICA')
        GROUP BY n_name""",
 )
-def q5_nation_revenue(spark, sf_dir):
-    """TPC-H Q5-shaped: local-supplier revenue by nation."""
+def q5_nation_revenue(spark, sf_dir, early: bool | None = None):
+    """TPC-H Q5-shaped: local-supplier revenue by nation.
+
+    Two plan forms, chosen by a driver-side table-size probe (the
+    same stats a CBO would read; Catalyst won't reorder a join chain
+    without them):
+
+    - ``early=True`` — dim restriction FIRST: region⋈nation is
+      constant-size, so the ~10 valid nation keys broadcast onto
+      customer/supplier as map-side joins and every downstream shuffle
+      moves only the qualifying ~40% of rows.  −44% at sf10, the only
+      sane plan at 100 TB.
+    - ``early=False`` — plain join chain with the region filter at the
+      end.  The two extra broadcast stages of the early form cost a
+      fixed ~0.3 s, which DOMINATES when the whole fact-fact shuffle
+      is a few MB (measured: 0.92 s vs 1.20 s at sf0.1).
+
+    ``early=None`` auto-selects: early once lineitem's on-disk footprint
+    crosses ``Q5_EARLY_RESTRICT_MIN_BYTES`` (between the measured
+    sf0.1 loss and the measured sf1+ win); unknown sizes (non-local
+    storage) default to early — the scale-safe side.  Both plan shapes
+    are pinned by tests/test_plans.py; results are identical."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AFRICA"))
-    # Dim restriction FIRST: region⋈nation is constant-size, so the
-    # ~10 valid nation keys broadcast onto customer/supplier as
-    # map-side joins — every downstream shuffle then moves only the
-    # qualifying ~40% of customers/orders instead of dropping them
-    # after the fact-fact join (Catalyst won't reorder the join chain
-    # without CBO stats, so the restriction must be authored early).
-    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
-        "n_nationkey", "n_name"
-    )
-    c2 = c.join(F.broadcast(nr), c["c_nationkey"] == nr["n_nationkey"]).select(
-        "c_custkey", "c_nationkey", "n_name"
-    )
-    s2 = s.join(
-        F.broadcast(nr.select("n_nationkey")),
-        s["s_nationkey"] == nr["n_nationkey"],
-    ).select("s_suppkey", "s_nationkey")
-    # lineitem⋈orders is fact-fact → shuffle (AQE handles skew).
-    # customer/supplier grow with SF (sf100 customer ≈ 15M rows), so a
-    # forced broadcast would OOM executors at scale — AQE decides from
-    # runtime sizes for the filtered c2/s2 sides instead.
-    j = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c2, o["o_custkey"] == c2["c_custkey"])
-        .join(
-            s2,
-            (li["l_suppkey"] == s2["s_suppkey"])
-            & (s2["s_nationkey"] == F.col("c_nationkey")),
+    if early is None:
+        sz = _table_disk_bytes(sf_dir, "lineitem")
+        early = sz is None or sz >= Q5_EARLY_RESTRICT_MIN_BYTES
+    if early:
+        nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
         )
-    )
+        c2 = c.join(F.broadcast(nr), c["c_nationkey"] == nr["n_nationkey"]).select(
+            "c_custkey", "c_nationkey", "n_name"
+        )
+        s2 = s.join(
+            F.broadcast(nr.select("n_nationkey")),
+            s["s_nationkey"] == nr["n_nationkey"],
+        ).select("s_suppkey", "s_nationkey")
+        # lineitem⋈orders is fact-fact → shuffle (AQE handles skew).
+        # customer/supplier grow with SF (sf100 customer ≈ 15M rows),
+        # so a forced broadcast would OOM executors at scale — AQE
+        # decides from runtime sizes for the filtered c2/s2 sides.
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c2, o["o_custkey"] == c2["c_custkey"])
+            .join(
+                s2,
+                (li["l_suppkey"] == s2["s_suppkey"])
+                & (s2["s_nationkey"] == F.col("c_nationkey")),
+            )
+        )
+    else:
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(
+                s,
+                (li["l_suppkey"] == s["s_suppkey"])
+                & (s["s_nationkey"] == c["c_nationkey"]),
+            )
+            .join(n, c["c_nationkey"] == n["n_nationkey"])
+            .join(r, n["n_regionkey"] == r["r_regionkey"])
+        )
     return j.groupBy("n_name").agg(
         F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("double")
@@ -3675,6 +3731,48 @@ def dedup_semantic(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("sim", 5).alias("sim"))
 
 
+_BM25_TERMS = ("table", "scan", "merge")
+
+
+def _bm25_oracle_sql(terms: tuple[str, ...], k1: float = 1.2, b: float = 0.75) -> str:
+    tf = ", ".join(
+        f"len(list_filter(t, x -> x = '{q}')) AS tf{i}" for i, q in enumerate(terms)
+    )
+    dfc = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (N - df{i} + 0.5)/(df{i} + 0.5))"
+        f" * (tf{i} * ({k1} + 1.0))"
+        f" / (tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""WITH toks AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents),
+         d AS (SELECT doc_id, len(t) AS dl, {tf} FROM toks),
+         stats AS (SELECT count(*) AS N, avg(dl) AS avgdl, {dfc} FROM d)
+       SELECT doc_id, round({score}, 5) AS bm25 FROM d, stats"""
+
+
+@q("pipeline_bm25_rank", _bm25_oracle_sql(_BM25_TERMS))
+def pipeline_bm25_rank(spark, sf_dir):
+    """Okapi BM25 relevance of every document to a fixed query term
+    set (text.bm25_scores) — the lexical-retrieval primitive beside
+    the ANN tier.  One scan builds per-doc (tf vector, length) from a
+    single named token array; a 1-row aggregate carries N/avgdl/df;
+    scoring is the tf vector × broadcast stats, fully map-side — zero
+    data-row shuffles at any corpus size.  The oracle recomputes the
+    whole model (idf, length norm, smoothing) relationally."""
+    from adfs_spark.functions.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, _BM25_TERMS).select(
+        "doc_id", F.round("bm25", 5).alias("bm25")
+    )
+
+
 @q(
     "pipeline_dsir_weights",
     """WITH toks AS (SELECT doc_id, source,
@@ -4662,6 +4760,7 @@ _suite(
         ("dedup_minhash_incremental", ["id_a", "id_b", "jaccard"]),
         ("dedup_semantic", ["id_a", "id_b", "sim"]),
         ("pipeline_dsir_weights", ["doc_id", "logweight"]),
+        ("pipeline_bm25_rank", ["doc_id", "bm25"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -4670,7 +4769,7 @@ _suite(
         ("node", _L), ("component", _L), ("scrubbed", _S), ("n_masked", _L),
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
         ("rule", _S), ("n_failed", _L), ("n_passed", _L),
-        ("train_order", _L), ("rank", _D), ("logweight", _D),
+        ("train_order", _L), ("rank", _D), ("logweight", _D), ("bm25", _D),
         ("span_fp", _S), ("n_occurrences", _L), ("keeper", _L),
         ("id_a", _L), ("id_b", _L), ("jaccard", _D), ("sim", _D),
     ],

@@ -71,6 +71,7 @@ BENCH_EXTRAS = [
     "window_spend_quartiles",
     "pipeline_quality_rules",
     "pipeline_dsir_weights",
+    "pipeline_bm25_rank",
 ]
 
 

@@ -85,8 +85,11 @@ def test_q1_scans_prune_columns(spark):
 
 
 def test_q5_fact_join_not_broadcast_on_big_side(spark):
-    fn, _ = QUERIES["q5_nation_revenue"]
-    df = fn(spark, SF)
+    from adfs_spark.queries import q5_nation_revenue
+
+    # early form (the 100 TB plan, auto-chosen once lineitem's on-disk
+    # size crosses the crossover threshold)
+    df = q5_nation_revenue(spark, SF, early=True)
     p = df._jdf.queryExecution().executedPlan().toString()
     # joins on all 6 tables compile; small-SF statistics may still pick
     # runtime broadcasts, which is AQE's call, not a forced hint
@@ -102,6 +105,23 @@ def test_q5_fact_join_not_broadcast_on_big_side(spark):
     # hints themselves
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == 4
+
+    # toy-scale form: plain join chain, NO forced hints anywhere (the
+    # fixed broadcast-stage cost dominates when the shuffle is tiny)
+    small = q5_nation_revenue(spark, SF, early=False)
+    analyzed_small = small._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint (strategy=broadcast)" not in analyzed_small
+
+    # the auto gate picks the toy form at test SF (11 MB < 64 MB)
+    # and both forms agree on the answer
+    import adfs_spark.queries as Q
+
+    assert (Q._table_disk_bytes(SF, "lineitem") or 0) < Q.Q5_EARLY_RESTRICT_MIN_BYTES
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, small.collect()))
+    assert [r[0] for r in a] == [r[0] for r in b]
+    for x, y in zip(a, b):
+        assert abs(x[1] - y[1]) < 1e-6
 
 
 def test_q3_q14_no_forced_broadcast_of_scaled_tables(spark):
