@@ -3731,6 +3731,40 @@ def dedup_semantic(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("sim", 5).alias("sim"))
 
 
+@q(
+    "s_warc_roundtrip",
+    """SELECT 'https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+            length(text) AS n_chars
+       FROM documents WHERE doc_id % 5 = 0""",
+)
+def s_warc_roundtrip(spark, sf_dir):
+    """WARC (ISO 28500) export→ingest roundtrip on the REAL source
+    path (sources/warc.py): a deterministic document slice is written
+    as member-per-record .warc.gz archives (one per partition, the
+    Common Crawl layout) by the distributed writer, then re-read
+    through the binaryFile + streaming-parser reader; the oracle is
+    the same slice straight off the relational table.  Proves header
+    serialization, per-member gzip framing, the chunked record
+    splitter, and payload integrity end-to-end."""
+    from adfs_spark.sources.warc import read_warc, write_warc
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    src = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        F.col("text"),
+    )
+    out = _tmp_root("adfs_warc_")
+    write_warc(src, out, uri_col="uri", payload_col="text")
+    rec = read_warc(spark, out)
+    return rec.select(
+        "target_uri", F.length(F.col("payload").cast("string")).alias("n_chars")
+    )
+
+
 _BM25_TERMS = ("table", "scan", "merge")
 
 
@@ -4761,6 +4795,7 @@ _suite(
         ("dedup_semantic", ["id_a", "id_b", "sim"]),
         ("pipeline_dsir_weights", ["doc_id", "logweight"]),
         ("pipeline_bm25_rank", ["doc_id", "bm25"]),
+        ("s_warc_roundtrip", ["target_uri", "n_chars"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -4770,6 +4805,7 @@ _suite(
         ("n_hits", _L), ("avg_logprob", _D), ("domain", _S),
         ("rule", _S), ("n_failed", _L), ("n_passed", _L),
         ("train_order", _L), ("rank", _D), ("logweight", _D), ("bm25", _D),
+        ("target_uri", _S), ("n_chars", _L),
         ("span_fp", _S), ("n_occurrences", _L), ("keeper", _L),
         ("id_a", _L), ("id_b", _L), ("jaccard", _D), ("sim", _D),
     ],
