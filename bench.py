@@ -78,6 +78,10 @@ BENCH_EXTRAS = [
     "pipeline_quality_rules",
     "pipeline_dsir_weights",
     "pipeline_bm25_rank",
+    # WARC export->ingest roundtrip: each pass writes the doc slice as
+    # member-per-record .warc.gz and parses it back (the row times the
+    # whole source path, writer included)
+    "s_warc_roundtrip",
 ]
 
 
