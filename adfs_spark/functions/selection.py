@@ -51,21 +51,32 @@ def ngram_buckets(text: Column, n: int = 2, buckets: int = DSIR_BUCKETS) -> Colu
     )
 
 
-def _bucket_counts(
-    df: DataFrame, text_col: str, n: int, buckets: int, out: str
+def ngram_bucket_rows(
+    df: DataFrame,
+    id_cols: tuple[str, ...],
+    text_col: str,
+    n: int = 2,
+    buckets: int = DSIR_BUCKETS,
 ) -> DataFrame:
-    ex = df.select(
-        F.explode(ngram_buckets(F.col(text_col), n, buckets)).alias("bucket")
+    """The exploded (ids…, bucket) occurrence frame every DSIR stage
+    consumes.  When the raw model and the scoring pass run over the
+    SAME corpus, compute this once and ``persist()`` it — the model
+    groupBy and the per-doc sum then share one tokenize+hash+explode
+    instead of paying it twice."""
+    ids = [F.col(c) for c in id_cols]
+    return df.select(
+        *ids, F.explode(ngram_buckets(F.col(text_col), n, buckets)).alias("bucket")
     )
-    return ex.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
 
 
 def bucket_logratio(
-    target: DataFrame,
-    raw: DataFrame,
+    target: DataFrame | None,
+    raw: DataFrame | None,
     text_col: str = "text",
     n: int = 2,
     buckets: int = DSIR_BUCKETS,
+    target_rows: DataFrame | None = None,
+    raw_rows: DataFrame | None = None,
 ) -> DataFrame:
     """The ``buckets``-row importance model: for every bucket id,
     ``logratio = log p̂_target − log p̂_raw`` under add-one smoothing
@@ -75,16 +86,31 @@ def bucket_logratio(
     constant ``log((R+B)/(T+B))`` rather than silently dropping out of
     a document's score.  Size is ``buckets`` rows whatever the corpus
     size; at 100 TB feed ``target``/``raw`` through a hash-mod sample
-    first (frequency estimation needs no full pass)."""
-    tc = _bucket_counts(target, text_col, n, buckets, "tc")
-    rc = _bucket_counts(raw, text_col, n, buckets, "rc")
+    first (frequency estimation needs no full pass).
+
+    ``target_rows``/``raw_rows`` accept a pre-exploded
+    :func:`ngram_bucket_rows` frame instead of the raw table — pass a
+    persisted one when the scoring pass will walk the same corpus, so
+    tokenize+hash+explode runs once."""
+    trows = (
+        target_rows
+        if target_rows is not None
+        else ngram_bucket_rows(target, (), text_col, n, buckets)
+    )
+    rrows = (
+        raw_rows
+        if raw_rows is not None
+        else ngram_bucket_rows(raw, (), text_col, n, buckets)
+    )
+    tc = trows.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    rc = rrows.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
     # grand totals ride a 1-row broadcast cross join; log() of the
     # smoothed frequencies folds into one expression per bucket
     tot = (
         tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("T"))
         .crossJoin(rc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("R")))
     )
-    base = target.sparkSession.range(buckets).select(F.col("id").alias("bucket"))
+    base = trows.sparkSession.range(buckets).select(F.col("id").alias("bucket"))
     return (
         base.join(F.broadcast(tc), "bucket", "left")
         .join(F.broadcast(rc), "bucket", "left")
@@ -106,16 +132,19 @@ def dsir_logweight(
     text_col: str = "text",
     n: int = 2,
     buckets: int = DSIR_BUCKETS,
+    bucket_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight: explode the doc's
     hashed n-gram occurrences, broadcast-join the ``buckets``-row
     ratio table, sum per document (map-side partial aggregation; the
     only shuffle moves one partial per (task, doc)).  Documents with
     no n-grams (empty/NULL text) score 0.0 — neutral, neither
-    up- nor down-weighted."""
-    ids = [F.col(c) for c in id_cols]
-    ex = df.select(
-        *ids, F.explode(ngram_buckets(F.col(text_col), n, buckets)).alias("bucket")
+    up- nor down-weighted.  ``bucket_rows``: a pre-exploded (ids…,
+    bucket) frame to reuse (see :func:`ngram_bucket_rows`)."""
+    ex = (
+        bucket_rows
+        if bucket_rows is not None
+        else ngram_bucket_rows(df, id_cols, text_col, n, buckets)
     )
     w = (
         ex.join(F.broadcast(ratio), "bucket")

@@ -3837,18 +3837,29 @@ def pipeline_dsir_weights(spark, sf_dir):
     bag-of-buckets models for a target domain (sources src0/src1) and
     the full raw corpus, add-one smoothed, and the per-document
     ``Σ count·(log p̂_target − log p̂_raw)`` score every raw document
-    would be resampled by.  Two groupBys build the 10k-row model; the
-    scoring pass is explode → broadcast join → one partially-aggregated
-    shuffle on doc_id.  The oracle recomputes the full estimator —
-    portable md5 bucket ids, smoothing, and all — relationally."""
-    from adfs_spark.functions.selection import bucket_logratio, dsir_logweight
+    would be resampled by.  The exploded (doc, bucket) occurrence
+    frame is computed ONCE and persisted — the raw model, the target
+    model (a filter of it), and the scoring pass all share it, so the
+    corpus is tokenized+hashed a single time; the only other work is
+    two 10k-row groupBys and one partially-aggregated shuffle on
+    doc_id.  The oracle recomputes the full estimator — portable md5
+    bucket ids, smoothing, and all — relationally."""
+    from adfs_spark.functions.selection import (
+        bucket_logratio,
+        dsir_logweight,
+        ngram_bucket_rows,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    target = d.filter(F.col("source").isin("src0", "src1"))
-    ratio = bucket_logratio(target, d)
-    return dsir_logweight(d, ratio).select(
-        "doc_id", F.round("logweight", 5).alias("logweight")
+    rows = ngram_bucket_rows(d, ("doc_id", "source"), "text").persist()
+    ratio = bucket_logratio(
+        None,
+        None,
+        target_rows=rows.filter(F.col("source").isin("src0", "src1")),
+        raw_rows=rows,
     )
+    w = dsir_logweight(d, ratio, bucket_rows=rows.select("doc_id", "bucket"))
+    return w.select("doc_id", F.round("logweight", 5).alias("logweight"))
 
 
 # =========================================================================
