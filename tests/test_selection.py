@@ -95,6 +95,37 @@ def test_ratio_table_is_total(spark, docs_df):
     assert ratio.count() == B  # every bucket present, seen or not
 
 
+def test_shared_frame_reuse_equals_plain_path(spark, docs_df):
+    """ngram_bucket_rows reuse (one persisted explode feeding both
+    models and the scoring pass) must be value-identical to the
+    plain three-pass construction."""
+    from adfs_spark.functions.selection import ngram_bucket_rows
+
+    target = docs_df.filter(F.col("source") == "tgt")
+    plain = dsir_logweight(
+        docs_df, bucket_logratio(target, docs_df, buckets=B), buckets=B
+    )
+    rows = ngram_bucket_rows(docs_df, ("doc_id", "source"), "text", buckets=B).persist()
+    shared = dsir_logweight(
+        docs_df,
+        bucket_logratio(
+            None,
+            None,
+            buckets=B,
+            target_rows=rows.filter(F.col("source") == "tgt"),
+            raw_rows=rows,
+        ),
+        buckets=B,
+        bucket_rows=rows.select("doc_id", "bucket"),
+    )
+    a = {r["doc_id"]: r["logweight"] for r in plain.collect()}
+    b = {r["doc_id"]: r["logweight"] for r in shared.collect()}
+    rows.unpersist()
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
 def test_dsir_select_deterministic_topk(spark, docs_df):
     target = docs_df.filter(F.col("source") == "tgt")
     ratio = bucket_logratio(target, docs_df, buckets=B)
