@@ -527,6 +527,9 @@ def bm25_scores(
     canonical ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — always ≥ 0, so
     stopword-frequency terms degrade to ~0 instead of negative.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+
     def _tf(term: str) -> Column:
         # a dedicated closure per term: a `q=q` default param would
         # make the lambda 2-ary, which F.filter reads as (elem, index)

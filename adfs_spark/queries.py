@@ -95,6 +95,28 @@ def _tmp_root(prefix: str) -> str:
     return root
 
 
+_PERSISTED: list = []
+
+
+def _persist_tracked(df):
+    """``persist()`` + register for :func:`release_cached` — query
+    functions that cache an intermediate register it here so repeated
+    bench passes don't stack resident copies until LRU eviction."""
+    _PERSISTED.append(df.persist())
+    return _PERSISTED[-1]
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate registered by query functions.
+    Call after the caller has materialized the returned DataFrame
+    (bench.py calls this between passes)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def q(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = (fn, oracle)
@@ -3851,7 +3873,7 @@ def pipeline_dsir_weights(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents")
-    rows = ngram_bucket_rows(d, ("doc_id", "source"), "text").persist()
+    rows = _persist_tracked(ngram_bucket_rows(d, ("doc_id", "source"), "text"))
     ratio = bucket_logratio(
         None,
         None,

@@ -83,10 +83,26 @@ def _parse_records(
     chunks: Iterator[bytes], max_payload: int | None
 ) -> Iterator[dict]:
     """Streaming WARC record parser over decompressed chunks: buffers
-    only until the current record's declared Content-Length is
-    available, then emits and discards."""
+    only until the current record's payload (capped at ``max_payload``
+    when set) is available, then emits.  Body bytes beyond the cap are
+    DISCARDED as they stream past — never accumulated — so with a cap
+    set, peak memory is O(max_payload), not O(declared Content-Length);
+    a pathological multi-GB record costs inflate time only.  Without a
+    cap, a record whose body exceeds 2 GiB raises (Python ``bytes``
+    buffering is the wrong tool past that point; set a cap)."""
     buf = b""
+    skip = 0  # body bytes of the current (capped) record still to discard
+    pending: dict | None = None  # record awaiting emit once skip drains
     for piece in chunks:
+        if skip:
+            if len(piece) < skip:
+                skip -= len(piece)
+                continue
+            piece = piece[skip:]
+            skip = 0
+            if pending is not None:
+                yield pending
+                pending = None
         buf += piece
         while True:
             start = buf.find(b"WARC/")
@@ -109,24 +125,35 @@ def _parse_records(
                 buf = buf[head_end + 4 :]
                 continue
             body_start = head_end + 4
-            if len(buf) < body_start + clen:
+            keep = clen if max_payload is None else min(clen, max_payload)
+            if len(buf) < body_start + keep:
                 if len(buf) - start > (1 << 31):
-                    raise ValueError("WARC record exceeds 2 GiB")
+                    raise ValueError(
+                        "WARC record exceeds 2 GiB; set max_payload_bytes"
+                    )
                 buf = buf[start:]
                 break
-            payload = buf[body_start : body_start + clen]
-            if max_payload is not None:
-                payload = payload[:max_payload]
-            yield {
+            rec = {
                 "record_id": headers.get("warc-record-id"),
                 "warc_type": headers.get("warc-type"),
                 "target_uri": headers.get("warc-target-uri"),
                 "warc_date": headers.get("warc-date"),
                 "content_type": headers.get("content-type"),
                 "content_length": clen,
-                "payload": payload,
+                "payload": buf[body_start : body_start + keep],
             }
-            buf = buf[body_start + clen :]
+            tail = body_start + clen
+            if len(buf) >= tail:
+                yield rec
+                buf = buf[tail:]
+            else:
+                # oversize body: stream the remainder past without buffering
+                skip = tail - len(buf)
+                pending = rec
+                buf = b""
+                break
+    if pending is not None:
+        yield pending  # truncated archive: payload up to the cap is intact
 
 
 def read_warc(
@@ -140,9 +167,10 @@ def read_warc(
     ``*.warc.gz`` member-per-record).  Parallelism = archive count;
     zero shuffles.  ``record_types`` pre-filters inside the parser
     (warcinfo/request/metadata records never reach Spark rows);
-    ``max_payload_bytes`` truncates payloads at the source — at 100 TB
-    the cap is what keeps a pathological 2 GB record from owning an
-    executor."""
+    ``max_payload_bytes`` truncates payloads at the source: bytes past
+    the cap are discarded while streaming (never buffered), so at
+    100 TB the cap really is what keeps a pathological multi-GB record
+    from owning an executor's memory."""
     import pandas as pd
 
     types = set(record_types) if record_types is not None else None
@@ -199,12 +227,15 @@ def write_warc(
     content_type: str = "text/plain",
     gzip_members: bool = True,
 ) -> DataFrame:
-    """Export (uri, payload) rows as WARC: one ``.warc.gz`` per
-    partition, each record its own gzip member (the Common Crawl
-    layout, so downstream readers can split records without inflating
-    the archive).  Runs as a distributed action and returns the
-    (file, n_records) summary frame.  ``out_dir`` must be shared
-    storage on a cluster (side-file pattern)."""
+    """Export (uri, payload) rows as WARC: one archive per partition
+    (``.warc.gz`` with each record its own gzip member — the Common
+    Crawl layout, so downstream readers can split records without
+    inflating the archive — or plain ``.warc`` when
+    ``gzip_members=False``; the extension tells :func:`read_warc`
+    which decoder to use).  Runs as a distributed action and returns
+    the (file, n_records) summary frame.  ``out_dir`` must be shared
+    storage on a cluster (side-file pattern); each task writes an
+    attempt-scoped temp file and renames on success."""
     import gzip
     import hashlib
     import os
@@ -222,11 +253,17 @@ def write_warc(
         [StructField("file", StringType()), StructField("n_records", LongType())]
     )
 
+    ext = ".warc.gz" if gzip_members else ".warc"
+
     def dump(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        pid = TaskContext.get().partitionId()
-        fname = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        ctx = TaskContext.get()
+        fname = os.path.join(out_dir, f"part-{ctx.partitionId():05d}{ext}")
+        # task-commit: write to an attempt-scoped temp and rename on
+        # success, so a retried or speculative duplicate task never
+        # exposes a partial file — last completed attempt wins whole.
+        tmp = f"{fname}.{ctx.taskAttemptId()}.tmp"
         n = 0
-        with open(fname, "wb") as fh:
+        with open(tmp, "wb") as fh:
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     body = bytes(row["payload"] or b"")
@@ -246,9 +283,10 @@ def write_warc(
                     fh.write(gzip.compress(record) if gzip_members else record)
                     n += 1
         if n == 0:
-            os.unlink(fname)
+            os.unlink(tmp)
             yield pd.DataFrame(columns=out_schema.names)
         else:
+            os.replace(tmp, fname)
             yield pd.DataFrame([{"file": fname, "n_records": n}])
 
     summary = src.mapInPandas(dump, out_schema)

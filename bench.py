@@ -90,6 +90,8 @@ def bench_extras(spark) -> dict[str, float]:
 
     from adfs_spark.queries import QUERIES
 
+    from adfs_spark.queries import release_cached
+
     out: dict[str, float] = {}
     for name in BENCH_EXTRAS:
         fn, _ = QUERIES[name]
@@ -98,6 +100,7 @@ def bench_extras(spark) -> dict[str, float]:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            release_cached()  # drop query-registered persists between passes
         out[name] = round(best, 3)
     # dedup_repeated_spans with the tokenhash rolling fingerprint — the
     # 100 TB form (the md5 entry above is the oracle-portable default):

@@ -69,3 +69,9 @@ def test_bm25_plan_has_no_data_shuffle(spark):
 
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_empty_terms_raises(spark):
+    df = spark.createDataFrame([("a", "x y z")], "doc_id: string, text: string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, ())

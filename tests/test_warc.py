@@ -108,3 +108,44 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert members == sum(
         1 for r in back.collect() if r["file"].endswith(files[0])
     )
+
+def test_parse_records_oversize_body_streams_past():
+    # an oversize record's body beyond the cap is discarded while
+    # streaming; following records still parse, and the capped payload
+    # is intact even when the body spans many chunks
+    big = _record("http://x/big", b"B" * 50_000)
+    after = _record("http://x/next", b"small")
+    raw = big + after
+    chunks = [raw[i : i + 512] for i in range(0, len(raw), 512)]
+    recs = list(_parse_records(iter(chunks), 64))
+    assert [r["target_uri"] for r in recs] == ["http://x/big", "http://x/next"]
+    assert recs[0]["payload"] == b"B" * 64
+    assert recs[0]["content_length"] == 50_000
+    assert recs[1]["payload"] == b"small"
+
+
+def test_parse_records_truncated_archive_emits_capped_record():
+    # archive cut off mid-body: the capped payload was already complete,
+    # so the record is still emitted at end-of-stream
+    raw = _record("http://x/cut", b"C" * 10_000)[:600]
+    (rec,) = _parse_records(iter([raw]), 32)
+    assert rec["payload"] == b"C" * 32 and rec["content_length"] == 10_000
+
+
+def test_write_warc_plain_roundtrip(spark, tmp_path):
+    # gzip_members=False names files .warc, and read_warc re-reads them
+    src = spark.createDataFrame(
+        [(f"https://p/{i}", f"plain {i}") for i in range(10)],
+        "uri: string, text: string",
+    ).repartition(2)
+    out = os.path.join(str(tmp_path), "plaindump")
+    summary = write_warc(
+        src, out, uri_col="uri", payload_col="text", gzip_members=False
+    )
+    files = os.listdir(out)
+    assert files and all(f.endswith(".warc") for f in files)
+    assert not any(f.endswith(".tmp") for f in files)  # task-commit renamed
+    assert summary.agg(F.sum("n_records")).first()[0] == 10
+    back = read_warc(spark, out)
+    got = {r["target_uri"]: bytes(r["payload"]).decode() for r in back.collect()}
+    assert got == {f"https://p/{i}": f"plain {i}" for i in range(10)}
