@@ -33,6 +33,7 @@ _TYPE_MAP: dict[str, T.DataType] = {
     "string": T.StringType(),
     "binary": T.BinaryType(),
     "timestamp": T.TimestampType(),
+    "date": T.DateType(),
     "array<float>": T.ArrayType(T.FloatType()),
 }
 

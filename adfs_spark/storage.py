@@ -171,6 +171,27 @@ class VersionedTable:
     partition overwrite on write).  This is the 100 TB write path — a
     1-row upsert rewrites 1/num_buckets of the table, not all of it."""
 
+    bucket_by: tuple[str, ...] = ()
+    """When set, ``current/`` is maintained as a Spark SQL *bucketed*
+    table (``CLUSTERED BY (bucket_by) SORTED BY (bucket_by) INTO
+    bucket_count BUCKETS``) registered in the session catalog.  Every
+    scan then carries the bucket metadata, so joins and aggregations on
+    the bucket key are **exchange-free** (plan-gated by
+    tests/test_plans.py) — at 100 TB this turns every repeated
+    fact⋈fact join on the key from a full network shuffle into a local
+    merge, the same physics the reference gets from its (id,
+    datanodeId) clustered PK (Block.java:33-36).  Mutually exclusive
+    with ``num_buckets``/``partition_by``: Spark bucketed tables are
+    whole-table rewrites, so small writes should ride the
+    changelog-append tier (``mode='auto'`` already routes them there)
+    and merges/compacts pay the rewrite that keeps the layout.
+    ``compact()`` preserves bucketing (it funnels through
+    ``_write_current``)."""
+
+    bucket_count: int = 32
+    """Bucket fan-out for ``bucket_by`` tables.  Both sides of a join
+    must use the same count for the exchange-free plan."""
+
     append_threshold: int = 100_000
     """``mode='auto'`` write routing: batches at or below this many
     rows take the changelog-append fast path (no bucket rewrite —
@@ -211,6 +232,13 @@ class VersionedTable:
     the driver on every read.  Enrolled tables never self-fold (a fold
     inside an uncommitted transaction leaks); they rely on the shuffle
     fallback plus a periodic :meth:`compact`."""
+
+    def __post_init__(self) -> None:
+        if self.bucket_by and (self.num_buckets or self.partition_by):
+            raise ValueError(
+                "bucket_by (Spark bucketed layout) is mutually exclusive "
+                "with num_buckets/partition_by (pk-hash directory layout)"
+            )
 
     def _cast_spec(self, df: DataFrame) -> DataFrame:
         """Project onto the spec's columns WITH the spec's exact types.
@@ -264,8 +292,41 @@ class VersionedTable:
         return schema
 
     def _read_current_raw(self) -> DataFrame:
-        """Current state incl. the bucket partition column (if any)."""
+        """Current state incl. the bucket partition column (if any).
+        ``bucket_by`` tables read through the session catalog so the
+        scan carries the bucket-co-location metadata a bare
+        ``read.parquet`` would drop."""
+        if self.bucket_by:
+            name = self._bucket_table_name
+            if not self.spark.catalog.tableExists(name):
+                self._register_bucket_table()
+            return self.spark.table(name)
         return self.spark.read.schema(self._full_schema()).parquet(self.current_path)
+
+    @property
+    def _bucket_table_name(self) -> str:
+        """Deterministic catalog name for the bucketed current/ surface
+        (root-scoped so two tables with the same spec don't collide)."""
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:12]
+        return f"vt_bkt_{self.spec.name}_{h}"
+
+    def _register_bucket_table(self) -> None:
+        """(Re-)register the external bucketed table over current/ —
+        a fresh SparkSession sees the files but not the catalog entry;
+        the DDL re-attaches the bucket spec to the existing layout."""
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in self._full_schema().fields
+        )
+        keys = ", ".join(f"`{c}`" for c in self.bucket_by)
+        self.spark.sql(
+            f"CREATE TABLE {self._bucket_table_name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {self.bucket_count} BUCKETS "
+            f"LOCATION '{os.path.abspath(self.current_path)}'"
+        )
 
     # -- visibility metadata (overlay / fencing) ---------------------------
 
@@ -1336,6 +1397,22 @@ class VersionedTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
         final = self.spark.read.schema(self.spec.struct_type()).parquet(tmp)
+        if self.bucket_by:
+            # repartition on the bucket key first: bucketBy hashes with
+            # the same Murmur3 as repartition, so each write task holds
+            # exactly one bucket — bucket_count files, not tasks×buckets
+            (
+                final.repartition(self.bucket_count, *[F.col(c) for c in self.bucket_by])
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(self.bucket_count, *self.bucket_by)
+                .sortBy(*self.bucket_by)
+                .option("path", os.path.abspath(self.current_path))
+                .saveAsTable(self._bucket_table_name)
+            )
+            self.spark.sql(f"REFRESH TABLE {self._bucket_table_name}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
         w2 = final.write.mode("overwrite")
         if self.partition_by:
             w2 = w2.partitionBy(*self.partition_by)
