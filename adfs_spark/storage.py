@@ -222,6 +222,20 @@ class VersionedTable:
     verb set is sufficient.  Data-plane I/O (parquet buckets, changelog
     files) stays with Spark."""
 
+    mor_tail_fraction: float = 0.05
+    """Merge-on-read routing bound for ``mode='auto'`` writes larger
+    than ``append_threshold``: a spread update (e.g. 1% of keys, every
+    pk bucket touched) makes the merge O(table) — the classic
+    write-amplification wall of copy-on-write parquet.  When the batch
+    would keep the pending changelog tail within
+    ``max(append_threshold · overlay_fold_factor, mor_tail_fraction ·
+    rows-folded-so-far)``, auto routes it to a *distributed append*
+    instead: O(batch) changelog write, reads shuffle-merge the overlay
+    (a ≤5% tax by construction), and ``compact()`` amortizes the fold.
+    This is the Hudi/Delta merge-on-read trade, bounded so the read tax
+    can't grow unbounded; the folded-rows watermark (``ct``) stands in
+    for the table's row count (one metadata read, no counting job)."""
+
     overlay_fold_factor: int = 4
     """Read-amplification bound on the pending overlay: when the
     unfolded changelog tail exceeds ``append_threshold *
@@ -950,7 +964,7 @@ class VersionedTable:
             meta = self._overlay_meta()
             if meta is not None and (
                 int(meta["visible_through"]) - int(meta["compacted_through"])
-                > self.append_threshold * self.overlay_fold_factor
+                > self._overlay_tail_bound(int(meta["compacted_through"]))
             ):
                 # the pending overlay is past the read-amplification
                 # bound: fold this write (the merge carries the whole
@@ -962,11 +976,35 @@ class VersionedTable:
             vt = self._try_driver_append(hit, op, base, negate)
             if vt is not None:
                 return vt, vt - base
-            mode = "append" if mode == "append" else "merge"
+            mode = "append" if mode == "append" else "auto"
         stamped, n = _stamp_versions_n(hit, pk, base, negate)
         stamped = self._cast_spec(stamped)
+        if mode == "auto":
+            # merge-on-read routing: a batch that keeps the pending
+            # tail inside the read-amplification bound stays
+            # changelog-resident (O(batch) write); past it, fold
+            mode = "append" if self._mor_append_ok(n) else "merge"
+            self.last_write_phases["route"] = f"auto->{mode}"
         self._publish(stamped.withColumn(OP_COL, F.lit(op)), op, base + n, mode)
         return base + n, n
+
+    def _overlay_tail_bound(self, ct: int) -> int:
+        """Max pending overlay versions before auto-routed writes fold:
+        the absolute small-batch bound, widened by ``mor_tail_fraction``
+        of the folded-rows watermark at scale."""
+        return max(
+            self.append_threshold * self.overlay_fold_factor,
+            int(self.mor_tail_fraction * ct),
+        )
+
+    def _mor_append_ok(self, n: int) -> bool:
+        """Would appending ``n`` more rows keep the pending changelog
+        tail within the merge-on-read read-amplification bound?"""
+        meta = self._overlay_meta()
+        if meta is None:
+            return False
+        vt, ct = int(meta["visible_through"]), int(meta["compacted_through"])
+        return (vt - ct + n) <= self._overlay_tail_bound(ct)
 
     def upsert(self, rows: DataFrame, overwrite: bool = True, mode: str = "merge") -> int:
         """U1: insert-with-overwrite-flag (insertInternal :281-296).
@@ -1357,6 +1395,8 @@ class VersionedTable:
             merged = _latest_by_abs_version(raw.unionByName(delta_rows), pk)
             self._write_current(merged)
             self._mark_compacted()
+            self.last_merge_stats = {"touched_buckets": 1, "num_buckets": 1,
+                                     "touched_fraction": 1.0}
             return
         with_kb = delta_rows.withColumn(KBUCKET_COL, self._kbucket())
         touched = [r[0] for r in with_kb.select(KBUCKET_COL).distinct().collect()]
@@ -1364,6 +1404,14 @@ class VersionedTable:
         merged = _latest_by_abs_version(cur.unionByName(with_kb), pk)
         self._write_partitions(merged)
         self._mark_compacted()
+        # machine-recorded write-amplification evidence: the fraction
+        # of pk-hash buckets this merge read + rewrote (1.0 = a spread
+        # update paid the full O(table) copy-on-write cost)
+        self.last_merge_stats = {
+            "touched_buckets": len(touched),
+            "num_buckets": self.num_buckets,
+            "touched_fraction": round(len(touched) / self.num_buckets, 4),
+        }
 
     def _write_partitions(
         self, df_with_kb: DataFrame, sort_cols: Sequence[str] | None = None

@@ -39,6 +39,11 @@ EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "3"))
 # where tools-driven runs enable it.
 RUN_LAYOUT = os.environ.get("SPARK_GRAFT_BENCH_LAYOUT", "0") == "1"
 
+# side-channel evidence captured during bench_writes (touched-bucket
+# fractions, MOR routing phases) — emitted under "write_stats" in the
+# full side file, never summed into write_total_sec
+WRITE_STATS: dict[str, dict] = {}
+
 # Representative slice of the suite: scans, the big joins/aggs, argmax,
 # anti-join diff, LWW merge, hierarchy, text/dedup/similarity extensions.
 BENCH_QUERIES = [
@@ -317,6 +322,11 @@ def bench_writes(spark) -> dict[str, float]:
             rows.filter(F.col("k") % 100 == 0).withColumn("v", F.col("v") + 1.0)
         ),
     )
+    # write-amplification evidence for the copy-on-write row above: a
+    # spread 1% update touches every pk bucket, so the merge is O(table)
+    # BY DESIGN — that recorded 1.0 is the floor argument for its
+    # decade ratio (SURVEY §7 hard part (b))
+    WRITE_STATS["upsert_1pct_merge"] = dict(getattr(t, "last_merge_stats", {}))
     step(
         "w_upsert_point",
         lambda: t.upsert(
@@ -325,6 +335,22 @@ def bench_writes(spark) -> dict[str, float]:
     )
     step("w_delete_2pct", lambda: t.delete_where(F.col("k") % 50 == 1))
     step("w_compact", lambda: t.compact())
+    # merge-on-read tier (round 6): the SAME spread 1% update routed
+    # mode='auto' stays changelog-resident — O(batch) write instead of
+    # the O(table) fold above; reads then pay a bounded (≤5%) overlay
+    # shuffle-merge until compact amortizes the fold.  Three rows so
+    # the trade is machine-recorded, never implied: the cheap write,
+    # the read tax it creates, and the fold that clears it.
+    step(
+        "w_upsert_1pct_mor",
+        lambda: t.upsert(
+            rows.filter(F.col("k") % 100 == 50).withColumn("v", F.col("v") + 3.0),
+            mode="auto",
+        ),
+    )
+    WRITE_STATS["upsert_1pct_mor"] = dict(getattr(t, "last_write_phases", {}))
+    step("w_mor_read_tax", lambda: t.snapshot().write.format("noop").mode("overwrite").save())
+    step("w_mor_fold", lambda: t.compact())
     shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -715,6 +741,7 @@ def main() -> int:
         "queries": timings,
         "writes": writes,
         "write_total_sec": round(sum(writes.values()), 3),
+        "write_stats": WRITE_STATS,
         "namespace_ops": ns_ops,
         "extra_queries": extras,
         "layout": layout,

@@ -424,3 +424,34 @@ def test_replicate_defers_unpublished_rows(spark, tmp_path):
     sq.awaitTermination()
     live = {r["k"]: r["v"] for r in replica.live().collect()}
     assert live[9] == "pending" and live[8] == "eight"
+
+
+def test_auto_mode_mor_routes_spread_batch_to_append(spark, tmp_path):
+    """Round-6 merge-on-read tier: an auto-routed batch LARGER than
+    append_threshold but within mor_tail_fraction of the folded rows
+    stays changelog-resident (O(batch) write, no bucket rewrite);
+    a batch past the bound still folds.  Reads are identical either
+    way — the overlay merge is semantically invisible."""
+    t = _mk(spark, tmp_path, n=400, num_buckets=4)
+    t.append_threshold = 10      # force past the driver-append tier
+    t.overlay_fold_factor = 2    # absolute bound = 20
+    t.mor_tail_fraction = 0.1    # scale bound = 0.1 * 400 = 40
+    # 30-row spread update: > threshold (10), <= bound (40) -> append
+    t.update_where(F.col("k") % 13 == 0, {"v": F.lit("mor")}, mode="auto")
+    m = t._overlay_meta()
+    assert m["visible_through"] > m["compacted_through"], "stayed changelog-resident"
+    assert t.last_write_phases.get("route") == "auto->append"
+    live = _live(t)
+    assert all(v == "mor" for k, v in live.items() if k % 13 == 0)
+    assert len(live) == 400
+    # a second big batch would push the tail past 40 -> folds
+    t.update_where(F.col("k") % 13 == 1, {"v": F.lit("fold")}, mode="auto")
+    assert t.last_write_phases.get("route") == "auto->merge"
+    m = t._overlay_meta()
+    assert m["visible_through"] == m["compacted_through"]
+    # the fold carried the first batch down with it
+    live = _live(t)
+    assert all(v == "mor" for k, v in live.items() if k % 13 == 0)
+    assert all(v == "fold" for k, v in live.items() if k % 13 == 1)
+    # merge evidence recorded: spread update touched every bucket
+    assert t.last_merge_stats["touched_fraction"] == 1.0
