@@ -130,6 +130,112 @@ class LocalCommitBackend(CommitBackend):
             return None
 
 
+class SqliteCommitBackend(CommitBackend):
+    """Database-backed commit plane — a REAL durable second medium with
+    genuinely non-POSIX semantics, and the closest engine analog of the
+    reference's own storage choice: its pluggable executors speak the
+    MySQL protocol (DatabaseExecutor.java:82-92 keeps three database
+    backends behind one interface; the namenode state lives in mysqld).
+
+    Keys are rows in one ``kv`` table.  The conditional create is a
+    primary-key INSERT (the database's uniqueness guarantee, not
+    O_CREAT|O_EXCL); publish is an UPSERT inside a transaction (not
+    tmp+rename); cross-process mutual exclusion comes from SQLite's own
+    file locking (WAL journal + busy timeout), which works across
+    independent processes sharing the db file.  mtime is stored
+    per-row and moves forward on every insert/replace — the
+    Last-Modified contract the lock-lease steal needs.
+
+    One connection per operation: commit-plane traffic is a handful of
+    small metadata ops per write, and per-op connections keep the
+    backend safe under any thread/process mix with zero shared state.
+    """
+
+    def __init__(self, db_path: str) -> None:
+        import sqlite3
+
+        self.db_path = db_path
+        d = os.path.dirname(db_path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with sqlite3.connect(db_path, timeout=30) as conn:
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS kv ("
+                "key TEXT PRIMARY KEY, data BLOB NOT NULL, mtime REAL NOT NULL)"
+            )
+
+    def _conn(self):
+        import sqlite3
+
+        conn = sqlite3.connect(self.db_path, timeout=30)
+        conn.execute("PRAGMA busy_timeout=30000")
+        return conn
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        import sqlite3
+
+        with self._conn() as conn:
+            try:
+                conn.execute(
+                    "INSERT INTO kv (key, data, mtime) VALUES (?, ?, ?)",
+                    (key, bytes(data), time.time()),
+                )
+                return True
+            except sqlite3.IntegrityError:
+                return False
+
+    def replace(self, key: str, data: bytes) -> None:
+        with self._conn() as conn:
+            conn.execute(
+                "INSERT INTO kv (key, data, mtime) VALUES (?, ?, ?) "
+                "ON CONFLICT(key) DO UPDATE SET "
+                "data = excluded.data, mtime = excluded.mtime",
+                (key, bytes(data), time.time()),
+            )
+
+    def read(self, key: str) -> bytes | None:
+        with self._conn() as conn:
+            row = conn.execute(
+                "SELECT data FROM kv WHERE key = ?", (key,)
+            ).fetchone()
+            return bytes(row[0]) if row else None
+
+    def delete(self, key: str) -> None:
+        with self._conn() as conn:
+            conn.execute("DELETE FROM kv WHERE key = ?", (key,))
+
+    def list(self, prefix: str) -> list[str]:
+        p = prefix.rstrip("/") + "/"
+        # substr match instead of LIKE/GLOB: keys are arbitrary path
+        # strings and must not be interpreted as patterns
+        with self._conn() as conn:
+            rows = conn.execute(
+                "SELECT key FROM kv WHERE substr(key, 1, ?) = ?",
+                (len(p), p),
+            ).fetchall()
+        return sorted({r[0][len(p):].split("/", 1)[0] for r in rows})
+
+    def mtime(self, key: str) -> float | None:
+        with self._conn() as conn:
+            row = conn.execute(
+                "SELECT mtime FROM kv WHERE key = ?", (key,)
+            ).fetchone()
+            return float(row[0]) if row else None
+
+
+def backend_from_env() -> CommitBackend:
+    """Default commit backend, switchable without code changes so the
+    protocol suites run UNMODIFIED against a second real medium:
+    ``SPARK_GRAFT_COMMIT_BACKEND=sqlite:/path/commit.db`` routes every
+    default-constructed table through the database backend; unset (or
+    ``local``) keeps the POSIX backend."""
+    kind = os.environ.get("SPARK_GRAFT_COMMIT_BACKEND", "local")
+    if kind.startswith("sqlite:"):
+        return SqliteCommitBackend(kind.split(":", 1)[1])
+    return LocalCommitBackend()
+
+
 class MemoryCommitBackend(CommitBackend):
     """In-memory object-store fake: flat key space, conditional create,
     atomic replace, prefix listing.  Injected by the protocol tests to

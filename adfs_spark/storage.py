@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from adfs_spark.backend import CommitBackend, LocalCommitBackend
+from adfs_spark.backend import CommitBackend, LocalCommitBackend, backend_from_env
 from adfs_spark.functions import xxh
 from adfs_spark.schema import VERSION_COL, TableSpec
 
@@ -212,7 +212,7 @@ class VersionedTable:
     (DistributedOperationQueue.getOperations :82-103,
     FSNamesystem.startFileInternal :842-870)."""
 
-    backend: CommitBackend = field(default_factory=LocalCommitBackend)
+    backend: CommitBackend = field(default_factory=backend_from_env)
     """Commit-plane storage (locks, commit manifests, overlay
     watermarks).  Every durability primitive routes through the SIX
     verbs of :class:`~adfs_spark.backend.CommitBackend` — swap in an
@@ -1510,7 +1510,7 @@ class TransactionLog:
 
     def __init__(self, root: str, backend: CommitBackend | None = None):
         self.root = root
-        self.backend = backend if backend is not None else LocalCommitBackend()
+        self.backend = backend if backend is not None else backend_from_env()
         self.tables: dict[str, VersionedTable] = {}
         self._staged: dict[str, int] | None = None
         self._touched: set[str] = set()

@@ -13,7 +13,11 @@ import inspect
 import pytest
 from pyspark.sql import functions as F
 
-from adfs_spark.backend import LocalCommitBackend, MemoryCommitBackend
+from adfs_spark.backend import (
+    LocalCommitBackend,
+    MemoryCommitBackend,
+    SqliteCommitBackend,
+)
 from adfs_spark.schema import ColumnSpec, TableSpec
 from adfs_spark.storage import TransactionLog, VersionedTable
 
@@ -24,7 +28,19 @@ SPEC = TableSpec(
     versioned=True,
 )
 
-BACKENDS = [LocalCommitBackend, MemoryCommitBackend]
+def _sqlite_factory(tmp_path):
+    return SqliteCommitBackend(str(tmp_path / "commit.db"))
+
+
+# factories take tmp_path so the database backend gets a per-test file;
+# __name__ keeps the parametrized test ids readable
+_sqlite_factory.__name__ = "SqliteCommitBackend"
+BACKENDS = [
+    lambda tmp_path: LocalCommitBackend(),
+    lambda tmp_path: MemoryCommitBackend(),
+    _sqlite_factory,
+]
+BACKEND_IDS = ["local", "memory", "sqlite"]
 
 
 def _mk(spark, tmp_path, backend, n=10, name="t", **kw):
@@ -42,9 +58,9 @@ def _live(t):
 # -- backend unit semantics ------------------------------------------------
 
 
-@pytest.mark.parametrize("backend_cls", BACKENDS)
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
 def test_backend_verbs(tmp_path, backend_cls):
-    be = backend_cls()
+    be = backend_cls(tmp_path)
     key = str(tmp_path / "commits" / "1.lock")
     assert be.read(key) is None
     assert be.mtime(key) is None
@@ -65,11 +81,11 @@ def test_backend_verbs(tmp_path, backend_cls):
 # -- protocol suites over both backends ------------------------------------
 
 
-@pytest.mark.parametrize("backend_cls", BACKENDS)
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
 def test_write_protocol_roundtrip(spark, tmp_path, backend_cls):
     """init / upsert / update / delete / compact through either
     backend: same results, commit ids advance, locks drain."""
-    t = _mk(spark, tmp_path, backend_cls(), name=f"rt_{backend_cls.__name__}")
+    t = _mk(spark, tmp_path, backend_cls(tmp_path), name="rt")
     t.upsert(spark.createDataFrame([(3, "X"), (20, "new")], "k: long, v: string"))
     t.update_where(F.col("k") == 0, {"v": F.lit("zero")}, mode="append")
     t.delete_where(F.col("k") == 1, mode="append")
@@ -84,9 +100,9 @@ def test_write_protocol_roundtrip(spark, tmp_path, backend_cls):
     ]
 
 
-@pytest.mark.parametrize("backend_cls", BACKENDS)
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
 def test_crashed_append_fenced_either_backend(spark, tmp_path, backend_cls, monkeypatch):
-    t = _mk(spark, tmp_path, backend_cls(), name=f"cr_{backend_cls.__name__}")
+    t = _mk(spark, tmp_path, backend_cls(tmp_path), name="cr")
     real = VersionedTable._mark_visible
 
     def boom(self, vt_new):
@@ -107,14 +123,14 @@ def test_crashed_append_fenced_either_backend(spark, tmp_path, backend_cls, monk
     assert _live(t)[7] == "seven"
 
 
-@pytest.mark.parametrize("backend_cls", BACKENDS)
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
 def test_txn_atomic_commit_either_backend(spark, tmp_path, backend_cls):
     """Two tables, one transaction: both watermarks flip in one
     manifest commit regardless of backend."""
-    be = backend_cls()
-    a = _mk(spark, tmp_path, be, name=f"ta_{backend_cls.__name__}")
-    b = _mk(spark, tmp_path, be, name=f"tb_{backend_cls.__name__}")
-    log = TransactionLog(str(tmp_path / f"txn_{backend_cls.__name__}"), backend=be)
+    be = backend_cls(tmp_path)
+    a = _mk(spark, tmp_path, be, name="ta")
+    b = _mk(spark, tmp_path, be, name="tb")
+    log = TransactionLog(str(tmp_path / "txn"), backend=be)
     log.enroll(a)
     log.enroll(b)
     with log.transaction():
@@ -129,13 +145,13 @@ def test_txn_atomic_commit_either_backend(spark, tmp_path, backend_cls):
     assert 70 not in _live(a)
 
 
-@pytest.mark.parametrize("backend_cls", BACKENDS)
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
 def test_stale_lock_steal_either_backend(spark, tmp_path, backend_cls, monkeypatch):
     """A crashed writer's lock is stolen after the TTL on either
     medium (mtime drives the lease)."""
     import adfs_spark.storage as st
 
-    t = _mk(spark, tmp_path, backend_cls(), name=f"st_{backend_cls.__name__}")
+    t = _mk(spark, tmp_path, backend_cls(tmp_path), name="st")
     nxt = t.last_commit_id() + 1
     lock = f"{t.commits_path}/{nxt}.lock"
     assert t.backend.put_if_absent(lock, b"dead writer")

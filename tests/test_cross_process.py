@@ -82,7 +82,9 @@ def test_two_jvm_writers_both_land(spark, tmp_path):
     versions = [r["version"] for r in t.snapshot().collect()]
     assert len(versions) == len(set(versions)) == 102
     assert t.max_version() == 102
-    # three finalized commits: init + one per writer
-    commits = [f for f in os.listdir(t.commits_path) if f.endswith(".commit")]
-    assert len(commits) == 3
-    assert not [f for f in os.listdir(t.commits_path) if f.endswith(".lock")]
+    # three finalized commits: init + one per writer (listed through the
+    # backend so the check is medium-agnostic — the sqlite commit plane
+    # has no directory to os.listdir)
+    names = t.backend.list(t.commits_path)
+    assert len([f for f in names if f.endswith(".commit")]) == 3
+    assert not [f for f in names if f.endswith(".lock")]

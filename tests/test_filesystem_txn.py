@@ -110,10 +110,9 @@ def test_crash_between_block_and_file_delete_leaves_both(fs, monkeypatch):
 def test_txn_stale_lock_steal_fences_all_tables(fs, spark, monkeypatch):
     """Hard-kill recovery at the txn level: a dead writer's expired
     lock is stolen; every enrolled table's unpublished tail is fenced
-    in a fence-only manifest commit before the stealer proceeds."""
-    import os as _os
-    import time as _time
-
+    in a fence-only manifest commit before the stealer proceeds.  The
+    lease is aged by shrinking the TTL (medium-agnostic — a utime on
+    the lock would only work on the POSIX backend)."""
     from adfs_spark import storage as storage_mod
     from adfs_spark.storage import OP_COL
 
@@ -128,8 +127,7 @@ def test_txn_stale_lock_steal_fences_all_tables(fs, spark, monkeypatch):
     ft._append_changelog(orphan.withColumn(OP_COL, F.lit("UPSERT")))
     lock = fs.txn._reserve(fs.txn.last_commit_id() + 1)
     assert lock is not None
-    old = _time.time() - storage_mod.LOCK_TTL_SEC - 5
-    _os.utime(lock, (old, old))
+    monkeypatch.setattr(storage_mod, "LOCK_TTL_SEC", 0.0)
     # next verb steals, fences, and proceeds cleanly
     fs.create_file("/data/after-steal")
     assert ns.exists("/data/after-steal")

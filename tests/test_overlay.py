@@ -160,10 +160,9 @@ def test_crashed_append_is_fenced_and_invisible(spark, tmp_path, monkeypatch):
 
 def test_stale_lock_steal_fences_orphans(spark, tmp_path, monkeypatch):
     """Hard-kill recovery: a dead writer's expired .lock is stolen and
-    its unpublished changelog tail fenced before the stealer writes."""
-    import os as _os
-    import time as _time
-
+    its unpublished changelog tail fenced before the stealer writes.
+    The lease is aged by shrinking the TTL (medium-agnostic: a direct
+    utime on the lock file would only work on the POSIX backend)."""
     from adfs_spark import storage as storage_mod
 
     t = _mk(spark, tmp_path, n=10)
@@ -177,8 +176,7 @@ def test_stale_lock_steal_fences_orphans(spark, tmp_path, monkeypatch):
     lock = t._reserve_commit(t.last_commit_id() + 1)
     assert lock is not None
     # age the lock past the TTL so the next writer steals it
-    old = _time.time() - storage_mod.LOCK_TTL_SEC - 5
-    _os.utime(lock, (old, old))
+    monkeypatch.setattr(storage_mod, "LOCK_TTL_SEC", 0.0)
     t.upsert(spark.createDataFrame([(5, "good")], "k: long, v: string"), mode="append")
     meta = t._overlay_meta()
     assert [v0 + 1, v0 + 1] in meta["aborted"]
