@@ -648,9 +648,126 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
         "sec": round(time.time() - t0, 3),
         "per_sec": int(max(appended_rows, 1) / (time.time() - t0)),
     }
+    # ---- remaining published rows (BASELINE.md create2 / append2 /
+    # append3 / sync2; BenchmarkerForNamenode.java:484-486).  The
+    # reference's numbered variants are config rungs of the same verbs
+    # (op counts / data size per the published table); the engine
+    # analogs below run AFTER the fold above so the rows measured
+    # earlier keep identical semantics round-over-round.
+
+    # sync2 (published 52 ops/s, 236 ms resp — the per-op durable-fsync
+    # floor): single-row writes, each paying the FULL commit sequence
+    # (lock reserve, changelog parquet fsync, watermark publish, lock
+    # release).  entities/sec here IS the fixed per-action floor the
+    # rename row's phases decompose.
+    n_sync2 = 20
+    t0 = time.time()
+    for i in range(n_sync2):
+        t.upsert(
+            ns_full.filter(F.col("id") == 10000 + i).withColumn(
+                "leaseHolder", F.lit(f"sync2-{i}")
+            ),
+            mode="append",
+        )
+    dt = time.time() - t0
+    out["sync2"] = {
+        "entities": n_sync2,
+        "sec": round(dt, 3),
+        "per_sec": int(n_sync2 / dt),
+        # the published 52 ops/s aggregates 100 CONCURRENT client
+        # threads at 236 ms response each; this loop is one serial
+        # writer, so the comparable figure is per-op latency
+        "per_op_ms": round(1000 * dt / n_sync2, 1),
+        "derived_from": "per-op full commit sequence (lock+append+publish each), single serial writer",
+    }
+    # append2 (data-bearing reopen): reacquire the lease AND extend the
+    # file — a two-column masked update (leaseHolder + length bump) in
+    # one commit, the engine shape of append-with-payload.
+    cond2 = (F.col("id") >= 10000) & (F.col("id") % 13 == 0) & (F.col("id") < 1_000_000)
+    n_app2 = ns_full.filter(cond2).count()
+    t0 = time.time()
+    t.update_where(
+        cond2,
+        {"leaseHolder": F.lit("bench-writer2"), "length": F.col("length") + 1024},
+        mode="append",
+    )
+    dt = time.time() - t0
+    out["append2"] = {
+        "entities": n_app2,
+        "sec": round(dt, 3),
+        "per_sec": int(max(n_app2, 1) / dt),
+        "phases": dict(getattr(t, "last_write_phases", {})),
+    }
+    # append3 (the 10x-op-count rung of the same verb): the append1
+    # lease-reacquire shape over a 3x-larger file subset — volume is
+    # the published variable (200k vs 20k total ops).
+    cond3 = (F.col("id") >= 10000) & (F.col("id") % 3 == 0) & (F.col("id") < 1_000_000)
+    n_app3 = ns_full.filter(cond3).count()
+    t0 = time.time()
+    t.update_where(cond3, {"leaseHolder": F.lit("bench-writer3")}, mode="append")
+    dt = time.time() - t0
+    out["append3"] = {
+        "entities": n_app3,
+        "sec": round(dt, 3),
+        "per_sec": int(max(n_app3, 1) / dt),
+        "phases": dict(getattr(t, "last_write_phases", {})),
+    }
+    # create2 (data-bearing create, published 119 ops/s vs create1's
+    # 2,353): every created file also allocates a block — a file row
+    # AND a block row committed ATOMICALLY in one TransactionLog
+    # manifest (the reference's create path allocates INode + block
+    # under the one FSNamesystem lock, startFileInternal :842-870 →
+    # allocateBlock :1157-1187).
+    from adfs_spark.storage import TransactionLog
+
+    blk_spec = TableSpec(
+        name="bench_blocks",
+        columns=(
+            ColumnSpec("blockId", "long"),
+            ColumnSpec("fileId", "long"),
+            ColumnSpec("numBytes", "long"),
+        ),
+        primary_key=("blockId",),
+        versioned=True,
+    )
+    blk_root = tempfile.mkdtemp(prefix="adfs_bench_blk_")
+    txn_root = tempfile.mkdtemp(prefix="adfs_bench_txn_")
+    blocks_t = VersionedTable(spark, blk_spec, blk_root, num_buckets=32)
+    blocks_t.init()
+    log = TransactionLog(txn_root)
+    log.enroll(t)
+    log.enroll(blocks_t)
+    file2 = ns_full.filter((F.col("id") >= 10000) & (F.col("id") % 10 == 3)).select(
+        (F.col("id") + 3_000_000).alias("id"),
+        F.col("id").alias("parentId"),
+        F.concat(F.lit("data-"), F.col("name")).alias("name"),
+        "replication",
+        F.lit("create2-writer").alias("leaseHolder"),
+        F.lit(1024).cast("long").alias("length"),
+    )
+    n_c2 = file2.count()
+    t0 = time.time()
+    with log.transaction():
+        t.upsert(file2)
+        blocks_t.upsert(
+            file2.select(
+                (F.col("id") + 7_000_000).alias("blockId"),
+                F.col("id").alias("fileId"),
+                F.lit(1024).cast("long").alias("numBytes"),
+            )
+        )
+    dt = time.time() - t0
+    out["create2"] = {
+        "entities": n_c2,
+        "sec": round(dt, 3),
+        "per_sec": int(max(n_c2, 1) / dt),
+        "derived_from": "file row + block row per create, one atomic txn manifest",
+    }
     ns.unpersist()
     paths.unpersist()
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(blk_root, ignore_errors=True)
+    shutil.rmtree(txn_root, ignore_errors=True)
     return out
 
 
