@@ -4225,6 +4225,162 @@ def stream_ivm_groupagg(spark, sf_dir):
 
 
 @q(
+    "stream_interval_join",
+    """SELECT l.event_id AS error_id, l.user_id, r.event_id AS click_id,
+              CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000 AS BIGINT) AS delta_ms
+       FROM (SELECT * FROM events WHERE event_type = 'error') l
+       JOIN (SELECT * FROM events WHERE event_type = 'click') r
+         ON l.user_id = r.user_id
+        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE""",
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join as a driver row
+    (:func:`~adfs_spark.streaming.loops.interval_join_streams`): error
+    and click events arrive as two independent file streams in
+    multiple micro-batches; the watermarked, time-bounded join pairs
+    each error with the same user's clicks inside [ts, ts+60min].
+    Inner-join emission is order-insensitive, so the accumulated sink
+    must equal the relational interval join over the FULL events table
+    — state-store retention, cross-batch matching, and the time bound
+    are value-checked end to end.  Wave files are written driver-side
+    (bounded: correctness scale, like the d6 heartbeat waves)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from adfs_spark.streaming.loops import interval_join_streams
+
+    root = _tmp_root("adfs_sjoin_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("ts_ns"), "event_type"
+    )
+    dirs = {}
+    for side, etype in (("left", "error"), ("right", "click")):
+        d = os.path.join(root, side)
+        os.makedirs(d)
+        dirs[side] = d
+        rows = ev.filter(F.col("event_type") == etype).select(
+            "event_id", "user_id", "ts_ns"
+        )
+        for w in range(2):
+            wave = rows.filter(F.col("event_id") % 2 == w).toPandas()
+            pq_.write_table(
+                pa.Table.from_pandas(wave, preserve_index=False),
+                os.path.join(d, f"wave{w}.parquet"),
+            )
+
+    def _stream(d):
+        s = (
+            spark.readStream.schema("event_id long, user_id long, ts_ns long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        # fixture ts is ns-since-epoch at µs precision: DIV 1000 is exact
+        return s.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+
+    joined = interval_join_streams(
+        _stream(dirs["left"]), _stream(dirs["right"]),
+        key_col="user_id", upper="60 minutes", watermark="2 hours",
+    )
+    out_dir = os.path.join(root, "out")
+    sq = (
+        joined.select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("event_id_r").alias("click_id"),
+            F.expr("(ts_ns_r - ts_ns) DIV 1000000").alias("delta_ms"),
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.read.schema(
+        "error_id long, user_id long, click_id long, delta_ms long"
+    ).parquet(out_dir)
+
+
+_LIVENESS_TIMEOUT_MS = 1_100_000_000  # ~12.7 days: brackets the fixture's
+# median wave-max gap, so both ALIVE paths (first heartbeat, recovery
+# after a gap > timeout) occur at every correctness SF
+
+
+@q(
+    "stream_liveness",
+    f"""WITH e AS (SELECT user_id AS key, epoch_ms(ts) AS ms FROM events),
+       b AS (SELECT min(ms) AS lo, max(ms) + 1 AS hi FROM e),
+       w AS (SELECT key, ms,
+                    least(2, CAST(floor(3.0 * (ms - lo) / (hi - lo)) AS INT)) AS wave
+             FROM e, b),
+       m AS (SELECT key, wave, max(ms) AS newest FROM w GROUP BY key, wave),
+       g AS (SELECT key, wave, newest,
+                    lag(newest) OVER (PARTITION BY key ORDER BY wave) AS prev
+             FROM m)
+       SELECT key, 'ALIVE' AS status, newest AS last_heartbeat_ms
+       FROM g WHERE prev IS NULL OR newest - prev > {_LIVENESS_TIMEOUT_MS}""",
+)
+def stream_liveness(spark, sf_dir):
+    """Heartbeat liveness state machine as a driver row
+    (:func:`~adfs_spark.streaming.stateful.liveness_monitor`, the
+    streaming twin of T2 heartbeatCheck :2392-2397): per-user
+    heartbeats (event timestamps in ms) arrive in three time-ordered
+    waves, one micro-batch each; the applyInPandasWithState machine
+    emits ALIVE on a key's first heartbeat and again on recovery after
+    an observed gap > timeout.  The oracle recomputes the transitions
+    relationally — wave bucketing, per-wave max, lag over waves, the
+    gap threshold — so cross-batch state carryover is value-checked.
+    The DEAD/processing-time-timeout path is pytest-pinned
+    (test_stateful_streaming); bounded replays disable it by contract
+    (``emit_dead=False``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from adfs_spark.streaming.stateful import liveness_monitor
+
+    root = _tmp_root("adfs_slive_")
+    src = os.path.join(root, "waves")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.unix_millis(F.col("ts")).alias("hb_ms")
+    )
+    lo, hi = ev.agg(F.min("hb_ms"), F.max("hb_ms") + 1).first()
+    waved = ev.withColumn(
+        "wave",
+        F.least(
+            F.lit(2),
+            F.floor(3.0 * (F.col("hb_ms") - F.lit(lo)) / F.lit(float(hi - lo))).cast("int"),
+        ),
+    )
+    for w in range(3):
+        pdf = waved.filter(F.col("wave") == w).select("key", "hb_ms").toPandas()
+        p = os.path.join(src, f"wave{w}.parquet")
+        pq_.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        # file-source batch order follows modification time: pin it
+        os.utime(p, (1_700_000_000 + w, 1_700_000_000 + w))
+    stream = (
+        spark.readStream.schema("key long, hb_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = os.path.join(root, "out")
+    sq = (
+        liveness_monitor(stream, timeout_ms=_LIVENESS_TIMEOUT_MS, emit_dead=False)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.read.schema(
+        "key long, status string, last_heartbeat_ms long"
+    ).parquet(out_dir)
+
+
+@q(
     "s11_ddl_source",
     """SELECT * FROM (VALUES
  ('file', 'CREATE TABLE IF NOT EXISTS nn_state.file (id bigint, parentId bigint, name string, length bigint, blockSize int, replication tinyint, atime bigint, mtime bigint, owner int, permission smallint, leaseHolder string, leaseRecoveryTime bigint, nsQuota bigint, dsQuota bigint, version bigint) USING parquet'),
@@ -4715,6 +4871,8 @@ _suite(
         ("d6_heartbeat_converged", ["id", "lastUpdated", "load"]),
         ("stream_neardup_pairs", ["id_a", "id_b", "jaccard"]),
         ("stream_ivm_groupagg", ["g", "sum_v", "n_rows"]),
+        ("stream_interval_join", ["error_id", "user_id", "click_id", "delta_ms"]),
+        ("stream_liveness", ["key", "status", "last_heartbeat_ms"]),
     ],
     [
         ("o_orderkey", _L), ("version", _L), ("op", _S),
@@ -4723,6 +4881,8 @@ _suite(
         ("id", _L), ("lastUpdated", _L), ("load", _D),
         ("id_a", _L), ("id_b", _L), ("jaccard", _D),
         ("g", _S), ("sum_v", _D), ("n_rows", _L),
+        ("error_id", _L), ("user_id", _L), ("click_id", _L), ("delta_ms", _L),
+        ("key", _L), ("status", _S), ("last_heartbeat_ms", _L),
     ],
 )
 
