@@ -1040,10 +1040,19 @@ def semantic_duplicate_pairs(
     centroids: "Sequence[Sequence[float]] | None" = None,
     train_cap: int = 20_000,
     scorer: str = "auto",
+    boundary_eps: float = 0.0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): find semantic
     near-duplicate pairs by clustering the embedding space and comparing
     pairs ONLY within a cluster.
+
+    ``boundary_eps > 0`` turns on the soft-boundary probe: vectors
+    whose second-nearest centroid is within ``(1+eps)`` of the nearest
+    are additionally assigned to that second cell for CANDIDATE
+    GENERATION (emitted pairs are deduped on (id_a, id_b)), recovering
+    duplicate pairs the published algorithm loses to k-means boundary
+    splits.  Pair work grows by the boundary fraction only — the
+    recall/cost knob measured by ``semdedup_planted_recall``.
 
     Returns ``(id_a, id_b, sim, cell)`` with ``sim`` = exact cosine
     ≥ ``threshold`` and ``id_a < id_b``.  Distributed shape: k-means
@@ -1082,21 +1091,32 @@ def semantic_duplicate_pairs(
             if (n * n) / (2 * k) > SEMDEDUP_ARROW_PAIRWORK
             else "expr"
         )
+    def _assign(src):
+        if boundary_eps > 0.0:
+            # soft-boundary probe needs the second-nearest cell — only
+            # the Arrow assigner computes it; emitted pairs get deduped
+            return ivf_assign_arrow(
+                src, centroids, id_col=id_col, vec_col=vec_col,
+                boundary_eps=boundary_eps,
+            )
+        return _semantic_assign(src, centroids, id_col, vec_col)
+
     if scorer == "arrow":
-        assigned = _semantic_assign(df, centroids, id_col, vec_col).select(
-            F.col(id_col), F.col(vec_col), "ivf_cell"
-        )
-        return assigned.groupBy("ivf_cell").applyInPandas(
+        assigned = _assign(df).select(F.col(id_col), F.col(vec_col), "ivf_cell")
+        pairs = assigned.groupBy("ivf_cell").applyInPandas(
             _cell_pair_scorer(id_col, vec_col, threshold),
             "id_a long, id_b long, sim double, cell int",
         )
+        if boundary_eps > 0.0:
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        return pairs
     # norms precomputed per ROW, not per pair — cosine(a,b) recomputes
     # both operand norms for every pair it scores, so a cell with c
     # members pays 2·C(c,2) norm folds instead of c.  The expression
     # dot/(na·nb) is the SAME arithmetic in the same order, so results
     # (and the oracle hash) are bit-identical; pair work just drops to
     # one dot product per pair.
-    assigned = _semantic_assign(df, centroids, id_col, vec_col).select(
+    assigned = _assign(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         norm(F.col(vec_col)).alias("_norm"),
@@ -1116,7 +1136,10 @@ def semantic_duplicate_pairs(
         ).alias("sim"),
         F.col("a.ivf_cell").alias("cell"),
     )
-    return pairs.filter(F.col("sim") >= threshold)
+    pairs = pairs.filter(F.col("sim") >= threshold)
+    if boundary_eps > 0.0:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def semantic_dedup(
@@ -1271,6 +1294,7 @@ def semdedup_planted_recall(
     kmeans_iters: int = 3,
     train_cap: int = 20_000,
     seed: int = 7,
+    boundary_eps: float = 0.0,
 ) -> dict:
     """Planted-duplicate recall for the SemDeDup tier — the quality
     gate the paper's cluster-bounding contract should be judged by.
@@ -1342,6 +1366,7 @@ def semdedup_planted_recall(
         n_clusters=n_clusters,
         kmeans_iters=kmeans_iters,
         train_cap=train_cap,
+        boundary_eps=boundary_eps,
     )
     got = {
         (r["id_a"], r["id_b"])
@@ -1363,6 +1388,7 @@ def semdedup_planted_recall(
         "n_groups": n_groups,
         "copies": copies,
         "n_clusters": k_used,
+        "boundary_eps": boundary_eps,
     }
 
 
@@ -1431,6 +1457,7 @@ def ivf_assign_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_centroid_sim: bool = False,
+    boundary_eps: float = 0.0,
 ) -> DataFrame:
     """Arrow-batched nearest-centroid assignment for LARGE k.
 
@@ -1444,6 +1471,15 @@ def ivf_assign_arrow(
     array_position-of-min.  With ``with_centroid_sim`` also emits
     ``centroid_sim`` (cosine of each vector to its own centroid — the
     SemDeDup keep-rule input) for free from the same products.
+
+    ``boundary_eps > 0`` is the soft-boundary probe for the SemDeDup
+    pair generator: a vector whose second-nearest centroid is within
+    ``(1+eps)`` of its nearest (in distance) gets a SECOND row carrying
+    that cell, so duplicate pairs straddling a k-means boundary still
+    meet in one cell.  Only boundary vectors duplicate — pair work
+    grows by the boundary fraction, not 4× — and the primary
+    assignment is unchanged (the extra rows exist only for candidate
+    generation; callers dedup emitted pairs on (id_a, id_b)).
     """
     import numpy as np
 
@@ -1456,6 +1492,7 @@ def ivf_assign_arrow(
         else ", ivf_cell int"
     )
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) + extra
+    probe2 = float(boundary_eps) > 0.0 and len(C) > 1
 
     def assign(batches):
         for pdf in batches:
@@ -1472,6 +1509,26 @@ def ivf_assign_arrow(
                 denom = np.maximum(xn * cnorm[cell], 1e-300)
                 pdf["centroid_sim"] = prod[np.arange(len(X)), cell] / denom
             yield pdf
+            if probe2:
+                # second-nearest cell for boundary vectors only:
+                # sqrt(d2_2nd) <= (1+eps) * sqrt(d2_1st)
+                idx = np.arange(len(X))
+                d2w = d2.copy()
+                d2w[idx, cell] = np.inf
+                cell2 = d2w.argmin(axis=1)
+                d1 = np.sqrt(np.maximum(d2[idx, cell], 0.0))
+                dsecond = np.sqrt(np.maximum(d2w[idx, cell2], 0.0))
+                near = dsecond <= (1.0 + boundary_eps) * d1
+                if near.any():
+                    dup = pdf[near].copy()
+                    dup["ivf_cell"] = cell2[near].astype("int32")
+                    if with_centroid_sim:
+                        xn = np.sqrt((X[near] * X[near]).sum(axis=1))
+                        denom = np.maximum(xn * cnorm[cell2[near]], 1e-300)
+                        dup["centroid_sim"] = (
+                            prod[idx[near], cell2[near]] / denom
+                        )
+                    yield dup
 
     return df.mapInPandas(assign, schema)
 

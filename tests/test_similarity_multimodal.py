@@ -894,3 +894,36 @@ def test_semdedup_planted_recall_gate(spark):
 
     s = semdedup_stats(emb, threshold=0.44, n_clusters=16, kmeans_iters=2)
     assert s["planted"]["recall"] >= 0.9
+
+
+def test_semdedup_boundary_probe_recovers_straddlers(spark):
+    """Round-6 soft-boundary probe: duplicate pairs split across a
+    k-means boundary are recovered when boundary_eps > 0, the emitted
+    pair set is a superset of the eps=0 set, stays threshold-filtered,
+    and carries no (id_a, id_b) duplicates."""
+    from adfs_spark.catalog import load_table
+    from adfs_spark.functions.similarity import (
+        semantic_duplicate_pairs,
+        semdedup_planted_recall,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = semdedup_planted_recall(
+        emb, noise=0.33, threshold=0.9, n_clusters=64, boundary_eps=0.0
+    )
+    probed = semdedup_planted_recall(
+        emb, noise=0.33, threshold=0.9, n_clusters=64, boundary_eps=0.2
+    )
+    assert probed["recall"] >= base["recall"]
+    assert probed["boundary_eps"] == 0.2
+    # pair-set discipline on the raw generator
+    p0 = semantic_duplicate_pairs(emb, threshold=0.5, n_clusters=8)
+    p1 = semantic_duplicate_pairs(
+        emb, threshold=0.5, n_clusters=8, boundary_eps=0.25
+    )
+    s0 = {(r["id_a"], r["id_b"]) for r in p0.collect()}
+    rows1 = p1.collect()
+    s1 = {(r["id_a"], r["id_b"]) for r in rows1}
+    assert s0 <= s1, "probe must only ADD boundary pairs"
+    assert len(rows1) == len(s1), "probe must not emit duplicate pairs"
+    assert all(r["sim"] >= 0.5 for r in rows1)
