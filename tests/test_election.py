@@ -1,0 +1,222 @@
+"""Leader election + membership (adfs_spark/election.py, SURVEY §2 D8).
+
+Mirrors the reference's ZooKeeper election semantics
+(DistributedManager.java:144-239, electMaster :292-318, ServerType
+DistributedServer.java:1177-1192) on the six CommitBackend verbs, and
+runs on all three commit media like the other protocol suites."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from adfs_spark.backend import (
+    LocalCommitBackend,
+    MemoryCommitBackend,
+    SqliteCommitBackend,
+)
+from adfs_spark.election import ElectionGroup, ServerType, _elect
+
+
+def _sqlite_factory(tmp_path):
+    return SqliteCommitBackend(str(tmp_path / "commit.db"))
+
+
+_sqlite_factory.__name__ = "SqliteCommitBackend"
+BACKENDS = [
+    lambda tmp_path: LocalCommitBackend(),
+    lambda tmp_path: MemoryCommitBackend(),
+    _sqlite_factory,
+]
+BACKEND_IDS = ["local", "memory", "sqlite"]
+
+
+def _group(tmp_path, backend_cls, **kw):
+    kw.setdefault("min_servers", 1)
+    kw.setdefault("election_delay", 0.0)
+    return ElectionGroup(
+        backend_cls(tmp_path), str(tmp_path / "svc"), **kw
+    )
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_register_members_and_creation_order(tmp_path, backend_cls):
+    g = _group(tmp_path, backend_cls)
+    g.register("n1", version=5)
+    g.register("n2", version=5)
+    g.register("n1", version=7)  # re-register keeps seq/created
+    ms = {s.name: s for s in g.members()}
+    assert set(ms) == {"n1", "n2"}
+    assert ms["n1"].version == 7
+    assert ms["n1"].seq < ms["n2"].seq  # creation order survives update
+    assert all(s.alive for s in ms.values())
+    g.unregister("n2")
+    assert [s.name for s in g.members()] == ["n1"]
+
+
+def test_elect_rule_max_version_then_first_created():
+    # pure-rule check mirroring electMaster: version dominates, then
+    # creation order breaks the tie
+    from adfs_spark.election import ServerStatus
+
+    def st(name, version, seq):
+        return ServerStatus(name, version, ServerType.ONLINE, None, seq,
+                            0.0, 0.0, True)
+
+    assert _elect([st("a", 3, 9), st("b", 5, 2), st("c", 5, 1)]).name == "c"
+    assert _elect([]) is None
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_campaign_elects_highest_version(tmp_path, backend_cls):
+    g = _group(tmp_path, backend_cls)
+    g.register("low", version=10)
+    g.register("high", version=20)
+    assert g.campaign("low") is False
+    assert g.campaign("high") is True
+    lead = g.leader()
+    assert lead is not None and lead.name == "high"
+    assert lead.type == ServerType.MASTER
+    # losers in the electable pool are re-stamped NEED_RESTORE by the
+    # new master (getServers master branch)
+    low = {s.name: s for s in g.members()}["low"]
+    assert low.type == ServerType.NEED_RESTORE
+    assert low.setter == "high"
+    assert g.epoch() == 1
+    # idempotent: the seated master keeps winning, epoch stays put
+    assert g.campaign("high") is True
+    assert g.epoch() == 1
+    # a loser's campaign never unseats a fresh master (regression: the
+    # steal-delete must re-verify staleness on the read it deletes
+    # from, not act on an earlier vacant observation)
+    g.register("late", version=99)
+    assert g.campaign("late") is False
+    assert g.leader().name == "high"
+    assert g.epoch() == 1
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_standby_and_stop_excluded(tmp_path, backend_cls):
+    g = _group(tmp_path, backend_cls)
+    g.register("sb", version=99, server_type=ServerType.STANDBY)
+    g.register("stopped", version=99, server_type=ServerType.STOP)
+    g.register("on", version=1)
+    assert g.campaign("sb") is False
+    assert g.campaign("on") is True
+    # STANDBY/STOP are never re-stamped by a new master
+    ms = {s.name: s for s in g.members()}
+    assert ms["sb"].type == ServerType.STANDBY
+    assert ms["stopped"].type == ServerType.STOP
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_dead_leader_lease_stolen_with_higher_epoch(tmp_path, backend_cls):
+    # ttl-shrink aging, same pattern as the commit-lock steal suites —
+    # backend mtimes are real clock, so the fake clock can't age them
+    g = _group(tmp_path, backend_cls, lease_ttl=0.15, member_ttl=0.15)
+    g.register("a", version=1)
+    g.register("b", version=1)
+    assert g.campaign("a") is True
+    assert g.epoch() == 1
+    # 'a' crashes: no heartbeats, lease ages past ttl; b stays alive
+    import time as _t
+
+    _t.sleep(0.25)
+    # b finished restoring (it was stamped NEED_RESTORE by a's reign)
+    # and re-enters the electable pool as SLAVE — the reference's
+    # restore pipeline does exactly this before a node can stand
+    g.register("b", version=1, server_type=ServerType.SLAVE)
+    assert g.leader() is None
+    assert g.campaign("b") is True
+    assert g.leader().name == "b"
+    assert g.epoch() == 2  # fencing token moved forward across the steal
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_resign_hands_over(tmp_path, backend_cls):
+    g = _group(tmp_path, backend_cls)
+    g.register("a", version=2)
+    g.register("b", version=2)
+    assert g.campaign("a") is True
+    g.resign("a")
+    assert g.leader() is None
+    me = {s.name: s for s in g.members()}["a"]
+    assert me.type == ServerType.ONLINE  # re-enters the pool demoted
+    # b restored and moved ahead of a in dataVersion — the rule now
+    # picks b even though a was created first (version dominates seq)
+    g.register("b", version=3, server_type=ServerType.SLAVE)
+    assert g.campaign("a") is False
+    assert g.campaign("b") is True
+    assert g.epoch() == 2
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_lone_online_delay_gate(tmp_path, backend_cls):
+    now = [1000.0]
+    g = _group(
+        tmp_path, backend_cls,
+        min_servers=2, election_delay=30.0, clock=lambda: now[0],
+    )
+    g.register("solo", version=1)
+    # a single fresh ONLINE server is only a *candidate* master
+    assert g.campaign("solo") is False
+    now[0] += 31.0
+    g.heartbeat("solo")
+    assert g.campaign("solo") is True  # delay elapsed → seated
+    # ...whereas a SLAVE (has data) with a peer wins immediately
+    g2 = ElectionGroup(
+        g.backend, str(tmp_path / "svc2"),
+        min_servers=2, election_delay=30.0, clock=lambda: now[0],
+    )
+    g2.register("s1", version=4, server_type=ServerType.SLAVE)
+    g2.register("s2", version=3, server_type=ServerType.SLAVE)
+    assert g2.campaign("s1") is True
+
+
+@pytest.mark.parametrize(
+    "backend_cls",
+    [BACKENDS[1], BACKENDS[2]],
+    ids=["memory", "sqlite"],
+)
+def test_concurrent_campaigns_single_winner(tmp_path, backend_cls):
+    """N same-version peers storm the vacant seat concurrently: the
+    conditional create admits exactly one master, one epoch."""
+    g = _group(tmp_path, backend_cls)
+    names = [f"n{i}" for i in range(8)]
+    for n in names:
+        g.register(n, version=1)
+    wins: dict[str, bool] = {}
+    barrier = threading.Barrier(len(names))
+
+    def run(n):
+        barrier.wait()
+        wins[n] = g.campaign(n)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [n for n, w in wins.items() if w]
+    assert len(winners) == 1
+    assert g.leader().name == winners[0]
+    assert g.epoch() == 1
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_renew_keeps_lease_and_detects_loss(tmp_path, backend_cls):
+    import time as _t
+
+    g = _group(tmp_path, backend_cls, lease_ttl=0.3, member_ttl=0.3)
+    g.register("a", version=1)
+    assert g.campaign("a") is True
+    for _ in range(3):  # renewals outlive the raw ttl
+        _t.sleep(0.15)
+        assert g.renew("a") is True
+    assert g.leader().name == "a"
+    # 'a' stops renewing; the seat is stolen → renew reports demotion
+    _t.sleep(0.4)
+    g.register("b", version=1)
+    assert g.campaign("b") is True
+    assert g.renew("a") is False
