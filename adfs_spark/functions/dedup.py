@@ -888,3 +888,43 @@ def decontaminate(
     hits = contamination_hits(docs, eval_docs, id_col, text_col, n)
     flagged = hits.filter(F.col("n_hits") > max_hits).select(id_col)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def canonical_survivors(
+    edges: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The step a dedup pipeline actually ships: collapse the near-dup
+    pair graph into clusters and pick ONE canonical survivor per
+    cluster — the member with the highest ``score_col`` (ties broken
+    toward the smallest id, so reruns are stable).  Everything else in
+    the cluster is the drop set.
+
+    Returns ``(component, survivor_id, n_members, n_dropped)`` for
+    every multi-member component; singleton documents never enter the
+    edge list and are survivors by definition (same convention as
+    :func:`connected_components`).
+
+    Distributed shape: the component labels come from pointer-jumping
+    (O(log n) rounds), then ONE key-partitioned shuffle on component
+    with ``max_by(node, (score, -node))`` doing the argmax inside the
+    aggregate — no window, no second pass over the scores.  At corpus
+    scale components are tiny (near-dup clusters), so the aggregate is
+    skew-free by construction.
+    """
+    comp = connected_components(edges, src=src, dst=dst)
+    sc = scores.select(
+        F.col(id_col).alias("node"), F.col(score_col).alias("_score")
+    )
+    j = comp.join(sc, "node")
+    return j.groupBy("component").agg(
+        F.expr(
+            "max_by(node, struct(_score, -node))"
+        ).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )

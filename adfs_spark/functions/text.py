@@ -586,3 +586,111 @@ def domain_blocklist_filter(
         df.withColumn(domain_col, d)
         .join(keys, domain_col, "left_anti")
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    score every document with the corpus unigram LM
+    (:func:`unigram_logprob` — the deterministic reduction of CCNet's
+    KenLM perplexity) and split EACH LANGUAGE into equal-size quality
+    tiers, best-scored first ("head" reads most like the corpus).
+    CCNet computes the cutoffs on a sample; ``ntile`` over the full
+    partition is the exact form of the same rule.
+
+    Scores are rounded to 5 decimals BEFORE ranking and ties broken by
+    id, so tier assignment is reproducible across engines and reruns —
+    a boundary document lands in the same tier everywhere.
+
+    Returns ``(id, lang, bucket, lp, n_tokens)``.  Distributed shape:
+    the LM costs two shuffles (model groupBy + per-doc aggregate), the
+    tiering one sort per language partition.  At 100 TB per-language
+    partitions are large but ntile needs only a sort, no state; skewed
+    language mixes (web corpora are ~half English) ride the same
+    sort-based window as W2 — or sample the cutoffs like CCNet itself
+    once exactness stops mattering.
+    """
+    from pyspark.sql import Window
+
+    s = unigram_logprob(df, id_col, text_col)
+    lp = (
+        df.select(id_col, lang_col)
+        .join(s, id_col)
+        .withColumn("lp", F.round("avg_logprob", 5))
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("lp"), F.asc(id_col)
+    )
+    tiled = lp.withColumn("_tile", F.ntile(n_buckets).over(w))
+    name_arr = F.array(*[F.lit(n) for n in names[:n_buckets]])
+    return tiled.select(
+        id_col,
+        lang_col,
+        F.element_at(name_arr, F.col("_tile")).alias("bucket"),
+        "lp",
+        "n_tokens",
+    )
+
+
+def c4_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    bad_phrases: tuple[str, ...] = ("lorem ipsum",),
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020, §2.2) as one
+    expression tree: a line survives iff it ends in terminal
+    punctuation, has at least ``min_words_per_line`` words, and does
+    not contain a curly brace or a blocked phrase; a document survives
+    iff at least ``min_kept_lines`` lines survive.
+
+    Returns ``(id, n_lines, n_kept_lines, kept_text, doc_kept)`` —
+    ``kept_text`` is the document re-joined from its surviving lines.
+    Pure built-in HOFs over one let-bound line split: zero shuffles,
+    zero Python.  (The synthetic fixture corpus has no newlines or
+    sentence punctuation, so this battery is exercised by pytest on
+    structured documents rather than by a fixture-vacuous driver row —
+    same calibration reasoning as the Gopher stopword list.)
+    """
+    terminal = "[.!?\u0022\u0027]\\s*$"
+
+    def _line_ok(x: Column) -> Column:
+        ends = x.rlike(terminal)
+        words = F.size(
+            F.filter(F.split(F.trim(x), "\\s+"), lambda t: t != "")
+        )
+        ok = ends & (words >= min_words_per_line) & ~x.contains("{")
+        low = F.lower(x)
+        for p in bad_phrases:
+            ok = ok & ~low.contains(p)
+        return ok
+
+    def _body(ls: Column) -> Column:
+        kept = F.filter(ls, _line_ok)
+        # let-bind the filtered array too: it feeds three outputs
+        return bind(
+            kept,
+            lambda k: F.struct(
+                F.size(ls).alias("n_lines"),
+                F.size(k).alias("n_kept_lines"),
+                F.array_join(k, "\n").alias("kept_text"),
+                (F.size(k) >= min_kept_lines).alias("doc_kept"),
+            ),
+        )
+
+    stats = bind(F.split(F.col(text_col), "\n"), _body)
+    return df.select(
+        F.col(id_col),
+        stats["n_lines"].alias("n_lines"),
+        stats["n_kept_lines"].alias("n_kept_lines"),
+        stats["kept_text"].alias("kept_text"),
+        stats["doc_kept"].alias("doc_kept"),
+    )

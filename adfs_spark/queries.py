@@ -3735,6 +3735,137 @@ def pipeline_quality_rules(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_canonical_survivors",
+    f"""WITH RECURSIVE {_LSH_SIG_SQL},
+       vs AS (SELECT v.vec_id, v.e, sig.s FROM v JOIN sig USING (vec_id)),
+       prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+               FROM vs a JOIN vs b ON a.s = b.s AND a.vec_id < b.vec_id),
+       e2 AS (SELECT id_a, id_b FROM prs
+              WHERE list_dot_product(ea, eb)
+                    / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) >= 0.3),
+       sym AS (SELECT id_a AS u, id_b AS v FROM e2
+               UNION SELECT id_b, id_a FROM e2),
+       reach(u, v) AS (SELECT u, v FROM sym
+                       UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+       sc AS (SELECT doc_id AS node,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                          AS DOUBLE) AS score
+              FROM documents),
+       j AS (SELECT c.component, c.node, s.score FROM comp c JOIN sc s USING (node)),
+       r AS (SELECT component, node,
+                    row_number() OVER (PARTITION BY component
+                                       ORDER BY score DESC, node ASC) AS rn,
+                    count(*) OVER (PARTITION BY component) AS n
+             FROM j)
+       SELECT component, node AS survivor_id, n AS n_members, n - 1 AS n_dropped
+       FROM r WHERE rn = 1""",
+)
+def dedup_canonical_survivors(spark, sf_dir):
+    """The shipping step of a dedup pipeline (dedup.canonical_survivors):
+    near-dup pairs → connected components → ONE canonical survivor per
+    cluster, chosen as the member with the most tokens (ties toward the
+    smallest id).  Same deterministic-LSH pair plane as
+    ``dedup_components``; the argmax runs inside the component
+    aggregate (``max_by`` over a (score, -id) struct — one shuffle, no
+    window), which is skew-free because near-dup clusters are tiny."""
+    from adfs_spark.functions.dedup import canonical_survivors
+    from adfs_spark.functions.text import whitespace_tokens
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    lsh = sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
+    pairs = sim.embedding_near_duplicates(e, dim=64, threshold=0.3, lsh=lsh)
+    scores = d.select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).cast("double").alias("score"),
+    )
+    return canonical_survivors(
+        pairs.select("id_a", "id_b"), scores, id_col="doc_id", score_col="score"
+    )
+
+
+@q(
+    "pipeline_ccnet_buckets",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         FROM documents),
+       model AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       total AS (SELECT count(*) AS n FROM toks),
+       lp AS (SELECT doc_id, round(avg(ln(c) - ln(n)), 5) AS lp
+              FROM toks JOIN model USING (tok), total
+              GROUP BY doc_id),
+       t AS (SELECT d.doc_id, d.lang, lp.lp,
+                    ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY lp.lp DESC, d.doc_id) AS tile
+             FROM documents d JOIN lp USING (doc_id))
+       SELECT doc_id, lang,
+              CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+              lp
+       FROM t""",
+)
+def pipeline_ccnet_buckets(spark, sf_dir):
+    """CCNet per-language quality tiers (text.ccnet_buckets, Wenzek et
+    al. 2020): corpus unigram-LM score per document, then ntile(3)
+    within each language — head reads most like the corpus, tail is the
+    word-salad end.  Scores are rounded BEFORE ranking with an id
+    tiebreak, so tier assignment is engine-reproducible; the oracle
+    recomputes the whole estimator relationally."""
+    from adfs_spark.functions.text import ccnet_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    return ccnet_buckets(d).select("doc_id", "lang", "bucket", "lp")
+
+
+@q(
+    "corpus_report",
+    """WITH fp AS (SELECT source, lang, md5(text) AS f,
+                          len(list_filter(string_split(text, ' '), x -> x <> ''))
+                            AS nt
+                   FROM documents),
+       dups AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1)
+       SELECT source,
+              count(*) AS n_docs,
+              sum(nt) AS total_tokens,
+              sum(CASE WHEN f IN (SELECT f FROM dups) THEN 1 ELSE 0 END)
+                AS n_dup_docs,
+              count(DISTINCT lang) AS n_langs
+       FROM fp GROUP BY source""",
+)
+def corpus_report(spark, sf_dir):
+    """One-stop corpus audit: per source, document count, total token
+    mass, exact-duplicate document count (corpus-wide md5 groups), and
+    language spread — the summary table a data curation run publishes.
+    Two shuffles total: the corpus-wide fingerprint groupBy and the
+    per-source aggregate (duplicate flags ride a broadcast semi-join of
+    the small >1 fingerprint set)."""
+    from adfs_spark.functions.text import md5_fingerprint, whitespace_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        "lang",
+        md5_fingerprint(F.col("text")).alias("f"),
+        F.size(whitespace_tokens(F.col("text"))).alias("nt"),
+    )
+    dups = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("f")
+    )
+    flagged = fp.join(F.broadcast(dups).withColumn("_dup", F.lit(1)), "f", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias("n_dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 @q("dedup_semantic", _NEARDUP_SQL)
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (similarity.semantic_duplicate_pairs), full path:
@@ -4989,6 +5120,9 @@ _suite(
         ("pipeline_dsir_weights", ["doc_id", "logweight"]),
         ("pipeline_bm25_rank", ["doc_id", "bm25"]),
         ("s_warc_roundtrip", ["target_uri", "n_chars"]),
+        ("dedup_canonical_survivors", ["component", "survivor_id", "n_members", "n_dropped"]),
+        ("pipeline_ccnet_buckets", ["doc_id", "lang", "bucket", "lp"]),
+        ("corpus_report", ["source", "n_docs", "total_tokens", "n_dup_docs", "n_langs"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),
@@ -5001,6 +5135,9 @@ _suite(
         ("target_uri", _S), ("n_chars", _L),
         ("span_fp", _S), ("n_occurrences", _L), ("keeper", _L),
         ("id_a", _L), ("id_b", _L), ("jaccard", _D), ("sim", _D),
+        ("survivor_id", _L), ("n_members", _L), ("n_dropped", _L),
+        ("lang", _S), ("bucket", _S), ("lp", _D),
+        ("total_tokens", _L), ("n_dup_docs", _L), ("n_langs", _L),
     ],
 )
 

@@ -548,3 +548,90 @@ def test_gopher_rule_failures_counts(spark):
     assert out[("web", "pass_all")] == (1, 1)
     assert out[("books", "pass_all")] == (1, 0)
     assert out[("web", "word_count")] == (1, 1)
+
+
+# -- round 6: C4 line rules, CCNet buckets, canonical survivors ----------
+
+
+def test_c4_line_stats_rules(spark):
+    from adfs_spark.functions.text import c4_line_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines, 1 short, 1 braced -> doc kept
+            (1, "One two three four five six here.\nshort line\n"
+                "Another perfectly fine long sentence!\n"
+                "bad { braced long line one two three.\n"
+                "Final good sentence with enough words?"),
+            # lorem ipsum + unterminated -> everything dropped
+            (2, "lorem ipsum dolor sit amet here today.\nno punct line"),
+            # exactly at the 3-line keep threshold
+            (3, "Aaa bbb ccc ddd eee fff.\nGgg hhh iii jjj kkk.\n"
+                "Lll mmm nnn ooo ppp."),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_stats(docs).collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept_lines"] == 3
+    assert out[1]["doc_kept"] is True
+    assert "{" not in out[1]["kept_text"] and "short" not in out[1]["kept_text"]
+    assert out[2]["n_kept_lines"] == 0 and out[2]["doc_kept"] is False
+    assert out[2]["kept_text"] == ""
+    assert out[3]["n_kept_lines"] == 3 and out[3]["doc_kept"] is True
+
+
+def test_c4_line_stats_min_words_and_phrases(spark):
+    from adfs_spark.functions.text import c4_line_stats
+
+    docs = spark.createDataFrame(
+        [(1, "one two three.\nInline Lorem Ipsum mention one two three.")],
+        "doc_id: long, text: string",
+    )
+    r = c4_line_stats(docs, min_words_per_line=3, min_kept_lines=1).collect()[0]
+    # first line passes at threshold 3; second blocked by the phrase
+    # (case-insensitive match)
+    assert r["n_kept_lines"] == 1 and r["kept_text"] == "one two three."
+
+
+def test_ccnet_buckets_tiling_and_determinism(spark):
+    from adfs_spark.functions.text import ccnet_buckets
+
+    # 6 en docs: common words score high, rare words low
+    rows = [
+        (1, "the the the the", "en"),
+        (2, "the the the a", "en"),
+        (3, "the a the a", "en"),
+        (4, "a rare1 the a", "en"),
+        (5, "rare2 rare3 a the", "en"),
+        (6, "rare4 rare5 rare6 rare7", "en"),
+        (7, "solo words here now", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    # en: 6 docs -> 2 per tier, ordered by descending logprob
+    assert [out[i]["bucket"] for i in (1, 2, 3, 4, 5, 6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    # a lone-language doc is its whole head tier
+    assert out[7]["bucket"] == "head"
+    # deterministic across runs
+    again = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    assert again == {k: v["bucket"] for k, v in out.items()}
+
+
+def test_canonical_survivors_argmax_and_ties(spark):
+    from adfs_spark.functions.dedup import canonical_survivors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a: long, id_b: long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 4.0), (11, 4.0),
+         (20, 1.0), (21, 8.0), (99, 100.0)],
+        "doc_id: long, score: double",
+    )
+    out = {r["component"]: r for r in canonical_survivors(edges, scores).collect()}
+    assert set(out) == {1, 10, 20}  # singleton 99 never appears
+    assert out[1]["survivor_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["n_dropped"] == 2
+    assert out[10]["survivor_id"] == 10  # score tie -> smallest id
+    assert out[20]["survivor_id"] == 21
