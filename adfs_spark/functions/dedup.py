@@ -792,7 +792,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     sym = sym.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr = (
             sym.join(
                 labels.select(
@@ -806,6 +806,7 @@ def connected_components(
         )
         new = labels.join(nbr, "node", "left").select(
             "node",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce(F.col("_m"), F.col("component"))
             ).alias("component"),
@@ -818,6 +819,7 @@ def connected_components(
             new.join(hop, new["component"] == hop["_k"], "left")
             .select(
                 "node",
+                "_old",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("_kc"), F.col("component")),
@@ -825,14 +827,14 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .take(1)
-        )
-        labels = new
-        if not changed:
+        labels = new.select("node", "component")
+        # convergence probe: the pre-round label rides along as ``_old``,
+        # so the probe is a bare scan of the just-checkpointed blocks —
+        # no join with the previous labels, and round 0 is skipped
+        # outright (any edge forces a change in the first round)
+        if _round > 0 and not new.filter(
+            F.col("component") != F.col("_old")
+        ).take(1):
             break
     return labels
 
