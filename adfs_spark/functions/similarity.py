@@ -24,6 +24,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from adfs_spark.functions.util import bind
+
 
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two float arrays (no UDF)."""
@@ -689,6 +691,73 @@ def knn_join_blocked(
             F.col("_lid").alias("query_id"), F.col("_rid").alias("neighbor_id"), "sim"
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``code_i = round_half_up(x_i / scale)`` — the standard scalar-
+    quantization storage tier (FAISS ``SQ8``).  Returns
+    ``(id, codes array<tinyint>, scale double)``; dequantization is
+    ``code · scale``.
+
+    At 100 TB this is the embedding-column IO lever: 4× smaller than
+    float32 on disk and over the shuffle, with recall loss far below
+    ANN tier noise (pinned by pytest).  Rounding is the explicit
+    ``floor(x + 0.5)`` form — engines disagree on round-half at .5
+    (HALF_UP vs banker's), floor does not.  Zero vectors quantize to
+    zero codes via a tiny scale floor instead of dividing by zero.
+    """
+
+    def _body(v: Column) -> Column:
+        scale = (
+            F.greatest(
+                F.array_max(F.transform(v, lambda x: F.abs(x))),
+                F.lit(1e-30),
+            )
+            / F.lit(127.0)
+        )
+        return bind(
+            scale,
+            lambda s: F.struct(
+                F.transform(
+                    v, lambda x: F.floor(x / s + F.lit(0.5)).cast("tinyint")
+                ).alias("codes"),
+                s.alias("scale"),
+            ),
+        )
+
+    q = bind(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), _body
+    )
+    return df.select(
+        F.col(id_col),
+        q["codes"].alias("codes"),
+        q["scale"].alias("scale"),
+    )
+
+
+def quantized_brute_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over the int8-quantized corpus against a
+    full-precision query.  Cosine is invariant to the per-vector
+    positive scale, so the scan runs DIRECTLY on the tinyint codes —
+    the dequantize multiply never happens, and the scan reads a quarter
+    of the bytes of the float tier.  Same TakeOrderedAndProject shape
+    as :func:`brute_force_topk`."""
+    codes = quantize_int8(df, id_col=id_col, vec_col=vec_col).select(
+        id_col,
+        F.transform("codes", lambda c: c.cast("double")).alias(vec_col),
+    )
+    return brute_force_topk(codes, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def auto_hamming(n: int, bits: int, k: int = 10) -> int:

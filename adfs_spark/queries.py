@@ -1226,6 +1226,41 @@ def sim_topk_bruteforce(spark, sf_dir):
     return got.select("vec_id", F.round("sim", 5).alias("sim"))
 
 
+@q(
+    "sim_topk_quantized",
+    """WITH v AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings),
+       sc AS (SELECT vec_id, e,
+                     greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+                       / 127.0 AS s
+              FROM v),
+       cd AS (SELECT vec_id,
+                     list_transform(e, x -> CAST(floor(x / s + 0.5) AS DOUBLE)) AS c
+              FROM sc),
+       q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       sims AS (SELECT vec_id,
+                       list_dot_product(c, qe)
+                         / (sqrt(list_dot_product(c, c))
+                            * sqrt(list_dot_product(qe, qe))) AS sim
+                FROM cd, q)
+       SELECT vec_id, round(sim, 5) AS sim
+       FROM sims ORDER BY sim DESC, vec_id LIMIT 10""",
+)
+def sim_topk_quantized(spark, sf_dir):
+    """Cosine top-10 over the int8-quantized corpus
+    (similarity.quantize_int8 + quantized_brute_topk): the FAISS-SQ8
+    storage tier — 4× smaller scan than float32, and because cosine is
+    invariant to the per-vector scale the scan runs directly on the
+    tinyint codes with no dequantize multiply.  The oracle recomputes
+    the quantization arithmetic (explicit floor(x+0.5) rounding, tiny
+    scale floor) and the code-space cosine relationally."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    got = sim.quantized_brute_topk(e, qv, k=10)
+    return got.select("vec_id", F.round("sim", 5).alias("sim"))
+
+
 # Deterministic md5-derived hyperplanes, regenerated identically in the
 # oracle: sig bit b set iff ordered-fold dot(embedding, plane_b) >= 0.
 _LSH_SIG_SQL = """
@@ -5059,6 +5094,7 @@ _suite(
     [
         ("sim_ivf_topk", ["vec_id", "sim"]),
         ("sim_ivfpq_topk", ["vec_id", "sim"]),
+        ("sim_topk_quantized", ["vec_id", "sim"]),
     ],
     [("vec_id", _L), ("sim", _D)],
 )

@@ -927,3 +927,45 @@ def test_semdedup_boundary_probe_recovers_straddlers(spark):
     assert s0 <= s1, "probe must only ADD boundary pairs"
     assert len(rows1) == len(s1), "probe must not emit duplicate pairs"
     assert all(r["sim"] >= 0.5 for r in rows1)
+
+
+# -- round 6: int8 scalar quantization tier -------------------------------
+
+
+def test_quantize_int8_roundtrip_error_and_types(spark):
+    import numpy as np
+
+    from adfs_spark.functions.similarity import quantize_int8
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    rows.append((98, [0.0] * 16))  # zero vector must not divide by zero
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = quantize_int8(df).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 41
+    for i, vec in rows:
+        codes, scale = by_id[i]["codes"], by_id[i]["scale"]
+        assert all(-127 <= c <= 127 for c in codes)
+        # dequantization error bounded by scale/2 per component
+        for x, c in zip(vec, codes):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
+    assert by_id[98]["codes"] == [0] * 16
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    import numpy as np
+
+    from adfs_spark.functions.similarity import (
+        brute_force_topk,
+        quantized_brute_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(32)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = rows[0][1]
+    exact = {r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()}
+    quant = {r["vec_id"] for r in quantized_brute_topk(df, q, k=10).collect()}
+    # int8 cosine loses far less than one neighbor in ten on random data
+    assert len(exact & quant) >= 9
