@@ -298,3 +298,53 @@ def test_zorder_value_bounds_and_determinism(spark, vals, bits):
     assert {(r["x"], r["y"], r["_zvalue"]) for r in z2.collect()} == {
         (r["x"], r["y"], r["_zvalue"]) for r in rows
     }
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    ),
+    scores=st.dictionaries(
+        st.integers(0, 20), st.integers(0, 5), min_size=21, max_size=21
+    ),
+)
+def test_canonical_survivors_matches_reference(spark, edges, scores):
+    """Survivor per component = max score, ties to smallest id; member
+    counts match the union-find component sizes."""
+    from adfs_spark.functions.dedup import canonical_survivors
+
+    sdf = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a: long, id_b: long"
+    )
+    score_df = spark.createDataFrame(
+        [(n, float(s)) for n, s in scores.items()], "doc_id: long, score: double"
+    )
+    got = {
+        r["component"]: (r["survivor_id"], r["n_members"], r["n_dropped"])
+        for r in canonical_survivors(sdf, score_df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {}
+    for root, members in comps.items():
+        best = max(members, key=lambda m: (scores[m], -m))
+        want[root] = (best, len(members), len(members) - 1)
+    assert got == want
