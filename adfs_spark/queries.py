@@ -3953,6 +3953,40 @@ def s_warc_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "s_jsonl_roundtrip",
+    """SELECT doc_id, lang, length(text) AS n_chars
+       FROM documents WHERE doc_id % 7 = 0""",
+)
+def s_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines export→ingest roundtrip on the real source path
+    (sources/generic.py::write_jsonl + read_jsonl_quarantine): a
+    deterministic document slice is written as gzipped JSONL by the
+    distributed writer, re-read through the PERMISSIVE quarantine
+    reader (zero quarantined rows on clean data — the planted-garbage
+    path is pytest-pinned), and compared against the same slice off the
+    relational table.  Proves schema-on-read typing, line framing, and
+    compression round-tripping."""
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.sources.generic import read_jsonl_quarantine, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    out = _tmp_root("adfs_jsonl_")
+    write_jsonl(d.select("doc_id", "lang", "text"), out)
+    spec = TableSpec(
+        name="docs_jsonl",
+        columns=(
+            ColumnSpec("doc_id", "long"),
+            ColumnSpec("lang", "string"),
+            ColumnSpec("text", "string"),
+        ),
+        primary_key=("doc_id",),
+    )
+    good, quarantine = read_jsonl_quarantine(spark, spec, out)
+    assert quarantine.limit(1).count() == 0
+    return good.select("doc_id", "lang", F.length("text").alias("n_chars"))
+
+
 _BM25_TERMS = ("table", "scan", "merge")
 
 
@@ -5159,6 +5193,7 @@ _suite(
         ("dedup_canonical_survivors", ["component", "survivor_id", "n_members", "n_dropped"]),
         ("pipeline_ccnet_buckets", ["doc_id", "lang", "bucket", "lp"]),
         ("corpus_report", ["source", "n_docs", "total_tokens", "n_dup_docs", "n_langs"]),
+        ("s_jsonl_roundtrip", ["doc_id", "lang", "n_chars"]),
     ],
     [
         ("source", _S), ("split", _S), ("n", _L), ("doc_id", _L),

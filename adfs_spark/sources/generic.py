@@ -195,3 +195,56 @@ def write_bucketed_table(
         .sortBy(*(sort_cols or bucket_cols))
     )
     writer.saveAsTable(name)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    spec: TableSpec,
+    path: str,
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with a malformed-record quarantine — the
+    shape a web-scale pipeline actually needs: bad records NEVER kill
+    the job and NEVER silently vanish; they land in a second frame for
+    forensics/replay.
+
+    Returns ``(good, quarantine)``: ``good`` conforms to ``spec``;
+    ``quarantine`` is ``(raw string)`` — the verbatim offending line.
+    Uses PERMISSIVE mode with ``columnNameOfCorruptRecord`` so parsing
+    stays one distributed pass; the frame is persisted before the
+    split because Spark disallows filtering on the corrupt-record
+    column alone over a raw scan (the parser would have to run twice
+    with diverging answers).  At 100 TB the persist is the documented
+    cost of exactly-once quarantine semantics — spill-to-disk storage
+    level, freed by the caller via ``good.unpersist()`` on either
+    frame's parent.
+    """
+    corrupt = "_corrupt_record"
+    target = spec.struct_type().add(corrupt, "string")
+    df = (
+        spark.read.schema(target)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .options(**options)
+        .json(path)
+        .persist()
+    )
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    quarantine = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw")
+    )
+    return good, quarantine
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines export (one object per line, optionally gzipped) —
+    the interchange format the training stacks ingest.  Plain
+    DataFrameWriter: task-committed, partition-parallel."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -159,3 +159,62 @@ def F_col_double():
     from pyspark.sql import functions as F
 
     return F.col("id").cast("double")
+
+
+# -- round 6: JSONL quarantine ingestion ----------------------------------
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.sources.generic import read_jsonl_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en", "text": "hello"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "lang": "fr", "text": "salut"}\n'
+        '{"doc_id": 3, "lang": "de"  broken\n'
+        '{"doc_id": 4, "lang": "es", "text": "hola"}\n'
+    )
+    spec = TableSpec(
+        name="j",
+        columns=(
+            ColumnSpec("doc_id", "long"),
+            ColumnSpec("lang", "string"),
+            ColumnSpec("text", "string"),
+        ),
+        primary_key=("doc_id",),
+    )
+    good, quarantine = read_jsonl_quarantine(spark, spec, str(p))
+    assert {r["doc_id"] for r in good.collect()} == {1, 2, 4}
+    bad = sorted(r["raw"] for r in quarantine.collect())
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("broken" in b for b in bad)
+    good.unpersist()
+
+
+def test_jsonl_roundtrip_preserves_types(spark, tmp_path):
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.sources.generic import read_jsonl_quarantine, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "zh", "x y")],
+        "doc_id: long, lang: string, text: string",
+    )
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    spec = TableSpec(
+        name="j",
+        columns=(
+            ColumnSpec("doc_id", "long"),
+            ColumnSpec("lang", "string"),
+            ColumnSpec("text", "string"),
+        ),
+        primary_key=("doc_id",),
+    )
+    good, quarantine = read_jsonl_quarantine(spark, spec, out)
+    assert quarantine.count() == 0
+    assert good.schema["doc_id"].dataType.typeName() == "long"
+    assert {tuple(r) for r in good.collect()} == {
+        (1, "en", "a b c"), (2, "zh", "x y")}
