@@ -87,6 +87,12 @@ BENCH_EXTRAS = [
     # member-per-record .warc.gz and parses it back (the row times the
     # whole source path, writer included)
     "s_warc_roundtrip",
+    # round 6: canonical dedup keep-step (components + in-agg argmax),
+    # CCNet quality tiers, int8-quantized ANN scan, JSONL source path
+    "dedup_canonical_survivors",
+    "pipeline_ccnet_buckets",
+    "sim_topk_quantized",
+    "s_jsonl_roundtrip",
 ]
 
 
