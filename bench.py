@@ -87,13 +87,24 @@ BENCH_EXTRAS = [
     # member-per-record .warc.gz and parses it back (the row times the
     # whole source path, writer included)
     "s_warc_roundtrip",
-    # round 6: canonical dedup keep-step (components + in-agg argmax),
-    # CCNet quality tiers, int8-quantized ANN scan, JSONL source path
-    "dedup_canonical_survivors",
+    # round 6: CCNet quality tiers, int8-quantized ANN scan, JSONL
+    # source path.  The canonical-survivors keep-step is benched
+    # separately (single pass, dedup-realistic threshold, stats
+    # recorded) — see bench_extras: the scaled fixtures grow embedding
+    # dup-FAMILY size linearly with SF (jittered key-offset replicas),
+    # so any pair-materializing graph is quadratic ON THIS FIXTURE at
+    # the driver row's 0.3 threshold (measured 282 → 81,490 edges over
+    # sf0.1 → sf1); the operator's own cost past the pair graph is one
+    # component shuffle + one aggregate.
     "pipeline_ccnet_buckets",
     "sim_topk_quantized",
     "s_jsonl_roundtrip",
 ]
+
+# machine-recorded canonical keep-step evidence (edges, components,
+# survivors, elapsed, or the recorded skip reason) — the no-silent-cap
+# rule for the one extra whose input graph is fixture-quadratic
+CANONICAL_STATS: dict = {}
 
 
 def bench_extras(spark) -> dict[str, float]:
@@ -113,6 +124,64 @@ def bench_extras(spark) -> dict[str, float]:
             best = min(best, time.time() - t0)
             release_cached()  # drop query-registered persists between passes
         out[name] = round(best, 3)
+
+    # canonical keep-step at the dedup-realistic threshold (0.92 — the
+    # planted near-dup band, like the SemDeDup recall gate), ONE pass,
+    # full stats recorded.  Skipped with a recorded reason past 200k
+    # vectors: the scaled fixtures grow dup-family size ∝ SF, so the
+    # pair graph itself (not the keep-step) goes quadratic there.
+    from adfs_spark.catalog import load_table as _lt
+
+    emb = _lt(spark, SF_DIR, "embeddings")
+    n_vec = emb.count()
+    if n_vec <= 200_000:
+        import adfs_spark.functions.similarity as _sim
+        from adfs_spark.functions.dedup import canonical_survivors
+        from adfs_spark.functions.text import whitespace_tokens as _wt
+
+        t0 = time.time()
+        lsh = _sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
+        pairs = _sim.embedding_near_duplicates(
+            emb, dim=64, threshold=0.92, lsh=lsh
+        ).select("id_a", "id_b").persist()
+        n_edges = pairs.count()
+        scores = _lt(spark, SF_DIR, "documents").select(
+            F.col("doc_id"),
+            F.size(_wt(F.col("text"))).cast("double").alias("score"),
+        )
+        surv = canonical_survivors(pairs, scores).persist()
+        agg = surv.agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum("n_members").alias("nm"),
+            F.max("n_members").alias("mx"),
+        ).collect()[0]
+        elapsed = round(time.time() - t0, 3)
+        out["dedup_canonical_survivors"] = elapsed
+        CANONICAL_STATS.update(
+            {
+                "threshold": 0.92,
+                "n_vectors": n_vec,
+                "n_edges": n_edges,
+                "n_components": agg["nc"],
+                "n_clustered_docs": agg["nm"],
+                "max_family": agg["mx"],
+                "sec": elapsed,
+            }
+        )
+        pairs.unpersist()
+        surv.unpersist()
+    else:
+        CANONICAL_STATS.update(
+            {
+                "skipped": True,
+                "n_vectors": n_vec,
+                "reason": "fixture dup-family size grows ~linearly with SF "
+                "(jittered key-offset replicas), so the materialized pair "
+                "graph is quadratic in SF past this rung; keep-step cost "
+                "itself is one component shuffle + one aggregate (see "
+                "sf0.1-sf10 rows)",
+            }
+        )
     # dedup_repeated_spans with the tokenhash rolling fingerprint — the
     # 100 TB form (the md5 entry above is the oracle-portable default):
     # per-token xxhash64 once, hash-chain per span, no span string
@@ -881,6 +950,7 @@ def main() -> int:
         "dedup_lsh_stats": lsh_stats,
         "ann_recall": ann_stats,
         "semdedup_stats": sem_stats,
+        "canonical_stats": CANONICAL_STATS,
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": float(sf),
     }
