@@ -3982,7 +3982,9 @@ def s_jsonl_roundtrip(spark, sf_dir):
         ),
         primary_key=("doc_id",),
     )
-    good, quarantine = read_jsonl_quarantine(spark, spec, out)
+    good, quarantine = read_jsonl_quarantine(
+        spark, spec, out, register=_persist_tracked
+    )
     assert quarantine.limit(1).count() == 0
     return good.select("doc_id", "lang", F.length("text").alias("n_chars"))
 

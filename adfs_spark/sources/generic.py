@@ -201,6 +201,7 @@ def read_jsonl_quarantine(
     spark: SparkSession,
     spec: TableSpec,
     path: str,
+    register=None,
     **options,
 ) -> tuple[DataFrame, DataFrame]:
     """JSON-lines ingestion with a malformed-record quarantine — the
@@ -215,9 +216,11 @@ def read_jsonl_quarantine(
     split because Spark disallows filtering on the corrupt-record
     column alone over a raw scan (the parser would have to run twice
     with diverging answers).  At 100 TB the persist is the documented
-    cost of exactly-once quarantine semantics — spill-to-disk storage
-    level, freed by the caller via ``good.unpersist()`` on either
-    frame's parent.
+    cost of exactly-once quarantine semantics.  ``register`` (a
+    DataFrame → DataFrame hook, e.g. a persist-and-track helper) lets
+    the caller own the cached parent's lifecycle; by default the
+    parent is plain ``persist()``-ed and lives until LRU eviction or
+    an explicit ``unpersist`` of the shared parent.
     """
     corrupt = "_corrupt_record"
     target = spec.struct_type().add(corrupt, "string")
@@ -227,8 +230,8 @@ def read_jsonl_quarantine(
         .option("columnNameOfCorruptRecord", corrupt)
         .options(**options)
         .json(path)
-        .persist()
     )
+    df = register(df) if register is not None else df.persist()
     good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
     quarantine = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw")
