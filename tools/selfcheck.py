@@ -44,10 +44,39 @@ def row_multiset(rows, colnames):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def check_plans_fresh() -> bool:
+    """PLANS.md staleness guard (same check as tests/test_plans.py).
+
+    Run here too so a queries.py/bench edit can't pass a selfcheck
+    without `python tools/dump_plans.py` having been re-run.
+    """
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from dump_plans import plans_source_hash
+
+    try:
+        with open(os.path.join(here, "PLANS.md")) as f:
+            text = f.read()
+    except OSError:
+        print("WARN  PLANS.md missing — run `python tools/dump_plans.py`")
+        return False
+    m = re.search(r"Source-Hash: ([0-9a-f]+)", text)
+    if not m or m.group(1) != plans_source_hash():
+        print(
+            "WARN  PLANS.md is STALE (queries.py/bench changed since last "
+            "regen) — run `python tools/dump_plans.py` before committing"
+        )
+        return False
+    return True
+
+
 def main(names: list[str]) -> int:
     from adfs_spark.queries import EXPORTED, QUERIES
     from adfs_spark.session import get_spark
 
+    plans_fresh = check_plans_fresh()
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
@@ -103,8 +132,10 @@ def main(names: list[str]) -> int:
             print(f"ok    {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_fail} FAIL, {n_noracle} rows-only")
+    if not plans_fresh:
+        print("PLANS.md STALE — run `python tools/dump_plans.py` (failing)")
     spark.stop()
-    return 1 if n_fail else 0
+    return 1 if (n_fail or not plans_fresh) else 0
 
 
 if __name__ == "__main__":
