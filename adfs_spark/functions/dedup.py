@@ -340,6 +340,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_bands: int = 32,
     rows_per_band: int = 4,
+    spanning: bool = False,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs per bucket.
 
@@ -348,8 +349,24 @@ def lsh_candidate_pairs(
     self-join is cheap; skewed mega-buckets (degenerate content) are
     capped by AQE skew-join splitting.
     Returns distinct (id_a, id_b), id_a < id_b.
+
+    ``spanning=True`` emits per-bucket STAR edges (each member → the
+    bucket-min id) instead of all intra-bucket pairs: a bucket of f
+    members contributes f-1 edges instead of f·(f-1)/2, so the total
+    edge count is O(docs × bands) for ANY dup-family size distribution
+    — the mode for consumers that only need the candidate graph's
+    connectivity (:func:`connected_components`,
+    :func:`canonical_survivors`).  The components are provably
+    identical to the all-pairs graph's: per bucket, the clique and the
+    star span the same node set, and the union over buckets of
+    same-span subgraphs has the same transitive closure (pinned by
+    test_spanning_equals_allpairs_components).  Not for pipelines that
+    exact-verify each candidate pair — a star edge's absence says
+    nothing about the pair it skipped.
     """
     banded = _banded(signatures, num_bands, rows_per_band)
+    if spanning:
+        return _star_edges(banded, ["band", "bucket"], "_id")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -360,6 +377,28 @@ def lsh_candidate_pairs(
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _star_edges(
+    grouped: DataFrame, bucket_cols: list, id_col: str
+) -> DataFrame:
+    """Per-bucket spanning-star edges: (hub=min id in bucket, member).
+
+    One key-partitioned aggregate computes the hub per bucket (map-side
+    partial min, so the shuffle carries one row per bucket per mapper),
+    then a same-key join attaches it to the members — edges stay
+    O(rows), never O(rows²/bucket).  Returns distinct (id_a, id_b),
+    id_a < id_b (hub is the bucket min, so id_a is always the hub).
+    """
+    hubs = grouped.groupBy(*bucket_cols).agg(F.min(id_col).alias("_hub"))
+    return (
+        grouped.join(hubs, bucket_cols)
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(
+            F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b")
+        )
         .distinct()
     )
 
@@ -911,6 +950,13 @@ def canonical_survivors(
     edge list and are survivors by definition (same convention as
     :func:`connected_components`).
 
+    ``scores`` need not cover every edge endpoint: unscored members
+    still count toward ``n_members`` and can still be dropped, they
+    just never win the argmax (their score coalesces to -inf; a
+    component whose members are ALL unscored falls back to the
+    smallest id).  An inner join here would silently drop such members
+    from the counts and could crown the wrong survivor.
+
     Distributed shape: the component labels come from pointer-jumping
     (O(log n) rounds), then ONE key-partitioned shuffle on component
     with ``max_by(node, (score, -node))`` doing the argmax inside the
@@ -922,7 +968,10 @@ def canonical_survivors(
     sc = scores.select(
         F.col(id_col).alias("node"), F.col(score_col).alias("_score")
     )
-    j = comp.join(sc, "node")
+    j = comp.join(sc, "node", "left").withColumn(
+        "_score",
+        F.coalesce(F.col("_score").cast("double"), F.lit(float("-inf"))),
+    )
     return j.groupBy("component").agg(
         F.expr(
             "max_by(node, struct(_score, -node))"

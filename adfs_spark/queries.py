@@ -3985,7 +3985,12 @@ def s_jsonl_roundtrip(spark, sf_dir):
     good, quarantine = read_jsonl_quarantine(
         spark, spec, out, register=_persist_tracked
     )
-    assert quarantine.limit(1).count() == 0
+    # explicit raise (not assert): the zero-quarantine invariant must
+    # survive `python -O`, which compiles asserts out of the bench path
+    if quarantine.limit(1).count() != 0:
+        raise RuntimeError(
+            "jsonl roundtrip produced quarantine rows from clean input"
+        )
     return good.select("doc_id", "lang", F.length("text").alias("n_chars"))
 
 

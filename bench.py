@@ -107,6 +107,137 @@ BENCH_EXTRAS = [
 CANONICAL_STATS: dict = {}
 
 
+def _canonical_keep_step(spark, out: dict) -> None:
+    """Canonical keep-step rung at the dedup-realistic threshold (0.92),
+    ONE pass each mode, full stats into CANONICAL_STATS:
+
+      all_pairs — the exact candidate graph; quadratic in dup-family
+        size, so it only runs ≤200k vectors (the fixture grows family
+        size ∝ SF).  Kept at the small rungs for ladder continuity.
+      spanning  — greedy-leader verified star over 2 LSH tables (r6
+        verdict ask #2): edges O(docs), every edge cosine-verified,
+        components a refinement of all-pairs.  Runs at EVERY rung
+        (this is the 100 TB form), gated by a planted-family component
+        recall: 20 families × 5 members seeded from corpus vectors
+        must each come back as ONE component.
+    """
+    from pyspark.sql import functions as F
+
+    from adfs_spark.catalog import load_table as _lt
+
+    emb = _lt(spark, SF_DIR, "embeddings")
+    n_vec = emb.count()
+    import adfs_spark.functions.similarity as _sim
+    from adfs_spark.functions.dedup import canonical_survivors, connected_components
+    from adfs_spark.functions.text import whitespace_tokens as _wt
+
+    lsh = _sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
+    scores = _lt(spark, SF_DIR, "documents").select(
+        F.col("doc_id"),
+        F.size(_wt(F.col("text"))).cast("double").alias("score"),
+    )
+
+    def _keep_step(pairs_df):
+        pairs = pairs_df.select("id_a", "id_b").persist()
+        n_edges = pairs.count()
+        surv = canonical_survivors(pairs, scores).persist()
+        agg = surv.agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum("n_members").alias("nm"),
+            F.max("n_members").alias("mx"),
+        ).collect()[0]
+        stats = {
+            "n_edges": n_edges,
+            "n_components": agg["nc"],
+            "n_clustered_docs": agg["nm"],
+            "max_family": agg["mx"],
+        }
+        pairs.unpersist()
+        surv.unpersist()
+        return stats
+
+    CANONICAL_STATS.update({"threshold": 0.92, "n_vectors": n_vec})
+    if n_vec <= 200_000:
+        t0 = time.time()
+        st = _keep_step(
+            _sim.embedding_near_duplicates(emb, dim=64, threshold=0.92, lsh=lsh)
+        )
+        st["sec"] = round(time.time() - t0, 3)
+        out["dedup_canonical_survivors"] = st["sec"]
+        CANONICAL_STATS["all_pairs"] = st
+    else:
+        CANONICAL_STATS["all_pairs"] = {
+            "skipped": True,
+            "reason": "fixture dup-family size grows ~linearly with SF, so "
+            "the materialized all-pairs graph is quadratic past this rung; "
+            "the spanning mode below is the at-scale form and RUNS here",
+        }
+
+    # spanning rung: plant 20 × (1 base + 4 copies) families from
+    # corpus vectors under fresh ids, run the star candidate tier on
+    # corpus ∪ planted, keep-step it, and check every family lands in
+    # one component.  Planted ids have no document score — the
+    # left-join sentinel in canonical_survivors covers them.
+    _pl_base = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+        .limit(20)
+        .collect()
+    )
+    _max_id = emb.agg(F.max("vec_id")).first()[0] or 0
+    import random as _random
+
+    _rng = _random.Random(73)
+    _rows, _fams = [], []
+    _nid = int(_max_id) + 1
+    for _r in _pl_base:
+        _v = [float(x) for x in _r["embedding"]]
+        _nrm = sum(x * x for x in _v) ** 0.5 or 1.0
+        _fam = []
+        for _c in range(5):
+            if _c == 0:
+                _w = _v
+            else:
+                _j = [_rng.gauss(0.0, 1.0) for _ in _v]
+                _jn = sum(x * x for x in _j) ** 0.5 or 1.0
+                _w = [a + 0.03 * _nrm * (b / _jn) for a, b in zip(_v, _j)]
+            _rows.append((_nid, _w))
+            _fam.append(_nid)
+            _nid += 1
+        _fams.append(_fam)
+    _planted = spark.createDataFrame(
+        _rows, "vec_id: long, embedding: array<float>"
+    )
+    _union = emb.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    ).unionByName(_planted)
+    t0 = time.time()
+    star = _sim.embedding_near_duplicates(
+        _union, dim=64, threshold=0.92, lsh=lsh, spanning=True
+    ).select("id_a", "id_b").persist()
+    st = _keep_step(star)
+    st["sec"] = round(time.time() - t0, 3)
+    out["dedup_canonical_survivors_spanning"] = st["sec"]
+    # planted component recall from ONE extra CC pass over the same
+    # persisted star edges (bounded collect: only planted-id labels)
+    _labels = {
+        r["node"]: r["component"]
+        for r in connected_components(star, "id_a", "id_b")
+        .filter(F.col("node") > _max_id)
+        .collect()
+    }
+    _ok = sum(
+        1
+        for fam in _fams
+        if len({_labels.get(m, ("missing", m)) for m in fam}) == 1
+    )
+    st["planted_families"] = len(_fams)
+    st["planted_family_recall"] = round(_ok / len(_fams), 4) if _fams else None
+    st["lsh_tables"] = 2
+    CANONICAL_STATS["spanning"] = st
+    star.unpersist()
+
+
 def bench_extras(spark) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -125,63 +256,7 @@ def bench_extras(spark) -> dict[str, float]:
             release_cached()  # drop query-registered persists between passes
         out[name] = round(best, 3)
 
-    # canonical keep-step at the dedup-realistic threshold (0.92 — the
-    # planted near-dup band, like the SemDeDup recall gate), ONE pass,
-    # full stats recorded.  Skipped with a recorded reason past 200k
-    # vectors: the scaled fixtures grow dup-family size ∝ SF, so the
-    # pair graph itself (not the keep-step) goes quadratic there.
-    from adfs_spark.catalog import load_table as _lt
-
-    emb = _lt(spark, SF_DIR, "embeddings")
-    n_vec = emb.count()
-    if n_vec <= 200_000:
-        import adfs_spark.functions.similarity as _sim
-        from adfs_spark.functions.dedup import canonical_survivors
-        from adfs_spark.functions.text import whitespace_tokens as _wt
-
-        t0 = time.time()
-        lsh = _sim.DeterministicHyperplaneLSH(dim=64, num_bits=8, salt="lsh")
-        pairs = _sim.embedding_near_duplicates(
-            emb, dim=64, threshold=0.92, lsh=lsh
-        ).select("id_a", "id_b").persist()
-        n_edges = pairs.count()
-        scores = _lt(spark, SF_DIR, "documents").select(
-            F.col("doc_id"),
-            F.size(_wt(F.col("text"))).cast("double").alias("score"),
-        )
-        surv = canonical_survivors(pairs, scores).persist()
-        agg = surv.agg(
-            F.count(F.lit(1)).alias("nc"),
-            F.sum("n_members").alias("nm"),
-            F.max("n_members").alias("mx"),
-        ).collect()[0]
-        elapsed = round(time.time() - t0, 3)
-        out["dedup_canonical_survivors"] = elapsed
-        CANONICAL_STATS.update(
-            {
-                "threshold": 0.92,
-                "n_vectors": n_vec,
-                "n_edges": n_edges,
-                "n_components": agg["nc"],
-                "n_clustered_docs": agg["nm"],
-                "max_family": agg["mx"],
-                "sec": elapsed,
-            }
-        )
-        pairs.unpersist()
-        surv.unpersist()
-    else:
-        CANONICAL_STATS.update(
-            {
-                "skipped": True,
-                "n_vectors": n_vec,
-                "reason": "fixture dup-family size grows ~linearly with SF "
-                "(jittered key-offset replicas), so the materialized pair "
-                "graph is quadratic in SF past this rung; keep-step cost "
-                "itself is one component shuffle + one aggregate (see "
-                "sf0.1-sf10 rows)",
-            }
-        )
+    _canonical_keep_step(spark, out)
     # dedup_repeated_spans with the tokenhash rolling fingerprint — the
     # 100 TB form (the md5 entry above is the oracle-portable default):
     # per-token xxhash64 once, hash-chain per span, no span string

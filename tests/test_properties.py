@@ -348,3 +348,51 @@ def test_canonical_survivors_matches_reference(spark, edges, scores):
         best = max(members, key=lambda m: (scores[m], -m))
         want[root] = (best, len(members), len(members) - 1)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    assign=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 3), st.integers(0, 6)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_spanning_equals_allpairs_components(spark, assign):
+    """The spanning-star candidate graph has EXACTLY the connected
+    components of the all-pairs candidate graph, for any (node, band,
+    bucket) assignment: per bucket the clique and the star span the
+    same node set, and unions of same-span subgraphs share a transitive
+    closure.  This is the proof obligation behind
+    ``lsh_candidate_pairs(spanning=True)`` — O(docs) edges with zero
+    component drift."""
+    from adfs_spark.functions.dedup import _star_edges, connected_components
+
+    rows = sorted(set(assign))
+    banded = spark.createDataFrame(
+        rows, "_id: long, band: int, bucket: long"
+    )
+    star = _star_edges(banded, ["band", "bucket"], "_id")
+    a, b = banded.alias("a"), banded.alias("b")
+    allp = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    comp_star = {
+        (r["node"], r["component"])
+        for r in connected_components(star, max_iter=12).collect()
+    }
+    comp_all = {
+        (r["node"], r["component"])
+        for r in connected_components(allp, max_iter=12).collect()
+    }
+    assert comp_star == comp_all
+    # and the edge bound: at most one star edge per non-hub bucket row
+    n_rows = len(rows)
+    assert star.count() <= n_rows

@@ -969,3 +969,153 @@ def test_quantized_topk_recall_vs_float(spark):
     quant = {r["vec_id"] for r in quantized_brute_topk(df, q, k=10).collect()}
     # int8 cosine loses far less than one neighbor in ten on random data
     assert len(exact & quant) >= 9
+
+
+def test_embedding_neardup_spanning_star(spark):
+    """Hub-verified star mode: every edge is a genuine >=threshold pair
+    (precision 1), tight planted families come back as one component
+    each, and edges stay O(members) instead of O(members^2)."""
+    import random
+
+    from adfs_spark.functions.dedup import connected_components
+    from adfs_spark.functions.similarity import (
+        DeterministicHyperplaneLSH,
+        cosine,
+        embedding_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    # 4 tight families of 12 members each: base + tiny jitter
+    for fam in range(4):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for m in range(12):
+            vec = [b + rng.gauss(0, 0.01) for b in base]
+            rows.append((fam * 100 + m, vec))
+    # 20 unrelated singletons
+    for i in range(20):
+        rows.append((1000 + i, [rng.gauss(0, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    lsh = DeterministicHyperplaneLSH(dim=dim, num_bits=6, salt="star")
+    star = embedding_near_duplicates(
+        df, dim=dim, threshold=0.98, lsh=lsh, spanning=True
+    ).persist()
+    # precision: every emitted edge really clears the threshold
+    assert star.filter(F.col("sim") < 0.98).count() == 0
+    # edge bound: at most one edge per (member, bucket-membership);
+    # far below the ~4*C(12,2)=264 all-pairs would emit
+    allp = embedding_near_duplicates(df, dim=dim, threshold=0.98, lsh=lsh)
+    assert star.count() < allp.count()
+    # recall on tight families: each family is one component
+    comps = connected_components(star, "id_a", "id_b").collect()
+    by_fam = {}
+    for r in comps:
+        by_fam.setdefault(r["node"] // 100, set()).add(r["component"])
+    for fam in range(4):
+        assert len(by_fam.get(fam, set())) == 1, f"family {fam} split"
+    # refinement vs all-pairs: star components never merge two all-pairs
+    # components (no wrong merges)
+    ca = {r["node"]: r["component"] for r in connected_components(allp).collect()}
+    cs = {r["node"]: r["component"] for r in comps}
+    inv = {}
+    for node, c in cs.items():
+        inv.setdefault(c, set()).add(ca[node])
+    assert all(len(v) == 1 for v in inv.values())
+    star.unpersist()
+
+
+def test_semantic_pairs_spanning_star(spark):
+    """SemDeDup spanning mode: per-cell hub scoring — edge precision 1,
+    tight single-cluster family fully recovered, pair work O(cell)."""
+    import random
+
+    from adfs_spark.functions.dedup import connected_components
+    from adfs_spark.functions.similarity import semantic_duplicate_pairs
+
+    rng = random.Random(11)
+    dim = 8
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [
+        (i, [b + rng.gauss(0, 0.005) for b in base]) for i in range(15)
+    ] + [(100 + i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    star = semantic_duplicate_pairs(
+        df, threshold=0.99, n_clusters=1, spanning=True
+    ).persist()
+    assert star.filter(F.col("sim") < 0.99).count() == 0
+    # single cell of 25 members -> exactly 24 hub comparisons possible,
+    # so the edge count is bounded by members-1 (vs C(15,2)=105 all-pairs)
+    assert star.count() <= 24
+    comps = connected_components(star, "id_a", "id_b").collect()
+    fam_comps = {r["component"] for r in comps if r["node"] < 100}
+    fam_nodes = {r["node"] for r in comps if r["node"] < 100}
+    assert fam_nodes == set(range(15)) and len(fam_comps) == 1
+    star.unpersist()
+
+
+def test_spanning_leader_many_families_per_bucket(spark):
+    """The mega-bucket case: coarse LSH (2 bits = 4 buckets) forces ~10
+    distinct tight families plus singletons into shared buckets.  The
+    greedy leader scorer must recover EVERY family as one component
+    (a fixed hub-round scheme caps out at the round count), with edges
+    bounded by members-1 per table."""
+    import random
+
+    from adfs_spark.functions.dedup import connected_components
+    from adfs_spark.functions.similarity import (
+        DeterministicHyperplaneLSH,
+        embedding_near_duplicates,
+    )
+
+    rng = random.Random(3)
+    dim = 16
+    rows = []
+    for fam in range(10):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for m in range(8):
+            rows.append((fam * 100 + m, [b + rng.gauss(0, 0.008) for b in base]))
+    for i in range(30):
+        rows.append((5000 + i, [rng.gauss(0, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    lsh = DeterministicHyperplaneLSH(dim=dim, num_bits=2, salt="mega")
+    star = embedding_near_duplicates(
+        df, dim=dim, threshold=0.98, lsh=lsh, spanning=True
+    ).persist()
+    n = len(rows)
+    assert star.count() <= 2 * (n - 1)  # 2 tables × ≤ members-1 edges
+    assert star.filter(F.col("sim") < 0.98).count() == 0
+    comps = {r["node"]: r["component"] for r in
+             connected_components(star, "id_a", "id_b").collect()}
+    for fam in range(10):
+        labels = {comps.get(fam * 100 + m, ("miss", m)) for m in range(8)}
+        assert len(labels) == 1, f"family {fam} split/missing: {labels}"
+    star.unpersist()
+
+
+def test_semdedup_planted_recall_auto_eps(spark):
+    """boundary_eps="auto" walks the eps ladder until the planted gate
+    clears and records every rung's recall + pair work; the chosen eps
+    is 0 when the plain algorithm already passes, and the final recall
+    meets the gate whenever ANY ladder rung can."""
+    from adfs_spark.catalog import load_table
+    from adfs_spark.functions.similarity import semdedup_planted_recall
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = semdedup_planted_recall(
+        emb, noise=0.05, threshold=0.92, n_clusters=4,
+        boundary_eps="auto", auto_gate=0.9,
+    )
+    assert got["eps_ladder"], "auto mode must record the ladder"
+    assert got["auto_gate"] == 0.9
+    ladder = got["eps_ladder"]
+    assert [a["eps"] for a in ladder] == [0.0, 0.1, 0.25][: len(ladder)]
+    for a in ladder:
+        assert a["pair_work"] > 0
+    # final attempt is the chosen one
+    assert got["boundary_eps"] == ladder[-1]["eps"]
+    assert got["recall"] == ladder[-1]["recall"]
+    # stops as soon as the gate clears: every non-final rung was below
+    for a in ladder[:-1]:
+        assert a["recall"] < 0.9
+    assert got["pair_work_ratio"] >= 1.0

@@ -635,3 +635,54 @@ def test_canonical_survivors_argmax_and_ties(spark):
     assert out[1]["n_dropped"] == 2
     assert out[10]["survivor_id"] == 10  # score tie -> smallest id
     assert out[20]["survivor_id"] == 21
+
+
+def test_lsh_spanning_candidates_same_components(spark):
+    """End-to-end on real text: spanning-star LSH candidates produce the
+    SAME connected components as the all-pairs candidate graph, with at
+    most one edge per (doc, band) instead of per-bucket cliques."""
+    from adfs_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    far = " ".join(f"q{i}" for i in range(40))
+    rows = [(i, base) for i in range(8)] + [(10, near), (11, far)]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    sigs = minhash_signatures(df, "id", "text", num_hashes=32).persist()
+    allp = lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
+    star = lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4, spanning=True)
+    n_all, n_star = allp.count(), star.count()
+    # 8 identical docs alone give C(8,2)=28 all-pairs edges; the star
+    # caps at one edge per non-hub member per band bucket
+    assert n_all >= 28
+    assert n_star < n_all
+    ca = {(r["node"], r["component"]) for r in connected_components(allp).collect()}
+    cs = {(r["node"], r["component"]) for r in connected_components(star).collect()}
+    assert ca == cs
+    sigs.unpersist()
+
+
+def test_canonical_survivors_unscored_members(spark):
+    """Members missing from the scores frame still count (n_members /
+    n_dropped) and never win the argmax; an all-unscored component
+    falls back to its smallest id (ADVICE r6: inner join silently
+    vanished them)."""
+    from adfs_spark.functions.dedup import canonical_survivors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long"
+    )
+    # node 3 unscored but in the scored component; nodes 10,11 entirely
+    # unscored
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0)], "doc_id: long, score: double"
+    )
+    got = {
+        r["component"]: (r["survivor_id"], r["n_members"], r["n_dropped"])
+        for r in canonical_survivors(edges, scores).collect()
+    }
+    assert got == {1: (2, 3, 2), 10: (10, 2, 1)}
