@@ -80,6 +80,38 @@ class CommitBackend:
         absent — drives the lock-lease TTL."""
         raise NotImplementedError
 
+    # -- conditional verbs (CAS tier) ----------------------------------
+    #
+    # The compare-and-swap pair the election lease needs (r6 ADVICE:
+    # renew-vs-steal and steal-vs-claim races are unguardable with
+    # blind replace/delete).  ``expected`` is the full payload the
+    # caller last read — value-compare, not mtime-compare, because
+    # every listed medium can express it: S3 PUT/…-If-Match on the
+    # content ETag, GCS if-generation-match, SQLite ``WHERE data=?``,
+    # local fs under a per-directory flock.  S3 proper lacks
+    # conditional DELETE: there, map ``delete_if_value`` to a
+    # conditional PUT of a tombstone payload + plain DELETE (the
+    # fencing effect is identical — the doomed lease can never be
+    # renewed, because renew's CAS no longer matches).
+    #
+    # Atomicity contract: conditional verbs are atomic against OTHER
+    # conditional verbs on the same key.  A plain ``replace`` can still
+    # clobber anything (exactly as a plain object-store PUT can); keys
+    # that need protection must be written exclusively through the
+    # conditional verbs once contended.
+
+    def replace_if_value(self, key: str, data: bytes, expected: bytes) -> bool:
+        """Atomically replace ``key`` with ``data`` iff its current
+        content equals ``expected``; returns False (no write) when the
+        key is absent or holds anything else.  Bumps mtime even when
+        ``data == expected`` — the CAS-touch heartbeat shape."""
+        raise NotImplementedError
+
+    def delete_if_value(self, key: str, expected: bytes) -> bool:
+        """Atomically delete ``key`` iff its current content equals
+        ``expected``; returns False (no delete) otherwise."""
+        raise NotImplementedError
+
 
 class LocalCommitBackend(CommitBackend):
     """POSIX-filesystem implementation — the only place in the commit
@@ -119,7 +151,10 @@ class LocalCommitBackend(CommitBackend):
 
     def list(self, prefix: str) -> list[str]:
         try:
-            return os.listdir(prefix)
+            # dot-names are reserved for backend internals (the CAS
+            # flock sidecar) — same convention as object-store layouts
+            # hiding _metadata/. entries from table listings
+            return [n for n in os.listdir(prefix) if not n.startswith(".")]
         except OSError:
             return []
 
@@ -128,6 +163,50 @@ class LocalCommitBackend(CommitBackend):
             return os.path.getmtime(key)
         except OSError:
             return None
+
+    def _cas_lock(self, key: str):
+        """Per-directory advisory flock serializing the conditional
+        verbs (plain verbs stay lock-free; see the CAS atomicity
+        contract on :class:`CommitBackend`).  A sidecar ``.caslock``
+        file is used because flocking ``key`` itself would pin the OLD
+        inode across the tmp+rename replace, letting a second CAS
+        compare against dead content."""
+        import fcntl
+
+        d = os.path.dirname(key) or "."
+        os.makedirs(d, exist_ok=True)
+        f = open(os.path.join(d, ".caslock"), "a+b")
+        fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+        return f
+
+    def replace_if_value(self, key: str, data: bytes, expected: bytes) -> bool:
+        import fcntl
+
+        f = self._cas_lock(key)
+        try:
+            if self.read(key) != expected:
+                return False
+            self.replace(key, data)
+            # equal-content rewrite on a coarse-mtime fs could leave
+            # mtime unchanged; force it forward (the CAS-touch contract)
+            os.utime(key)
+            return True
+        finally:
+            fcntl.flock(f.fileno(), fcntl.LOCK_UN)
+            f.close()
+
+    def delete_if_value(self, key: str, expected: bytes) -> bool:
+        import fcntl
+
+        f = self._cas_lock(key)
+        try:
+            if self.read(key) != expected:
+                return False
+            self.delete(key)
+            return True
+        finally:
+            fcntl.flock(f.fileno(), fcntl.LOCK_UN)
+            f.close()
 
 
 class SqliteCommitBackend(CommitBackend):
@@ -223,16 +302,40 @@ class SqliteCommitBackend(CommitBackend):
             ).fetchone()
             return float(row[0]) if row else None
 
+    def replace_if_value(self, key: str, data: bytes, expected: bytes) -> bool:
+        # the database's own row lock makes the compare-and-set one
+        # statement — the WHERE clause IS the compare
+        with self._conn() as conn:
+            cur = conn.execute(
+                "UPDATE kv SET data = ?, mtime = ? WHERE key = ? AND data = ?",
+                (bytes(data), time.time(), key, bytes(expected)),
+            )
+            return cur.rowcount == 1
+
+    def delete_if_value(self, key: str, expected: bytes) -> bool:
+        with self._conn() as conn:
+            cur = conn.execute(
+                "DELETE FROM kv WHERE key = ? AND data = ?",
+                (key, bytes(expected)),
+            )
+            return cur.rowcount == 1
+
 
 def backend_from_env() -> CommitBackend:
     """Default commit backend, switchable without code changes so the
     protocol suites run UNMODIFIED against a second real medium:
     ``SPARK_GRAFT_COMMIT_BACKEND=sqlite:/path/commit.db`` routes every
-    default-constructed table through the database backend; unset (or
-    ``local``) keeps the POSIX backend."""
+    default-constructed table through the database backend;
+    ``http://host:port`` routes through the conditional-PUT object
+    store (:mod:`adfs_spark.objstore`); unset (or ``local``) keeps the
+    POSIX backend."""
     kind = os.environ.get("SPARK_GRAFT_COMMIT_BACKEND", "local")
     if kind.startswith("sqlite:"):
         return SqliteCommitBackend(kind.split(":", 1)[1])
+    if kind.startswith("http://") or kind.startswith("https://"):
+        from adfs_spark.objstore import HttpObjectStoreCommitBackend
+
+        return HttpObjectStoreCommitBackend(kind)
     return LocalCommitBackend()
 
 
@@ -282,3 +385,19 @@ class MemoryCommitBackend(CommitBackend):
         with self._mu:
             got = self._objects.get(key)
             return got[1] if got else None
+
+    def replace_if_value(self, key: str, data: bytes, expected: bytes) -> bool:
+        with self._mu:
+            got = self._objects.get(key)
+            if got is None or got[0] != bytes(expected):
+                return False
+            self._objects[key] = (bytes(data), time.time())
+            return True
+
+    def delete_if_value(self, key: str, expected: bytes) -> bool:
+        with self._mu:
+            got = self._objects.get(key)
+            if got is None or got[0] != bytes(expected):
+                return False
+            del self._objects[key]
+            return True

@@ -26,7 +26,49 @@ TPCH_TABLES = (
 )
 
 
+# Bucketed-layout overrides: (sf_dir, table) → saved catalog table
+# name.  When staged (stage_bucketed_layout), load_table serves the
+# bucketed table instead of the plain parquet — the whole query suite
+# then runs on the co-located layout WITHOUT any query changing, which
+# is exactly how a 100 TB deployment adopts bucketing: re-stage the
+# fact tables once, leave every reader untouched.
+_LAYOUT_OVERRIDES: dict[tuple[str, str], str] = {}
+
+
+def stage_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: dict[str, tuple[str, ...]],
+    num_buckets: int = 32,
+) -> float:
+    """Stage the given fixture tables as bucketed saved tables and
+    register them as load_table overrides for ``sf_dir``.  Returns the
+    staging wall time — the once-per-layout cost, always reported
+    separately from query times."""
+    import time
+
+    from adfs_spark.sources.generic import write_bucketed_table
+
+    t0 = time.time()
+    for name, key_cols in keys.items():
+        tbl = f"layout_{name}_bkt"
+        write_bucketed_table(
+            load_table(spark, sf_dir, name), tbl, key_cols, num_buckets=num_buckets
+        )
+        _LAYOUT_OVERRIDES[(sf_dir, name)] = tbl
+    return time.time() - t0
+
+
+def clear_bucketed_layout(spark: SparkSession) -> None:
+    for (sf_dir, name), tbl in list(_LAYOUT_OVERRIDES.items()):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    _LAYOUT_OVERRIDES.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    override = _LAYOUT_OVERRIDES.get((sf_dir, name))
+    if override is not None:
+        return spark.table(override)
     if name == "events":
         # Normalize ts to TIMESTAMP (LTZ) whatever the file stores —
         # fixture generations have used TIMESTAMP(NANOS) (readable only

@@ -28,12 +28,24 @@ CommitBackend` verbs:
   like a commit lock (``storage.py::_reserve_commit``); the epoch
   high-water mark is persisted so tokens stay monotonic across steals.
 
-The known delete/recreate steal race (two stealers both observe a stale
-lease) is resolved the same way as the commit-lock steal: both delete,
-exactly one ``put_if_absent`` succeeds, and the loser's view is
-corrected on its next :meth:`ElectionGroup.leader` read.  The fencing
-epoch makes any transiently-double observation detectable: a writer
-holding epoch *e* is fenced by any state stamped with *e' > e*.
+Steal-path races are closed with the backend's conditional verbs
+(r6 ADVICE):
+
+- **steal** is a compare-and-delete on the exact stale lease bytes a
+  claimant verified — it can never remove a successor's fresh claim
+  (two stealers: both conditional deletes target the SAME stale bytes,
+  at most one lease deletion happens, then exactly one
+  ``put_if_absent`` wins).
+- **renew** is a CAS-touch on the lease bytes read — a deposed master
+  racing a steal either touches the still-current lease or fails and
+  self-demotes; it can never overwrite a fresh claim with its old
+  epoch.
+- **fencing tokens are minted by conditional-create reservation**
+  (``epochs/<n>``) BEFORE the claim, so two concurrent claimants can
+  never hold the same epoch; a writer holding epoch *e* is fenced by
+  any state stamped with *e' > e*.
+- **member heartbeat** is the same CAS-touch, so it cannot resurrect a
+  payload a new master just restamped to NEED_RESTORE.
 """
 
 from __future__ import annotations
@@ -192,10 +204,18 @@ class ElectionGroup:
 
     def heartbeat(self, name: str) -> None:
         """Bump the member's mtime without touching its payload — the
-        session keep-alive that stands in for ZooKeeper's ephemerality."""
+        session keep-alive that stands in for ZooKeeper's ephemerality.
+
+        CAS-touch, not blind replace: a replace of the payload read a
+        moment ago could overwrite a concurrent restamp (a new master's
+        NEED_RESTORE demotion) with the member's stale ONLINE/SLAVE
+        state — the r6 ADVICE lost-update.  ``replace_if_value`` with
+        expected == data bumps mtime only while the payload is still
+        exactly what was read; a lost race is a silent no-op (the
+        restamped payload's own mtime is fresh)."""
         raw = self.backend.read(self._member_key(name))
         if raw is not None:
-            self.backend.replace(self._member_key(name), raw)
+            self.backend.replace_if_value(self._member_key(name), raw, raw)
 
     def unregister(self, name: str) -> None:
         self.backend.delete(self._member_key(name))
@@ -236,24 +256,55 @@ class ElectionGroup:
 
     # -- leadership ------------------------------------------------------
 
-    def _read_lease(self) -> tuple[dict, float] | None:
+    def _read_lease_raw(self) -> tuple[bytes, dict, float] | None:
+        """(raw bytes, parsed payload, mtime) — raw rides along so CAS
+        verbs can condition on exactly the content that was read."""
         raw = self.backend.read(self._leader_key)
         mt = self.backend.mtime(self._leader_key)
         if raw is None or mt is None:
             return None
         try:
-            return json.loads(raw), mt
+            return raw, json.loads(raw), mt
         except ValueError:
             return None
 
+    def _read_lease(self) -> tuple[dict, float] | None:
+        got = self._read_lease_raw()
+        return None if got is None else (got[1], got[2])
+
+    @property
+    def _epochs_prefix(self) -> str:
+        return posixpath.join(self.root, "epochs")
+
     def epoch(self) -> int:
-        """Current fencing-token high-water mark (0 before any master)."""
+        """Current fencing-token high-water mark (0 before any master):
+        the max over the persisted high-water key, the live lease, and
+        every RESERVED epoch slot — a token someone minted is spent
+        even if its claim never landed (monotonicity survives the
+        claimant crashing between mint and claim)."""
         raw = self.backend.read(self._epoch_key)
         hw = int(raw) if raw else 0
         lease = self._read_lease()
         if lease is not None:
             hw = max(hw, int(lease[0].get("epoch", 0)))
-        return hw
+        slots = [
+            int(s)
+            for s in self.backend.list(self._epochs_prefix)
+            if s.isdigit()
+        ]
+        return max(hw, max(slots, default=0))
+
+    def _mint_epoch(self) -> int:
+        """Reserve a UNIQUE fencing token via conditional create —
+        BEFORE any lease claim, so two concurrent claimants can never
+        hold the same epoch (the r6 ADVICE duplicate-token race: the
+        old flow persisted the epoch key only after claiming, leaving
+        a window where both readers computed the same +1)."""
+        while True:
+            nxt = self.epoch() + 1
+            key = posixpath.join(self._epochs_prefix, f"{nxt:012d}")
+            if self.backend.put_if_absent(key, b"reserved"):
+                return nxt
 
     def leader(self) -> ServerStatus | None:
         """The live master, or None.  A lease is only honored while its
@@ -279,23 +330,34 @@ class ElectionGroup:
     def renew(self, name: str) -> bool:
         """Master keep-alive: bump the lease mtime (and the member
         heartbeat).  Returns False when this node no longer holds the
-        lease — the fenced demotion signal."""
-        lease = self._read_lease()
-        if lease is None or lease[0].get("name") != name:
+        lease — the fenced demotion signal.
+
+        The mtime bump is a CAS on the exact lease bytes read: a blind
+        replace here could land AFTER a stealer's delete +
+        put_if_absent, durably reinstating the deposed master's old
+        epoch over the fresh claim (the r6 ADVICE renew-vs-steal
+        race).  With ``replace_if_value``, a renew racing a steal
+        either touches the still-current lease (stealer's staleness
+        check then fails — the lease is fresh again) or fails and
+        self-demotes; the fresh claim can never be overwritten."""
+        got = self._read_lease_raw()
+        if got is None or got[1].get("name") != name:
             return False
-        self.backend.replace(
-            self._leader_key, json.dumps(lease[0]).encode()
-        )
+        raw = got[0]
+        if not self.backend.replace_if_value(self._leader_key, raw, raw):
+            # lease changed under us (stolen/re-claimed) — demoted
+            return False
         self.heartbeat(name)
         return True
 
     def resign(self, name: str) -> None:
         """Voluntary step-down: release the lease iff held by ``name``
         and re-register as ONLINE (the restart path in the reference
-        re-enters the pool at ONLINE)."""
-        lease = self._read_lease()
-        if lease is not None and lease[0].get("name") == name:
-            self.backend.delete(self._leader_key)
+        re-enters the pool at ONLINE).  Conditional delete: releasing
+        a lease that changed since the read would unseat a successor."""
+        got = self._read_lease_raw()
+        if got is not None and got[1].get("name") == name:
+            self.backend.delete_if_value(self._leader_key, got[0])
         me = self._read_member(name)
         if me is not None and me.type == ServerType.MASTER:
             self.register(
@@ -314,29 +376,25 @@ class ElectionGroup:
 
         Returns True iff ``name`` is the master when the call returns.
         """
-        # capture the fencing high-water mark BEFORE any steal: the
-        # lease may carry an epoch the ``epoch`` key never recorded
-        # (claimant crashed between claim and persist), and the token
-        # must stay monotonic across exactly that crash
-        epoch_floor = self.epoch()
-
-        # Evaluate the seat from ONE lease read.  Staleness must be
-        # re-verified on the same read the delete acts on: deciding
-        # from an earlier ``leader() is None`` and then deleting
-        # whatever exists would destroy a lease claimed in between —
-        # a fresh master would be unseated by its own losers.
-        lease = self._read_lease()
-        if lease is not None:
-            payload, mt = lease
+        # Evaluate the seat from ONE lease read, and make the steal a
+        # COMPARE-AND-DELETE on exactly those bytes: a blind delete
+        # landing after a rival's fresh put_if_absent would destroy the
+        # just-claimed lease (the r6 ADVICE unguarded-delete race) — a
+        # conditional delete can only remove the stale lease it
+        # verified, never a successor's claim.
+        got = self._read_lease_raw()
+        if got is not None:
+            raw, payload, mt = got
             holder = self._read_member(payload.get("name", ""))
             if (self._now() - mt) <= self.lease_ttl and (
                 holder is not None and holder.alive
             ):
                 return holder.name == name
             # verifiably stale (aged lease, or dead/missing holder):
-            # steal like a commit lock — delete, then race the
-            # conditional create below
-            self.backend.delete(self._leader_key)
+            # compare-and-delete, then race the conditional create
+            # below.  A failed delete means the lease moved — the
+            # put_if_absent below then loses cleanly.
+            self.backend.delete_if_value(self._leader_key, raw)
 
         live = self.members(only_alive=True)
         candidates = [s for s in live if s.type in ServerType.ELECTABLE]
@@ -355,7 +413,11 @@ class ElectionGroup:
         ):
             return False
 
-        new_epoch = max(self.epoch(), epoch_floor) + 1
+        # mint a UNIQUE fencing token (conditional-create reservation)
+        # BEFORE claiming — two concurrent claimants get different
+        # epochs by construction, and a crash between mint and claim
+        # only burns a token (epoch() counts reserved slots)
+        new_epoch = self._mint_epoch()
         claim = {"name": name, "epoch": new_epoch}
         if not self.backend.put_if_absent(
             self._leader_key, json.dumps(claim).encode()

@@ -453,9 +453,17 @@ def minhash_dedup_incremental(
     threshold: float = 0.8,
     seed: int = 42,
     persisted_out: list[DataFrame] | None = None,
+    phases_out: "dict | None" = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING a new document: new↔corpus and
     new↔new, against a pre-built :func:`minhash_index`.
+
+    ``phases_out``: pass a dict to machine-record the per-phase cost
+    split (batch shingle+band / candidate probe / corpus re-read),
+    each phase force-materialized with its row count — instrumentation
+    for the bench, NOT the production path (the extra persists/counts
+    add barriers a plain run doesn't have; verify-stage time is the
+    caller's total minus these).
 
     Persists the candidate-pair frame (and, via the verify stage, the
     candidate shingle table); loop callers pass ``persisted_out`` to
@@ -470,9 +478,21 @@ def minhash_dedup_incremental(
     banding ⇒ same buckets ⇒ same candidates; exact-Jaccard verify is
     deterministic) — pinned by
     test_incremental_minhash_equals_batch_restriction."""
+    import time as _time
+
     rows_per_band = num_hashes // num_bands
     new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes, seed)
     new_banded = _banded(new_sigs, num_bands, rows_per_band)
+    if phases_out is not None:
+        _t = _time.time()
+        new_sigs = new_sigs.persist()
+        new_banded = new_banded.persist()
+        phases_out["batch_shingle_band"] = {
+            "rows": new_banded.count(),
+            "sec": round(_time.time() - _t, 3),
+        }
+        if persisted_out is not None:
+            persisted_out.extend([new_sigs, new_banded])
     a = new_banded.alias("a")
     c = corpus_index.alias("c")
     new_vs_corpus = (
@@ -492,6 +512,12 @@ def minhash_dedup_incremental(
     cands = new_vs_corpus.unionByName(new_vs_new).distinct().persist()
     if persisted_out is not None:
         persisted_out.append(cands)
+    if phases_out is not None:
+        _t = _time.time()
+        phases_out["candidate_probe"] = {
+            "pairs": cands.count(),
+            "sec": round(_time.time() - _t, 3),
+        }
     needed = cands.select(F.col("id_a").alias(id_col)).union(
         cands.select(F.col("id_b").alias(id_col))
     ).distinct()
@@ -503,6 +529,15 @@ def minhash_dedup_incremental(
         .unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
         .join(needed, id_col, "left_semi")
     )
+    if phases_out is not None:
+        _t = _time.time()
+        docs_needed = docs_needed.persist()
+        phases_out["corpus_reread"] = {
+            "docs": docs_needed.count(),
+            "sec": round(_time.time() - _t, 3),
+        }
+        if persisted_out is not None:
+            persisted_out.append(docs_needed)
     return jaccard_pairs(
         docs_needed, id_col, text_col, n, threshold, candidates=cands,
         persisted_out=persisted_out,

@@ -4196,6 +4196,75 @@ def d5_editlog_converged(spark, sf_dir):
 
 
 @q(
+    "d8_election_trace",
+    """WITH ranked AS (
+         SELECT n_name AS leader,
+                CAST(n_regionkey AS BIGINT) AS leader_version,
+                ROW_NUMBER() OVER (
+                  ORDER BY n_regionkey DESC, n_nationkey ASC) AS epoch
+         FROM nation)
+       SELECT epoch, leader, leader_version
+       FROM ranked WHERE epoch <= 5""",
+)
+def d8_election_trace(spark, sf_dir):
+    """D8 as a driver row (r6 verdict ask #9): run the REAL election
+    protocol — ElectionGroup on the in-memory object-store backend —
+    over members derived from the nation table (one server per nation,
+    dataVersion = n_regionkey, registration order = n_nationkey),
+    through five crash-and-reelect rounds: the seated master
+    unregisters (session drop), the NEED_RESTORE pool restores to
+    SLAVE, survivors campaign and the next claimant steals the orphan
+    lease with a fresh fencing token.
+
+    The observed (epoch, leader, dataVersion) trace must equal the
+    relational oracle: ``electMaster`` is max dataVersion then first
+    created (DistributedManager.java:292-318), so the leader sequence
+    is exactly the nation rows ranked by (version DESC, seq ASC), and
+    epochs are dense 1..5 because each steal mints exactly ONE token
+    (conditional-create reservation).  Value-checks the rule, the
+    steal path, the restamp, and epoch monotonicity — the last
+    pytest-only D8 behavior that is oracle-checkable.
+
+    The 25-row collect is bounded protocol metadata, same class as
+    every other protocol-row collect.
+    """
+    from adfs_spark.backend import MemoryCommitBackend
+    from adfs_spark.election import ElectionGroup, ServerType
+
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    g = ElectionGroup(
+        MemoryCommitBackend(), "svc", min_servers=1, election_delay=0.0
+    )
+    alive: dict[str, int] = {}
+    for r in nations:
+        g.register(r["n_name"], version=int(r["n_regionkey"]))
+        alive[r["n_name"]] = int(r["n_regionkey"])
+    trace = []
+    for _round in range(5):
+        for r in nations:
+            if r["n_name"] in alive:
+                g.campaign(r["n_name"])
+        lead = g.leader()
+        trace.append((g.epoch(), lead.name, int(lead.version)))
+        # session drop: the master's ephemeral registration vanishes;
+        # the lease it held is now verifiably stale (missing holder)
+        g.unregister(lead.name)
+        del alive[lead.name]
+        # survivors finish restoring and re-enter the pool as SLAVE
+        # (the reference's restore pipeline before a node can stand)
+        for nm, ver in alive.items():
+            g.register(nm, version=ver, server_type=ServerType.SLAVE)
+    return spark.createDataFrame(
+        trace, "epoch: long, leader: string, leader_version: long"
+    )
+
+
+@q(
     "f7_block_locations",
     """WITH reps AS (
          SELECT l_orderkey * 10 + l_linenumber AS block_id,
@@ -5080,6 +5149,7 @@ _suite(
         ("stream_ivm_groupagg", ["g", "sum_v", "n_rows"]),
         ("stream_interval_join", ["error_id", "user_id", "click_id", "delta_ms"]),
         ("stream_liveness", ["key", "status", "last_heartbeat_ms"]),
+        ("d8_election_trace", ["epoch", "leader", "leader_version"]),
     ],
     [
         ("o_orderkey", _L), ("version", _L), ("op", _S),
@@ -5090,6 +5160,7 @@ _suite(
         ("g", _S), ("sum_v", _D), ("n_rows", _L),
         ("error_id", _L), ("user_id", _L), ("click_id", _L), ("delta_ms", _L),
         ("key", _L), ("status", _S), ("last_heartbeat_ms", _L),
+        ("epoch", _L), ("leader", _S), ("leader_version", _L),
     ],
 )
 

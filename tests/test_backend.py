@@ -35,12 +35,31 @@ def _sqlite_factory(tmp_path):
 # factories take tmp_path so the database backend gets a per-test file;
 # __name__ keeps the parametrized test ids readable
 _sqlite_factory.__name__ = "SqliteCommitBackend"
+
+# one mock object-store server for the whole module (keys embed
+# tmp_path, so tests stay isolated on the shared server)
+_OBJSTORE: dict = {"server": None}
+
+
+def _objstore_factory(tmp_path):
+    from adfs_spark.objstore import (
+        HttpObjectStoreCommitBackend,
+        ObjectStoreServer,
+    )
+
+    if _OBJSTORE["server"] is None:
+        _OBJSTORE["server"] = ObjectStoreServer().start()
+    return HttpObjectStoreCommitBackend(_OBJSTORE["server"].url)
+
+
+_objstore_factory.__name__ = "HttpObjectStoreCommitBackend"
 BACKENDS = [
     lambda tmp_path: LocalCommitBackend(),
     lambda tmp_path: MemoryCommitBackend(),
     _sqlite_factory,
+    _objstore_factory,
 ]
-BACKEND_IDS = ["local", "memory", "sqlite"]
+BACKEND_IDS = ["local", "memory", "sqlite", "objstore"]
 
 
 def _mk(spark, tmp_path, backend, n=10, name="t", **kw):
@@ -187,3 +206,34 @@ def test_commit_plane_calls_no_os_primitives():
         src = inspect.getsource(fn)
         for verb in forbidden:
             assert verb not in src, f"{fn.__qualname__} uses {verb} directly"
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_backend_conditional_verbs(tmp_path, backend_cls):
+    """replace_if_value / delete_if_value semantics on every medium:
+    CAS succeeds only on exact current content, bumps mtime even for a
+    same-content touch, and never fires on absent keys."""
+    import time as _time
+
+    be = backend_cls(tmp_path)
+    key = str(tmp_path / "lease" / "leader")
+    # absent key: both conditionals refuse
+    assert not be.replace_if_value(key, b"x", b"x")
+    assert not be.delete_if_value(key, b"x")
+    assert be.put_if_absent(key, b"v1")
+    # wrong expected: refuse, content untouched
+    assert not be.replace_if_value(key, b"v2", b"WRONG")
+    assert be.read(key) == b"v1"
+    # right expected: swap
+    assert be.replace_if_value(key, b"v2", b"v1")
+    assert be.read(key) == b"v2"
+    # CAS-touch: same content, mtime moves forward
+    m0 = be.mtime(key)
+    _time.sleep(0.01)
+    assert be.replace_if_value(key, b"v2", b"v2")
+    assert be.mtime(key) >= m0
+    # conditional delete: wrong expected refuses, right one removes
+    assert not be.delete_if_value(key, b"v1")
+    assert be.read(key) == b"v2"
+    assert be.delete_if_value(key, b"v2")
+    assert be.read(key) is None

@@ -24,12 +24,29 @@ def _sqlite_factory(tmp_path):
 
 
 _sqlite_factory.__name__ = "SqliteCommitBackend"
+
+_OBJSTORE: dict = {"server": None}
+
+
+def _objstore_factory(tmp_path):
+    from adfs_spark.objstore import (
+        HttpObjectStoreCommitBackend,
+        ObjectStoreServer,
+    )
+
+    if _OBJSTORE["server"] is None:
+        _OBJSTORE["server"] = ObjectStoreServer().start()
+    return HttpObjectStoreCommitBackend(_OBJSTORE["server"].url)
+
+
+_objstore_factory.__name__ = "HttpObjectStoreCommitBackend"
 BACKENDS = [
     lambda tmp_path: LocalCommitBackend(),
     lambda tmp_path: MemoryCommitBackend(),
     _sqlite_factory,
+    _objstore_factory,
 ]
-BACKEND_IDS = ["local", "memory", "sqlite"]
+BACKEND_IDS = ["local", "memory", "sqlite", "objstore"]
 
 
 def _group(tmp_path, backend_cls, **kw):
@@ -220,3 +237,100 @@ def test_renew_keeps_lease_and_detects_loss(tmp_path, backend_cls):
     g.register("b", version=1)
     assert g.campaign("b") is True
     assert g.renew("a") is False
+
+
+# -- r6 ADVICE race regressions (CAS verbs) ---------------------------------
+#
+# Each test pins one interleaving deterministically by replaying the
+# loser's in-flight step (the bytes it read before losing the race)
+# against the state the winner left — exactly what the unconditional
+# replace/delete verbs used to clobber.
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_renew_cannot_overwrite_fresh_claim(tmp_path, backend_cls):
+    """renew-vs-steal: a deposed master's lease-touch, racing a steal
+    that already landed, must fail instead of durably reinstating the
+    old epoch over the successor's claim."""
+    clock = {"t": 1000.0}
+    g = _group(tmp_path, backend_cls, lease_ttl=5.0, clock=lambda: clock["t"])
+    g.register("a", version=3)
+    g.register("b", version=3)
+    assert g.campaign("a")
+    # A's renew reads the lease bytes...
+    stale_raw = g._read_lease_raw()[0]
+    # ...then stalls; the lease ages out and B steals
+    clock["t"] += 100.0
+    g.register("a", version=3)  # keep members alive post-jump
+    g.register("b", version=3)
+    # a is alive but its LEASE aged out -> b may steal only if the
+    # election favors b; force it: a resigns its member type by
+    # aging: instead directly verify CAS semantics of the renew tail
+    assert g.campaign("b") or g.campaign("a")
+    fresh_raw = g._read_lease_raw()[0]
+    if fresh_raw == stale_raw:
+        # same claimant re-won with identical bytes — not the race
+        import json as _json
+
+        payload = _json.loads(fresh_raw)
+        assert payload["name"] in ("a", "b")
+        return
+    # replay A's in-flight renew replace against the fresh claim
+    assert not g.backend.replace_if_value(g._leader_key, stale_raw, stale_raw)
+    assert g._read_lease_raw()[0] == fresh_raw
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_steal_cannot_delete_fresh_claim(tmp_path, backend_cls):
+    """steal-vs-claim: a stealer's delete, conditioned on the stale
+    lease bytes it verified, cannot remove a rival's fresh claim that
+    landed in between."""
+    g = _group(tmp_path, backend_cls)
+    g.register("a", version=1)
+    assert g.campaign("a")
+    fresh = g._read_lease_raw()[0]
+    stale = b'{"name": "dead", "epoch": 1}'
+    assert not g.backend.delete_if_value(g._leader_key, stale)
+    assert g._read_lease_raw()[0] == fresh
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_concurrent_epoch_mints_are_unique(tmp_path, backend_cls):
+    """Fencing tokens are reserved via conditional create BEFORE any
+    claim, so concurrent minters can never share an epoch."""
+    g = _group(tmp_path, backend_cls)
+    out: list[int] = []
+    errs: list[BaseException] = []
+
+    def mint(k):
+        try:
+            for _ in range(5):
+                out.append(g._mint_epoch())
+        except BaseException as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=mint, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert len(out) == 15 and len(set(out)) == 15
+    assert g.epoch() >= max(out)
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_heartbeat_cannot_resurrect_restamped_member(tmp_path, backend_cls):
+    """heartbeat-vs-restamp: a member's keep-alive replaying the
+    payload it read before a new master demoted it to NEED_RESTORE
+    must be a no-op, leaving the demotion in place."""
+    g = _group(tmp_path, backend_cls)
+    g.register("m", version=7)  # ONLINE
+    key = g._member_key("m")
+    raw_online = g.backend.read(key)
+    # new master restamps m
+    g.register("m", version=7, server_type=ServerType.NEED_RESTORE, setter="boss")
+    # replay the in-flight heartbeat CAS
+    assert not g.backend.replace_if_value(key, raw_online, raw_online)
+    st = g._read_member("m")
+    assert st.type == ServerType.NEED_RESTORE and st.setter == "boss"

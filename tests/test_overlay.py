@@ -453,3 +453,53 @@ def test_auto_mode_mor_routes_spread_batch_to_append(spark, tmp_path):
     assert all(v == "fold" for k, v in live.items() if k % 13 == 1)
     # merge evidence recorded: spread update touched every bucket
     assert t.last_merge_stats["touched_fraction"] == 1.0
+
+
+def test_group_upsert_equals_serial_appends(spark, tmp_path):
+    """k batches through ONE group commit read back identically to k
+    serial append-mode upserts: same live view, same max version, same
+    per-batch version boundaries (delta over any prefix matches)."""
+    g = _mk(spark, tmp_path, name="g")
+    s = _mk(spark, tmp_path, name="s")
+    batches = [
+        spark.createDataFrame([(100 + i, f"g{i}")], "k: long, v: string")
+        for i in range(6)
+    ]
+    vt_g = g.group_upsert(batches)
+    for b in batches:
+        vt_s = s.upsert(b, mode="append")
+    assert _live(g) == _live(s)
+    assert vt_g == vt_s
+    assert g.max_version() == s.max_version()
+    # one commit object for the whole group vs six
+    assert g.last_commit_id() < s.last_commit_id()
+    ph = g.last_write_phases
+    assert ph["n_ops"] == 6 and "publish_sec" in ph
+
+
+def test_group_upsert_same_key_lww_order(spark, tmp_path):
+    """Two group batches hitting the SAME key resolve in submission
+    order (later batch wins LWW), exactly like serial commits."""
+    t = _mk(spark, tmp_path, name="lww")
+    t.group_upsert(
+        [
+            spark.createDataFrame([(3, "first")], "k: long, v: string"),
+            spark.createDataFrame([(3, "second")], "k: long, v: string"),
+        ]
+    )
+    assert _live(t)[3] == "second"
+
+
+def test_group_upsert_oversize_batch_rejected(spark, tmp_path):
+    """A batch beyond the driver small-batch bound fails the whole
+    group atomically (no partial commit, no burned versions)."""
+    t = _mk(spark, tmp_path, name="big")
+    vt0 = t.max_version()
+    big = spark.range(0, t.append_threshold + 10).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    ok = spark.createDataFrame([(200, "ok")], "k: long, v: string")
+    with pytest.raises(ValueError, match="append_threshold"):
+        t.group_upsert([ok, big])
+    assert t.max_version() == vt0
+    assert 200 not in _live(t)
