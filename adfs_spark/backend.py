@@ -188,8 +188,14 @@ class LocalCommitBackend(CommitBackend):
                 return False
             self.replace(key, data)
             # equal-content rewrite on a coarse-mtime fs could leave
-            # mtime unchanged; force it forward (the CAS-touch contract)
-            os.utime(key)
+            # mtime unchanged; force it forward (the CAS-touch contract).
+            # Plain verbs are lock-free against CAS verbs, so the key may
+            # vanish between replace and utime — the CAS itself already
+            # succeeded, a vanished key just means a plain delete won.
+            try:
+                os.utime(key)
+            except OSError:
+                pass
             return True
         finally:
             fcntl.flock(f.fileno(), fcntl.LOCK_UN)

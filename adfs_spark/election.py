@@ -36,10 +36,13 @@ Steal-path races are closed with the backend's conditional verbs
   (two stealers: both conditional deletes target the SAME stale bytes,
   at most one lease deletion happens, then exactly one
   ``put_if_absent`` wins).
-- **renew** is a CAS-touch on the lease bytes read — a deposed master
-  racing a steal either touches the still-current lease or fails and
-  self-demotes; it can never overwrite a fresh claim with its old
-  epoch.
+- **renew** is a CAS replace that increments a ``renew`` counter in
+  the lease payload, so the lease BYTES change on every renewal (not
+  just the mtime).  A stealer's conditional delete conditions on the
+  bytes it read; any renew landing in between changes those bytes and
+  the steal aborts — byte-level fencing, closing the race in BOTH
+  directions (a renew after a steal fails and self-demotes; a steal
+  after a renew fails and retries from a fresh read).
 - **fencing tokens are minted by conditional-create reservation**
   (``epochs/<n>``) BEFORE the claim, so two concurrent claimants can
   never hold the same epoch; a writer holding epoch *e* is fenced by
@@ -294,6 +297,20 @@ class ElectionGroup:
         ]
         return max(hw, max(slots, default=0))
 
+    def _gc_epoch_slots(self, high_water: int) -> None:
+        """Compact reservation slots at/below the persisted high-water
+        mark.  ``epoch()`` lists the whole ``epochs/`` prefix on every
+        campaign and leader-path read, and every election (plus every
+        lost mint race) reserves a permanent slot — unbounded growth
+        for a long-lived group.  Once ``campaign`` has persisted the
+        high-water key, every slot n <= high_water is dominated by it,
+        so deleting them cannot regress ``epoch()`` monotonicity; slots
+        ABOVE the high water (a concurrent claimant mid-mint, or a
+        crashed claimant's burned token) are left alone."""
+        for s in self.backend.list(self._epochs_prefix):
+            if s.isdigit() and int(s) <= high_water:
+                self.backend.delete(posixpath.join(self._epochs_prefix, s))
+
     def _mint_epoch(self) -> int:
         """Reserve a UNIQUE fencing token via conditional create —
         BEFORE any lease claim, so two concurrent claimants can never
@@ -328,23 +345,32 @@ class ElectionGroup:
         return holder
 
     def renew(self, name: str) -> bool:
-        """Master keep-alive: bump the lease mtime (and the member
+        """Master keep-alive: advance the lease (and the member
         heartbeat).  Returns False when this node no longer holds the
         lease — the fenced demotion signal.
 
-        The mtime bump is a CAS on the exact lease bytes read: a blind
-        replace here could land AFTER a stealer's delete +
-        put_if_absent, durably reinstating the deposed master's old
-        epoch over the fresh claim (the r6 ADVICE renew-vs-steal
-        race).  With ``replace_if_value``, a renew racing a steal
-        either touches the still-current lease (stealer's staleness
-        check then fails — the lease is fresh again) or fails and
-        self-demotes; the fresh claim can never be overwritten."""
+        The renewal is a CAS that CHANGES the lease bytes: the payload
+        carries a monotonically increasing ``renew`` counter, so every
+        successful renew invalidates any conditional delete a stealer
+        staged against the pre-renew bytes (the r7 ADVICE residual
+        race: a CAS-touch with expected == data left the bytes equal,
+        so a stealer holding a stale read could still delete a lease
+        that had just been renewed — mtime freshness alone does not
+        protect it, because ``delete_if_value`` compares value, not
+        mtime).  With a byte-changing renew, the race is closed in
+        both directions: a renew racing a steal either lands first
+        (the steal's delete then mismatches and aborts) or fails its
+        own CAS and self-demotes; the fresh claim can never be
+        overwritten and a fresh renewal can never be unseated."""
         got = self._read_lease_raw()
         if got is None or got[1].get("name") != name:
             return False
-        raw = got[0]
-        if not self.backend.replace_if_value(self._leader_key, raw, raw):
+        raw, payload = got[0], got[1]
+        bumped = dict(payload)
+        bumped["renew"] = int(payload.get("renew", 0)) + 1
+        if not self.backend.replace_if_value(
+            self._leader_key, json.dumps(bumped).encode(), raw
+        ):
             # lease changed under us (stolen/re-claimed) — demoted
             return False
         self.heartbeat(name)
@@ -431,6 +457,7 @@ class ElectionGroup:
         # (the new-master branch of getServers,
         # DistributedManager.java:165-172)
         self.backend.replace(self._epoch_key, str(new_epoch).encode())
+        self._gc_epoch_slots(new_epoch)
         me = self._read_member(name)
         self.register(
             name,

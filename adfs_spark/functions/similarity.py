@@ -348,17 +348,20 @@ def embedding_near_duplicates(
     """
     lsh = lsh or RandomHyperplaneLSH(dim, num_bits, seed)
     if spanning:
+        # extra tables inherit the prebuilt lsh's OWN dim/bits — a
+        # caller passing lsh= with a different dimensionality than the
+        # `dim` argument must not get hyperplanes of the wrong shape
         tables = [lsh]
         for i in range(1, max(1, spanning_tables)):
             if isinstance(lsh, DeterministicHyperplaneLSH):
                 tables.append(
                     DeterministicHyperplaneLSH(
-                        dim, lsh.num_bits, salt=f"{lsh.salt}~t{i}"
+                        lsh.dim, lsh.num_bits, salt=f"{lsh.salt}~t{i}"
                     )
                 )
             else:
                 tables.append(
-                    RandomHyperplaneLSH(dim, lsh.num_bits, seed + 7919 * i)
+                    RandomHyperplaneLSH(lsh.dim, lsh.num_bits, seed + 7919 * i)
                 )
         scorer = _leader_scorer(id_col, vec_col, threshold)
         per_table = [

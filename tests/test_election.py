@@ -281,6 +281,59 @@ def test_renew_cannot_overwrite_fresh_claim(tmp_path, backend_cls):
 
 
 @pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_steal_after_renew_aborts(tmp_path, backend_cls):
+    """renew-THEN-steal (r7 ADVICE): a stealer that read the lease
+    while it looked stale must NOT be able to delete it after the
+    master successfully renews in between.  delete_if_value compares
+    VALUE, not mtime — so the fix is that renew changes the lease
+    bytes (renew counter), invalidating the stealer's staged delete."""
+    g = _group(tmp_path, backend_cls)
+    g.register("a", version=1)
+    assert g.campaign("a")
+    pre_renew = g._read_lease_raw()[0]
+    # master renews: the lease BYTES must change, not just mtime
+    assert g.renew("a") is True
+    post_renew = g._read_lease_raw()[0]
+    assert post_renew != pre_renew
+    # replay the stealer's in-flight conditional delete on the
+    # pre-renew bytes it verified as stale — must abort
+    assert not g.backend.delete_if_value(g._leader_key, pre_renew)
+    assert g._read_lease_raw()[0] == post_renew
+    lead = g.leader()
+    assert lead is not None and lead.name == "a"
+    # and the master keeps renewing from the new bytes
+    assert g.renew("a") is True
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
+def test_epoch_slots_compacted_after_claim(tmp_path, backend_cls):
+    """Minted-epoch reservation slots are garbage-collected once the
+    claim persists the high-water mark — elections recur for the life
+    of the service, so epochs/ must not grow without bound — while
+    epoch() monotonicity is preserved across steals."""
+    g = _group(tmp_path, backend_cls)
+    g.register("a", version=1)
+    g.register("b", version=1)
+    assert g.campaign("a")
+    for i in range(2, 6):  # repeated handovers mint new epochs
+        g.resign("a" if i % 2 == 0 else "b")
+        winner = "b" if i % 2 == 0 else "a"
+        loser = "a" if i % 2 == 0 else "b"
+        g.register(winner, version=i)  # version dominates → handover
+        g.register(loser, version=0)
+        assert g.campaign(winner)
+        assert g.epoch() == i
+    # slots at/below the persisted high water are compacted
+    slots = [int(s) for s in g.backend.list(g._epochs_prefix) if s.isdigit()]
+    assert all(n > 5 for n in slots), slots
+    assert g.epoch() == 5
+    # a burned token (mint with no claim) above the high water survives
+    burned = g._mint_epoch()
+    assert burned == 6
+    assert g.epoch() == 6  # monotonic even though the claim never lands
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS, ids=BACKEND_IDS)
 def test_steal_cannot_delete_fresh_claim(tmp_path, backend_cls):
     """steal-vs-claim: a stealer's delete, conditioned on the stale
     lease bytes it verified, cannot remove a rival's fresh claim that
