@@ -390,6 +390,54 @@ def embedding_near_duplicates(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+def embedding_candidate_star(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_tables: "Sequence[RandomHyperplaneLSH] | None" = None,
+    dim: int = 64,
+    num_bits: int = 10,
+    seed: int = 42,
+    num_tables: int = 2,
+) -> DataFrame:
+    """Candidate-level spanning-star edges over one or more LSH bucket
+    planes — the O(docs × tables) edge set whose connected components
+    are PROVABLY identical to the all-pairs bucket graph's: per
+    (table, bucket) the star and the clique span the same node set, and
+    a union of same-span subgraphs has the same transitive closure
+    (pinned by test_embedding_star_equals_allpairs_components).
+
+    This is the unverified candidate plane — feed it to
+    :func:`~adfs_spark.functions.dedup.connected_components` /
+    :func:`~adfs_spark.functions.dedup.canonical_survivors` when bucket
+    co-membership IS the dup criterion (e.g. multi-probe signature
+    equality).  For cosine-verified edges use
+    :func:`embedding_near_duplicates` (``spanning=True`` for its
+    O(docs)-edge greedy-leader form).
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a`` = the bucket-min
+    hub.  One aggregate + one same-key join per table; edges stay
+    O(rows × tables) for any bucket-size distribution.
+    """
+    from adfs_spark.functions.dedup import _star_edges
+
+    if lsh_tables is None:
+        lsh_tables = [
+            RandomHyperplaneLSH(dim, num_bits, seed + 7919 * i)
+            for i in range(max(1, num_tables))
+        ]
+    edges = None
+    for ti, t in enumerate(lsh_tables):
+        b = t.bucketize(df, vec_col).select(
+            F.col(id_col).alias("_id"),
+            F.lit(ti).alias("tbl"),
+            "bucket",
+        )
+        star = _star_edges(b, ["tbl", "bucket"], "_id")
+        edges = star if edges is None else edges.unionByName(star)
+    return edges.dropDuplicates(["id_a", "id_b"])
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

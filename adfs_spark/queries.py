@@ -3822,6 +3822,88 @@ def dedup_canonical_survivors(spark, sf_dir):
 
 
 @q(
+    "dedup_canonical_survivors_spanning",
+    """WITH RECURSIVE
+       planes AS (
+         SELECT t, b, d,
+                CAST((('0x' || substring(md5(
+                         CASE WHEN t = 0 THEN 'lsh' ELSE 'lsh~t1' END
+                         || '_' || b || '_' || d), 1, 8))::BIGINT % 16) - 8
+                     AS DOUBLE) AS w
+         FROM range(0, 2) tt(t), range(0, 10) t1(b), range(0, 64) t2(d)),
+       plist AS (SELECT t, b, list(w ORDER BY d) AS p FROM planes GROUP BY t, b),
+       v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings),
+       sig AS (
+         SELECT t, vec_id,
+                sum(CASE WHEN list_dot_product(v.e, plist.p) >= 0
+                         THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS s
+         FROM v, plist GROUP BY t, vec_id),
+       hubs AS (SELECT t, s, min(vec_id) AS hub FROM sig GROUP BY t, s),
+       e2 AS (SELECT DISTINCT h.hub AS id_a, g.vec_id AS id_b
+              FROM sig g JOIN hubs h ON g.t = h.t AND g.s = h.s
+              WHERE g.vec_id <> h.hub),
+       sym AS (SELECT id_a AS u, id_b AS v FROM e2
+               UNION SELECT id_b, id_a FROM e2),
+       reach(u, v) AS (SELECT u, v FROM sym
+                       UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+       sc AS (SELECT doc_id AS node,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                          AS DOUBLE) AS score
+              FROM documents),
+       j AS (SELECT c.component, c.node, s.score FROM comp c JOIN sc s USING (node)),
+       r AS (SELECT component, node,
+                    row_number() OVER (PARTITION BY component
+                                       ORDER BY score DESC, node ASC) AS rn,
+                    count(*) OVER (PARTITION BY component) AS n
+             FROM j)
+       SELECT component, node AS survivor_id, n AS n_members, n - 1 AS n_dropped
+       FROM r WHERE rn = 1""",
+)
+def dedup_canonical_survivors_spanning(spark, sf_dir):
+    """The at-scale form of the keep-step, hash-checked (r7 verdict ask
+    #3): spanning-STAR candidate edges (similarity.
+    embedding_candidate_star — per-bucket hub→member, O(docs × tables)
+    edges for ANY dup-family size) over TWO salted deterministic LSH
+    planes, glued by connected components, then the same
+    canonical-survivor argmax as ``dedup_canonical_survivors``.
+
+    The star's components are provably identical to the all-pairs
+    bucket graph's (per bucket both span the same node set), so the
+    oracle recomputes the clique form: same md5 planes, all intra-
+    bucket pairs expressed as hub joins, recursive-CTE closure, window
+    argmax.  This row pins exactly what ``spanning=True`` changes —
+    candidate emission and cross-table gluing; the per-edge cosine
+    verification it composes with is pinned by the all-pairs row and
+    the planted-family recall gate in bench.
+
+    10 signature bits at this corpus size keeps the cross-plane union
+    sub-percolation (components stay dup-family-sized); the production
+    spanning path needs no such tuning because verified edges prune
+    false candidates before any closure."""
+    from adfs_spark.functions.dedup import canonical_survivors
+    from adfs_spark.functions.text import whitespace_tokens
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    tables = [
+        sim.DeterministicHyperplaneLSH(dim=64, num_bits=10, salt="lsh"),
+        sim.DeterministicHyperplaneLSH(dim=64, num_bits=10, salt="lsh~t1"),
+    ]
+    edges = sim.embedding_candidate_star(
+        e, id_col="vec_id", vec_col="embedding", lsh_tables=tables
+    )
+    scores = d.select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).cast("double").alias("score"),
+    )
+    return canonical_survivors(
+        edges, scores, id_col="doc_id", score_col="score"
+    )
+
+
+@q(
     "pipeline_ccnet_buckets",
     """WITH toks AS (
          SELECT doc_id,
@@ -5269,6 +5351,7 @@ _suite(
         ("pipeline_bm25_rank", ["doc_id", "bm25"]),
         ("s_warc_roundtrip", ["target_uri", "n_chars"]),
         ("dedup_canonical_survivors", ["component", "survivor_id", "n_members", "n_dropped"]),
+        ("dedup_canonical_survivors_spanning", ["component", "survivor_id", "n_members", "n_dropped"]),
         ("pipeline_ccnet_buckets", ["doc_id", "lang", "bucket", "lp"]),
         ("corpus_report", ["source", "n_docs", "total_tokens", "n_dup_docs", "n_langs"]),
         ("s_jsonl_roundtrip", ["doc_id", "lang", "n_chars"]),

@@ -396,3 +396,63 @@ def test_spanning_equals_allpairs_components(spark, assign):
     # and the edge bound: at most one star edge per non-hub bucket row
     n_rows = len(rows)
     assert star.count() <= n_rows
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-4, 4).map(float), min_size=6, max_size=6
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_embedding_star_equals_allpairs_components(spark, vecs):
+    """embedding_candidate_star (the driver-rowed spanning keep-step's
+    candidate plane): components over the multi-table star edges equal
+    components over the all-pairs bucket graph of the SAME tables, and
+    edges are bounded by rows × tables — for arbitrary real vectors,
+    not just abstract bucket assignments."""
+    from adfs_spark.functions.dedup import connected_components
+    from adfs_spark.functions.similarity import (
+        DeterministicHyperplaneLSH,
+        embedding_candidate_star,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    tables = [
+        DeterministicHyperplaneLSH(dim=6, num_bits=3, salt="p"),
+        DeterministicHyperplaneLSH(dim=6, num_bits=3, salt="p~t1"),
+    ]
+    star = embedding_candidate_star(
+        df, id_col="vec_id", vec_col="embedding", lsh_tables=tables
+    )
+    # all-pairs over the union of the same bucket planes
+    allp = None
+    for ti, t in enumerate(tables):
+        b = t.bucketize(df, "embedding").select(
+            F.col("vec_id").alias("_id"), "bucket"
+        )
+        a, c = b.alias("a"), b.alias("b")
+        p = (
+            a.join(
+                c,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+        allp = p if allp is None else allp.unionByName(p)
+    allp = allp.distinct()
+    comp_star = {
+        (r["node"], r["component"])
+        for r in connected_components(star, max_iter=12).collect()
+    }
+    comp_all = {
+        (r["node"], r["component"])
+        for r in connected_components(allp, max_iter=12).collect()
+    }
+    assert comp_star == comp_all
+    assert star.count() <= len(rows) * len(tables)
