@@ -1107,6 +1107,94 @@ class VersionedTable:
             self.compact()
         return vt  # type: ignore[return-value]
 
+    def group_point_update(self, ops, op: str = "UPDATE") -> int:
+        """Group commit of PK point updates: k read-modify-write ops in
+        one lock/changelog/publish cycle AND one bucket-pruned Spark
+        job — the scale form of :meth:`group_upsert` for the high-churn
+        namenode surface (sync/append lease reacquires: read one row by
+        pk, mutate a field, write back; BenchmarkerForNamenode.java
+        sync2's 100 concurrent clients are exactly this).
+
+        ``ops``: sequence of ``(key_values, assignments)`` — pk tuples
+        (bare values for a 1-column pk) and a dict of column → plain
+        Python value.  The group's current rows are fetched with ONE
+        :meth:`point_lookup` over the union of all keys, so the read
+        job scans O(|keys|/num_buckets) of the table's files via
+        ``_kb`` partition pruning — flat in table size, where
+        ``group_upsert`` over caller-built ``filter(pk == k)`` batches
+        re-scans the table per group (the r7 verdict's sf100
+        group-commit floor).  Ops then apply serially against a
+        driver-side working copy, so an op reads every earlier op's
+        writes — version stamps and same-key LWW outcomes are
+        IDENTICAL to k serial ``update_where(mode="append")`` calls
+        (pytest-pinned).  Keys with no live row are no-ops, exactly as
+        an update matching zero rows.  Returns the new watermark.
+        """
+        ops = list(ops)
+        if not ops:
+            return self._stamp_base()
+        if not self._driver_appendable():
+            raise ValueError("group_point_update: schema is not driver-appendable")
+        pk = list(self.spec.primary_key)
+        norm: list[tuple[list[tuple], dict]] = []
+        for kv, assigns in ops:
+            keys = [k if isinstance(k, tuple) else (k,) for k in kv]
+            norm.append((keys, dict(assigns)))
+        all_keys = sorted({k for keys, _ in norm for k in keys})
+        limit = self.append_threshold * len(norm)
+        if len(all_keys) > limit:
+            raise ValueError(
+                "group_point_update: group exceeds the driver small-batch "
+                f"bound ({limit} keys); use update_where(mode='merge')"
+            )
+
+        def body() -> int:
+            base = self._stamp_base()
+            # ONE bucket-pruned job for the whole group's reads
+            fetched = self.point_lookup(all_keys).take(len(all_keys))
+            state = {
+                tuple(r[c] for c in pk): r.asDict() for r in fetched
+            }
+            # materialize and validate every op's batch BEFORE the first
+            # append — an oversize op must fail the whole group without
+            # a partial commit or burned versions
+            staged: list[list[dict]] = []
+            for keys, assigns in norm:
+                batch = []
+                for k in keys:
+                    cur = state.get(k)
+                    if cur is None:
+                        continue
+                    cur = dict(cur)
+                    cur.update(assigns)
+                    state[k] = cur
+                    batch.append(cur)
+                if len(batch) > self.append_threshold:
+                    raise ValueError(
+                        "group_point_update: op exceeds append_threshold "
+                        f"({self.append_threshold}); use update_where(mode='merge')"
+                    )
+                staged.append(batch)
+            t0 = time.time()
+            n = 0
+            for batch in staged:
+                # per-op stamping preserves op boundaries in version
+                # space (same-key conflicts resolve in submission order)
+                n += self._driver_append_rows(batch, op, base + n)
+            t1 = time.time()
+            self._mark_visible(base + n)
+            self.last_write_phases = {
+                "n_ops": len(norm),
+                "driver_append_sec": round(t1 - t0, 4),
+                "publish_sec": round(time.time() - t1, 4),
+            }
+            return base + n
+
+        vt = self._transact(body, f"GROUPPT_{op}x{len(norm)}")
+        if self.txn is None and not self._mor_append_ok(0):
+            self.compact()
+        return vt  # type: ignore[return-value]
+
     def update_where(
         self, predicate, assignments: dict[str, object], mode: str = "merge"
     ) -> int:

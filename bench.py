@@ -1029,11 +1029,18 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
         n_ops = 20
         t0 = time.time()
         for _g in range(n_ops // k):
-            t.group_upsert(
+            # group_point_update: the group's k reads are ONE
+            # bucket-pruned point_lookup job (pk-hash _kb pruning), so
+            # the per-group read cost is O(k/num_buckets) of the
+            # table's files — flat in table size (r7 verdict ask #4:
+            # the old per-op filter scans grew with SF, flooring sf100
+            # at 19 ops/s)
+            t.group_point_update(
                 [
-                    ns_full.filter(
-                        F.col("id") == _leaf_ids[(gi + j) % len(_leaf_ids)]
-                    ).withColumn("leaseHolder", F.lit(f"sync2g-{gi + j}"))
+                    (
+                        [_leaf_ids[(gi + j) % len(_leaf_ids)]],
+                        {"leaseHolder": f"sync2g-{gi + j}"},
+                    )
                     for j in range(k)
                 ]
             )
@@ -1050,8 +1057,9 @@ def bench_namespace_ops(spark) -> dict[str, dict]:
         # generic per_sec projection renders it (r7: the nested dict
         # serialized to null, hiding the gate fix from BENCH_r07.json)
         "per_sec": max(v["per_sec"] for v in by_k.values()),
-        "derived_from": "k client ops per lock/append/publish cycle "
-        "(group_upsert); the concurrent-clients analog of the published row",
+        "derived_from": "k client point-ops per lock/append/publish cycle "
+        "(group_point_update, one _kb-pruned read job per group); the "
+        "concurrent-clients analog of the published row",
     }
     # append2 (data-bearing reopen): reacquire the lease AND extend the
     # file — a two-column masked update (leaseHolder + length bump) in

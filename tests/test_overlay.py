@@ -490,6 +490,69 @@ def test_group_upsert_same_key_lww_order(spark, tmp_path):
     assert _live(t)[3] == "second"
 
 
+@pytest.mark.parametrize("num_buckets", [0, 8])
+def test_group_point_update_equals_serial_update_where(
+    spark, tmp_path, num_buckets
+):
+    """k point updates through ONE group_point_update (one bucket-pruned
+    read job, one commit cycle) read back identically to k serial
+    append-mode update_where calls: same live view, same max version —
+    including a missing key (no-op) and cross-op read-your-writes on a
+    shared key."""
+    g = _mk(spark, tmp_path, n=40, num_buckets=num_buckets, name="g")
+    s = _mk(spark, tmp_path, n=40, num_buckets=num_buckets, name="s")
+    ops = [
+        ([3], {"v": "a"}),
+        ([7, 9], {"v": "b"}),
+        ([3], {"v": "c"}),          # same key again: later op wins
+        ([999], {"v": "ghost"}),    # missing key: no-op
+        ([12], {"v": "d"}),
+    ]
+    vt_g = g.group_point_update(ops)
+    vt_s = None
+    for keys, assigns in ops:
+        vt_s = s.update_where(
+            F.col("k").isin(keys),
+            {c: F.lit(v) for c, v in assigns.items()},
+            mode="append",
+        )
+    assert _live(g) == _live(s)
+    assert vt_g == vt_s
+    assert g.max_version() == s.max_version()
+    assert _live(g)[3] == "c" and 999 not in _live(g)
+    # one commit object for the whole group vs five
+    assert g.last_commit_id() < s.last_commit_id()
+    assert g.last_write_phases["n_ops"] == 5
+
+
+def test_group_point_update_multi_column_and_composite_state(spark, tmp_path):
+    """Assignments touch a subset of columns; untouched columns carry
+    the CURRENT value forward (read-modify-write), and an op sees the
+    column writes of earlier ops in the same group."""
+    t = _mk(spark, tmp_path, n=10, num_buckets=4, name="rmw")
+    t.group_point_update(
+        [
+            ([5], {"v": "first"}),
+            ([5], {}),  # no-op assignment still re-stamps the CURRENT row
+        ]
+    )
+    assert _live(t)[5] == "first"  # second op read the first op's write
+
+
+def test_group_point_update_oversize_rejected(spark, tmp_path):
+    """A group beyond the driver small-batch bound fails atomically."""
+    t = _mk(spark, tmp_path, n=20, name="big2")
+    t.append_threshold = 3
+    vt0 = t.max_version()
+    with pytest.raises(ValueError, match="small-batch bound"):
+        t.group_point_update([(list(range(10)), {"v": "x"})])
+    with pytest.raises(ValueError, match="append_threshold"):
+        t.group_point_update(
+            [([0, 1], {"v": "y"}), ([2, 3, 4, 5], {"v": "z"})]
+        )
+    assert t.max_version() == vt0
+
+
 def test_group_upsert_oversize_batch_rejected(spark, tmp_path):
     """A batch beyond the driver small-batch bound fails the whole
     group atomically (no partial commit, no burned versions)."""
