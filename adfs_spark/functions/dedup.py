@@ -54,17 +54,67 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, form: str = "string"
 ) -> DataFrame:
     """(_id, _h): one row per distinct shingle per document, carrying
-    the shingle's 64-bit xxhash64 instead of its text.  Every consumer
+    a 64-bit shingle hash instead of its text.  Every consumer
     (signature minimization, Jaccard set intersection) needs only
     equality/hash semantics, so the 8-byte key replaces shingle text
     everywhere downstream — at sf100 the shared persisted shingle table
     drops from ~15 GB of text to ~1 GB of longs, which is what made the
     single-disk spill decade super-linear (SCALE.md §11).  Collisions
     (~|shingles|²/2⁶⁴ per doc pair) are the standard MinHash trade and
-    orders of magnitude below the verify threshold's resolution."""
+    orders of magnitude below the verify threshold's resolution.
+
+    ``form`` picks the hash construction (both yield one long per
+    distinct shingle position set; set CARDINALITIES — hence Jaccard
+    values — are equal up to 2⁻⁶⁴ collisions, pinned by
+    test_tokenhash_shingles_equal_jaccard):
+
+    - ``"string"`` — materialize each shingle as a concat_ws string,
+      then xxhash64 it.  O(tokens × n) bytes of transient string per
+      doc; the historical form every committed fixture hash was
+      measured with.
+    - ``"tokenhash"`` — xxhash64 each TOKEN once, then hash-chain the
+      n-long window (xxhash64(acc, h), the ``repeated_spans``
+      ``tokenhash`` rolling form): no shingle string is ever built, the
+      per-span work is n long-ops — the attack on the batch-shingling
+      floor that dominates incremental dedup at sf100 (75.1 s of
+      88.5 s, r7 verdict ask #7).  Hash VALUES differ from the string
+      form (different minhash permutation minima → same-parameter LSH
+      recall is statistically identical but not bit-identical), so the
+      form must be consistent between an index build and its probes.
+    """
+    if form == "tokenhash":
+        hashed = spread(df).select(
+            F.col(id_col).alias("_id"),
+            # coalesce NULL (NULL text) to an empty array: one sentinel
+            # span per degenerate doc, same shape as the string form's
+            # "" shingle (see repeated_spans tokenhash)
+            F.coalesce(
+                F.transform(
+                    whitespace_tokens(F.col(text_col)),
+                    lambda t: F.xxhash64(t),
+                ),
+                F.array().cast("array<bigint>"),
+            ).alias("_th"),
+        )
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size("_th") - n + 1, F.lit(1))
+        )
+        spans = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.aggregate(
+                    F.slice("_th", i, n),
+                    F.lit(0).cast("long"),
+                    lambda acc, h: F.xxhash64(acc, h),
+                ),
+            )
+        )
+        return hashed.select("_id", F.explode(spans).alias("_h"))
+    if form != "string":
+        raise ValueError(f"shingle form must be string|tokenhash, got {form}")
     return spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), n)).alias("_sh"),
@@ -213,6 +263,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     shingle_df: DataFrame | None = None,
     persisted_out: list[DataFrame] | None = None,
+    shingle_form: str = "string",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
@@ -234,7 +285,7 @@ def jaccard_pairs(
     """
     sh = shingle_df
     if sh is None:
-        sh = _hashed_shingles(df, id_col, text_col, n)
+        sh = _hashed_shingles(df, id_col, text_col, n, shingle_form)
     if candidates is not None:
         # Candidate-driven: explode only candidate members and join the
         # pair list first — work is O(|candidates| · shingles/doc), not
@@ -304,6 +355,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     seed: int = 42,
     shingle_df: DataFrame | None = None,
+    shingle_form: str = "string",
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length
     ``num_hashes``.  Shingle → xxhash64 (non-negative via pmod) → min
@@ -321,7 +373,7 @@ def minhash_signatures(
     exploded = (
         shingle_df
         if shingle_df is not None
-        else _hashed_shingles(df, id_col, text_col, n)
+        else _hashed_shingles(df, id_col, text_col, n, shingle_form)
     )
     # _h is the raw 64-bit shingle hash; fold into the universal-hash
     # field exactly as the text path always did (pmod handles the sign)
@@ -431,13 +483,16 @@ def minhash_index(
     num_hashes: int = 128,
     num_bands: int = 32,
     seed: int = 42,
+    shingle_form: str = "string",
 ) -> DataFrame:
     """The materializable LSH index of a corpus: (_id, band, bucket)
     rows.  Write it once (e.g. a parquet table partitioned by band);
     each new ingest batch then dedups against the corpus WITHOUT
     re-shingling or re-hashing it — the operational mode at 100 TB,
     where the corpus is three orders of magnitude larger than a batch."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, shingle_form=shingle_form
+    )
     return _banded(sigs, num_bands, num_hashes // num_bands)
 
 
@@ -454,6 +509,7 @@ def minhash_dedup_incremental(
     seed: int = 42,
     persisted_out: list[DataFrame] | None = None,
     phases_out: "dict | None" = None,
+    shingle_form: str = "string",
 ) -> DataFrame:
     """Near-dup pairs INVOLVING a new document: new↔corpus and
     new↔new, against a pre-built :func:`minhash_index`.
@@ -481,7 +537,10 @@ def minhash_dedup_incremental(
     import time as _time
 
     rows_per_band = num_hashes // num_bands
-    new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes, seed)
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, n, num_hashes, seed,
+        shingle_form=shingle_form,
+    )
     new_banded = _banded(new_sigs, num_bands, rows_per_band)
     if phases_out is not None:
         _t = _time.time()
@@ -540,7 +599,7 @@ def minhash_dedup_incremental(
             persisted_out.append(docs_needed)
     return jaccard_pairs(
         docs_needed, id_col, text_col, n, threshold, candidates=cands,
-        persisted_out=persisted_out,
+        persisted_out=persisted_out, shingle_form=shingle_form,
     )
 
 
@@ -555,6 +614,7 @@ def minhash_near_duplicates(
     seed: int = 42,
     collapse_exact: bool = True,
     persisted_out: list[DataFrame] | None = None,
+    shingle_form: str = "string",
 ) -> DataFrame:
     """Full near-dedup pipeline: exact-collapse → MinHash → LSH buckets
     → exact Jaccard verify of candidates.  Returns (id_a, id_b, jaccard).
@@ -587,7 +647,7 @@ def minhash_near_duplicates(
         core = minhash_near_duplicates(
             rep_docs, id_col, text_col, n, num_hashes, num_bands,
             threshold, seed, collapse_exact=False,
-            persisted_out=persisted_out,
+            persisted_out=persisted_out, shingle_form=shingle_form,
         )
         # (rep_a, rep_b, j) pairs, plus each multi-member group with
         # itself at jaccard 1.0; expand through the id→rep mapping.
@@ -625,13 +685,13 @@ def minhash_near_duplicates(
     from pyspark import StorageLevel
 
     sh = (
-        _hashed_shingles(df, id_col, text_col, n)
+        _hashed_shingles(df, id_col, text_col, n, shingle_form)
         .repartition(F.col("_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if persisted_out is not None:
         persisted_out.append(sh)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingle_df=sh)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingle_df=sh)  # sh carries the form
     # The verify stage reads the candidate set twice (semi-join doc
     # list + the pair join); without a persist the whole signature →
     # banding → bucket-join subtree would execute twice (-30%

@@ -163,27 +163,14 @@ def _canonical_keep_step(spark, out: dict) -> None:
         return stats
 
     CANONICAL_STATS.update({"threshold": 0.92, "n_vectors": n_vec})
-    if n_vec <= 200_000:
-        t0 = time.time()
-        st = _keep_step(
-            _sim.embedding_near_duplicates(emb, dim=64, threshold=0.92, lsh=lsh)
-        )
-        st["sec"] = round(time.time() - t0, 3)
-        out["dedup_canonical_survivors"] = st["sec"]
-        CANONICAL_STATS["all_pairs"] = st
-    else:
-        CANONICAL_STATS["all_pairs"] = {
-            "skipped": True,
-            "reason": "fixture dup-family size grows ~linearly with SF, so "
-            "the materialized all-pairs graph is quadratic past this rung; "
-            "the spanning mode below is the at-scale form and RUNS here",
-        }
 
-    # spanning rung: plant 20 × (1 base + 4 copies) families from
-    # corpus vectors under fresh ids, run the star candidate tier on
-    # corpus ∪ planted, keep-step it, and check every family lands in
-    # one component.  Planted ids have no document score — the
-    # left-join sentinel in canonical_survivors covers them.
+    # plant 20 × (1 base + 4 copies) families from corpus vectors under
+    # fresh ids, seeded into BOTH rungs (r7 verdict ask #6: unequal
+    # inputs made the n_clustered_docs A/B not like-for-like), so the
+    # all-pairs/spanning comparison is over the identical corpus and
+    # both carry a machine-readable planted marker.  Planted ids have
+    # no document score — the left-join sentinel in canonical_survivors
+    # covers them.
     _pl_base = (
         emb.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id").cast("string")))
@@ -217,6 +204,27 @@ def _canonical_keep_step(spark, out: dict) -> None:
     _union = emb.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
     ).unionByName(_planted)
+
+    if n_vec <= 200_000:
+        t0 = time.time()
+        st = _keep_step(
+            _sim.embedding_near_duplicates(
+                _union, dim=64, threshold=0.92, lsh=lsh
+            )
+        )
+        st["sec"] = round(time.time() - t0, 3)
+        st["planted"] = True
+        st["planted_families"] = len(_fams)
+        out["dedup_canonical_survivors"] = st["sec"]
+        CANONICAL_STATS["all_pairs"] = st
+    else:
+        CANONICAL_STATS["all_pairs"] = {
+            "skipped": True,
+            "reason": "fixture dup-family size grows ~linearly with SF, so "
+            "the materialized all-pairs graph is quadratic past this rung; "
+            "the spanning mode below is the at-scale form and RUNS here",
+        }
+
     t0 = time.time()
     star = _sim.embedding_near_duplicates(
         _union, dim=64, threshold=0.92, lsh=lsh, spanning=True
@@ -237,6 +245,7 @@ def _canonical_keep_step(spark, out: dict) -> None:
         for fam in _fams
         if len({_labels.get(m, ("missing", m)) for m in fam}) == 1
     )
+    st["planted"] = True
     st["planted_families"] = len(_fams)
     st["planted_family_recall"] = round(_ok / len(_fams), 4) if _fams else None
     st["lsh_tables"] = 2
@@ -378,6 +387,30 @@ def bench_incremental_split(spark) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     out["dedup_minhash_incremental_batch"] = round(best, 3)
+    # shingle-form A/B (r7 verdict ask #7): the batch shingle+band
+    # phase dominates the incremental cost at sf100 (75.1 s of
+    # 88.5 s); the tokenhash rolling form never builds a shingle
+    # string — per-token xxhash64 once, hash-chain per window — so the
+    # attackable constant is the string construction.  Same banding
+    # parameters, index rebuilt in the same form (forms must match
+    # between an index and its probes); Jaccard values are pinned
+    # equal across forms (test_tokenhash_shingles_equal_jaccard).
+    tmp2 = tempfile.mkdtemp(prefix="adfs_bench_idx_th_")
+    t0 = time.time()
+    minhash_index(
+        corpus, "doc_id", "text", shingle_form="tokenhash"
+    ).write.mode("overwrite").parquet(tmp2)
+    out["dedup_minhash_index_build_tokenhash"] = round(time.time() - t0, 3)
+    idx_th = spark.read.parquet(tmp2)
+    best = float("inf")
+    for _ in range(EXTRA_PASSES):
+        t0 = time.time()
+        minhash_dedup_incremental(
+            new, corpus, idx_th, "doc_id", "text", shingle_form="tokenhash"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    out["dedup_minhash_incremental_batch_tokenhash"] = round(best, 3)
+    shutil.rmtree(tmp2, ignore_errors=True)
     # instrumented pass (r6 verdict ask #5): machine-record where the
     # batch time goes — batch shingle+band / candidate probe / corpus
     # re-read / verify (= total − recorded phases).  Separate pass: the

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from adfs_spark.functions.dedup import (
@@ -392,12 +393,15 @@ def test_regex_tokens_uses_passed_column(spark):
     assert toks == ["don", "'", "t", "panic", "!"]
 
 
-def test_incremental_minhash_equals_batch_restriction(spark):
+@pytest.mark.parametrize("shingle_form", ["string", "tokenhash"])
+def test_incremental_minhash_equals_batch_restriction(spark, shingle_form):
     """minhash_dedup_incremental(new, corpus, index) must equal the
     full batch pipeline over corpus ∪ new restricted to pairs touching
     a new doc — same banding ⇒ same candidates; exact verify is
     deterministic.  Fixture plants near-dups in all three shapes:
-    corpus↔new, new↔new, corpus↔corpus (the last must NOT appear)."""
+    corpus↔new, new↔new, corpus↔corpus (the last must NOT appear).
+    Parametrized over both shingle hash forms: the index/probe/verify
+    contract must hold for the tokenhash rolling form too."""
     from adfs_spark.functions.dedup import (
         minhash_dedup_incremental,
         minhash_index,
@@ -421,15 +425,20 @@ def test_incremental_minhash_equals_batch_restriction(spark):
     corpus = spark.createDataFrame(corpus_rows, schema)
     new = spark.createDataFrame(new_rows, schema)
 
-    idx = minhash_index(corpus, "doc_id", "text", n=3, num_hashes=32, num_bands=8)
+    idx = minhash_index(
+        corpus, "doc_id", "text", n=3, num_hashes=32, num_bands=8,
+        shingle_form=shingle_form,
+    )
     inc = minhash_dedup_incremental(
         new, corpus, idx, "doc_id", "text",
         n=3, num_hashes=32, num_bands=8, threshold=0.7,
+        shingle_form=shingle_form,
     ).collect()
 
     full = minhash_near_duplicates(
         corpus.unionByName(new), "doc_id", "text",
         n=3, num_hashes=32, num_bands=8, threshold=0.7, collapse_exact=False,
+        shingle_form=shingle_form,
     ).collect()
     new_ids = {101, 102, 103, 104}
     expected = {
@@ -445,6 +454,43 @@ def test_incremental_minhash_equals_batch_restriction(spark):
         "no new↔new pair found — fixture too weak"
     assert all(a in new_ids or b in new_ids for a, b, _ in got), \
         "corpus↔corpus pair leaked into the incremental result"
+
+
+def test_tokenhash_shingles_equal_jaccard(spark):
+    """The tokenhash shingle form must produce the SAME exact-Jaccard
+    values as the string form: span hashes are a bijection of shingle
+    strings (up to 2^-64 collisions), so distinct-set sizes — hence
+    every intersection/union ratio — are equal.  Degenerates included:
+    short docs (< n tokens), empty text, NULL text, repeated shingles."""
+    from adfs_spark.functions.dedup import jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f g h"),          # near-dup of 1
+        (3, "a b c d e f g"),            # exact dup of 1
+        (4, "x y"),                      # shorter than n
+        (5, "x y"),                      # dup of the short doc
+        (6, ""),                         # empty
+        (7, None),                       # NULL
+        (8, "a b a b a b a b"),          # repeated shingles
+        (9, "q r s t u v w"),            # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def pairs(form):
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.0, shingle_form=form
+            ).collect()
+        }
+
+    got_s, got_t = pairs("string"), pairs("tokenhash")
+    # every pair that shares a shingle in one form shares one in the
+    # other, with the identical Jaccard value
+    assert got_s == got_t
+    assert got_s[(1, 3)] == 1.0 and got_s[(4, 5)] == 1.0
+    assert 0.0 < got_s[(1, 2)] < 1.0
 
 
 def test_bound_token_functions_null_and_empty_text(spark):
