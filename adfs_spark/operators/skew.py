@@ -86,6 +86,65 @@ def salted_topk(
     )
 
 
+#: input-size gate for the auto-routed top-k: below it the plain
+#: window wins (the salted form's extra local window is a fixed cost
+#: and no key is big enough to straggle one task); above it the salted
+#: form is the only shape that bounds per-task rows at 100× scale.
+#: Sits between the small-SF rungs (lineitem sf1 ≈ 0.25 GB, where the
+#: ladder measures the plain form equal-or-faster) and sf10+ (2.5 GB+,
+#: where a hot key is a straggler risk).  Same pattern as Q5's
+#: Q5_EARLY_RESTRICT_MIN_BYTES two-form route.
+SALTED_TOPK_MIN_BYTES = 512 << 20
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+    rank_col: str = "rank",
+    salted: "bool | None" = None,
+    salt: int = 32,
+    size_hint_bytes: "int | None" = None,
+) -> DataFrame:
+    """Top-k rows per key with the plan form AUTO-ROUTED by input size
+    (r7 verdict ask #8): the plain ``row_number()`` window below
+    :data:`SALTED_TOPK_MIN_BYTES`, :func:`salted_topk` above it — both
+    proven identical (the salted form is oracle-checked against the
+    plain window SQL in ``w_topk_salted``), so the route is purely a
+    physical-plan choice and lives in the engine, not in a caller's
+    judgment.
+
+    ``salted=None`` auto-selects from ``size_hint_bytes`` (callers
+    with table statistics, e.g. an on-disk footprint) or, failing
+    that, Catalyst's own optimized-plan size estimate — the same
+    statistic a CBO reads.  Unknown sizes route to the salted form,
+    the scale-safe side (identical output, bounded per-task rows).
+    Both routes are pinned by tests/test_plans.py.
+    """
+    if salted is None:
+        sz = size_hint_bytes
+        if sz is None:
+            try:
+                sz = int(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:
+                sz = None
+        salted = sz is None or sz >= SALTED_TOPK_MIN_BYTES
+    if salted:
+        return salted_topk(
+            df, keys, order_cols, k, rank_col=rank_col, salt=salt
+        )
+    w = Window.partitionBy(*keys).orderBy(*_cols(order_cols))
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def salted_argmax(
     df: DataFrame,
     keys: Sequence[str],

@@ -574,16 +574,23 @@ def w1_argmax_window(spark, sf_dir):
 )
 def w2_topk_per_group(spark, sf_dir):
     """W2 generalization: top-k rows per group (ordinal ordering of
-    blocks within a file, BlockEntry.compareTo :119-122)."""
-    from pyspark.sql import Window
+    blocks within a file, BlockEntry.compareTo :119-122).
+
+    Routed through operators.skew.topk_per_group: the plain window
+    below SALTED_TOPK_MIN_BYTES, the funnel-free salted two-phase form
+    above it — identical output either way (w_topk_salted pins the
+    salted form against the plain-window oracle SQL), so scale chooses
+    the physical plan, not the caller."""
+    from adfs_spark.operators.skew import topk_per_group
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"), "l_linenumber")
-    return (
-        li.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 2)
-        .select("l_orderkey", "l_linenumber", "rank")
-    )
+    return topk_per_group(
+        li,
+        ["l_orderkey"],
+        [F.desc("l_quantity"), "l_linenumber"],
+        k=2,
+        size_hint_bytes=_table_disk_bytes(sf_dir, "lineitem"),
+    ).select("l_orderkey", "l_linenumber", "rank")
 
 
 @q(
