@@ -656,13 +656,44 @@ def bench_writes(spark) -> dict[str, float]:
     step("w_mor_fold", lambda: t.compact())
     shutil.rmtree(root, ignore_errors=True)
 
-    # mor_amortized (r6 verdict ask #6): the fold costs more than one
-    # merge, so the MOR tier's win is a CLAIM about amortization — test
-    # it on a mixed workload.  Same N small spread-update batches +
-    # interleaved full reads, twice: auto-routed (append…append + ONE
-    # fold, reads pay the overlay tax) vs merge-routed (N folds, clean
-    # reads).  Totals include the reads, so the overlay read tax is
-    # charged to the MOR side; overlay size at fold time is recorded.
+    WRITE_STATS["mor_amortized"] = bench_mor_amortized(spark)
+    return out
+
+
+def bench_mor_amortized(spark) -> dict:
+    """mor_amortized (r6 verdict ask #6): the fold costs more than one
+    merge, so the MOR tier's win is a CLAIM about amortization — test
+    it on a mixed workload.  Same N small spread-update batches +
+    interleaved full reads, twice: auto-routed (append…append + ONE
+    fold, reads pay the overlay tax) vs merge-routed (N folds, clean
+    reads).  Totals include the reads, so the overlay read tax is
+    charged to the MOR side; overlay size at fold time is recorded.
+    Standalone so the targeted sf100 refresh can run it without the
+    full write bench (r7 verdict ask #2)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from adfs_spark.catalog import load_table
+    from adfs_spark.schema import ColumnSpec, TableSpec
+    from adfs_spark.storage import VersionedTable
+
+    spec = TableSpec(
+        name="bench_kv",
+        columns=(
+            ColumnSpec("k", "long"),
+            ColumnSpec("v", "double"),
+            ColumnSpec("s", "string"),
+        ),
+        primary_key=("k",),
+        versioned=True,
+    )
+    rows = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").alias("s"),
+    )
     n_writes, read_every = 8, 2
 
     def _mixed(mode: str) -> dict:
@@ -702,14 +733,13 @@ def bench_writes(spark) -> dict[str, float]:
         return stats
 
     mor, cow = _mixed("auto"), _mixed("merge")
-    WRITE_STATS["mor_amortized"] = {
+    return {
         "n_writes": n_writes,
         "reads": n_writes // read_every,
         "mor": mor,
         "cow": cow,
         "net_win": mor["total_sec"] < cow["total_sec"],
     }
-    return out
 
 
 def bench_namespace_ops(spark) -> dict[str, dict]:
