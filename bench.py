@@ -265,18 +265,39 @@ def host_calibration() -> dict:
     too."""
     import hashlib
 
+    import threading
+
     buf = b"\xab" * 65536
+
+    def _loop() -> None:
+        h = hashlib.sha256()
+        for _ in range(2048):
+            h.update(buf)
+
     t0 = time.perf_counter()
-    h = hashlib.sha256()
-    for _ in range(2048):
-        h.update(buf)
+    _loop()
     cpu_ms = round((time.perf_counter() - t0) * 1000.0, 1)
+    # multi-threaded variant (hashlib releases the GIL on large
+    # buffers): a co-tenant eating whole cores inflates THIS constant
+    # while leaving the single-thread loop untouched — the signature
+    # that distinguishes all-core contention (what uniformly inflates
+    # a 32-thread Spark suite) from an idle host
+    nt = min(8, os.cpu_count() or 1)
+    threads = [threading.Thread(target=_loop) for _ in range(nt)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mt_ms = round((time.perf_counter() - t0) * 1000.0, 1)
     try:
         la1, la5, _ = os.getloadavg()
     except OSError:  # pragma: no cover - non-unix
         la1 = la5 = -1.0
     return {
         "cpu_cal_ms": cpu_ms,
+        "cpu_cal_mt_ms": mt_ms,
+        "mt_threads": nt,
         "loadavg_1m": round(la1, 2),
         "loadavg_5m": round(la5, 2),
         "ncpu": os.cpu_count(),
@@ -1359,6 +1380,8 @@ def main() -> int:
         "cal": {
             "cpu0_ms": cal_start["cpu_cal_ms"],
             "cpu1_ms": cal_end["cpu_cal_ms"],
+            "mt0_ms": cal_start["cpu_cal_mt_ms"],
+            "mt1_ms": cal_end["cpu_cal_mt_ms"],
             "la0": cal_start["loadavg_1m"],
             "la1": cal_end["loadavg_1m"],
         },
