@@ -86,15 +86,21 @@ def salted_topk(
     )
 
 
-#: input-size gate for the auto-routed top-k: below it the plain
-#: window wins (the salted form's extra local window is a fixed cost
-#: and no key is big enough to straggle one task); above it the salted
-#: form is the only shape that bounds per-task rows at 100× scale.
-#: Sits between the small-SF rungs (lineitem sf1 ≈ 0.25 GB, where the
-#: ladder measures the plain form equal-or-faster) and sf10+ (2.5 GB+,
-#: where a hot key is a straggler risk).  Same pattern as Q5's
-#: Q5_EARLY_RESTRICT_MIN_BYTES two-form route.
+#: size gate for the auto-routed top-k: below it the plain window is
+#: always right (no key can be big enough to straggle a task, and the
+#: skew probe's extra job would cost more than it saves), so the probe
+#: only runs at the scale where its ~1 s amortizes.
 SALTED_TOPK_MIN_BYTES = 512 << 20
+#: skew gate: salt only when the estimated hottest key exceeds this
+#: many rows — the row count a single window task would have to sort
+#: and stream alone.  Below it the plain window parallelizes fine
+#: across many small groups (measured at sf10: salted is 2.5× SLOWER
+#: on a skew-free corpus — its extra local window is pure overhead
+#: without a hot key).
+SALTED_TOPK_HOT_KEY_ROWS = 5_000_000
+#: sampling fraction for the skew probe (hot keys this size sample
+#: thousands of rows — detection is far outside noise)
+SALTED_TOPK_PROBE_FRACTION = 0.001
 
 
 def topk_per_group(
@@ -106,21 +112,31 @@ def topk_per_group(
     salted: "bool | None" = None,
     salt: int = 32,
     size_hint_bytes: "int | None" = None,
+    max_group_hint: "int | None" = None,
 ) -> DataFrame:
-    """Top-k rows per key with the plan form AUTO-ROUTED by input size
-    (r7 verdict ask #8): the plain ``row_number()`` window below
-    :data:`SALTED_TOPK_MIN_BYTES`, :func:`salted_topk` above it — both
-    proven identical (the salted form is oracle-checked against the
-    plain window SQL in ``w_topk_salted``), so the route is purely a
-    physical-plan choice and lives in the engine, not in a caller's
-    judgment.
+    """Top-k rows per key with the plan form AUTO-ROUTED by size AND
+    skew (r7 verdict ask #8): the plain ``row_number()`` window unless
+    the input is big enough to matter (:data:`SALTED_TOPK_MIN_BYTES`)
+    AND a hot key would funnel > :data:`SALTED_TOPK_HOT_KEY_ROWS` rows
+    through one task — then :func:`salted_topk`.  Both forms are
+    oracle-proven identical (``w_topk_salted``), so the route is purely
+    a physical-plan choice and lives in the engine.
 
-    ``salted=None`` auto-selects from ``size_hint_bytes`` (callers
-    with table statistics, e.g. an on-disk footprint) or, failing
-    that, Catalyst's own optimized-plan size estimate — the same
-    statistic a CBO reads.  Unknown sizes route to the salted form,
-    the scale-safe side (identical output, bounded per-task rows).
-    Both routes are pinned by tests/test_plans.py.
+    Size is a NECESSARY condition, not sufficient: the salted form's
+    extra local window is pure overhead on a skew-free corpus
+    (measured 2.5× slower at sf10, where the largest group is ~7
+    rows), while the plain window parallelizes perfectly across many
+    small groups at any scale.  What actually breaks at 100× is ONE
+    key holding a task-sized row count — a skew property, probed, not
+    assumed from volume.
+
+    Routing inputs, cheapest first: ``size_hint_bytes`` (caller's
+    table statistic) or Catalyst's optimized-plan estimate gate the
+    scale; then ``max_group_hint`` (caller knowledge of the hottest
+    key, e.g. from stored stats) or a one-job sample probe
+    (:data:`SALTED_TOPK_PROBE_FRACTION`, ~1 s at sf10 — amortized only
+    above the size gate) estimates the hottest key.  Unknown sizes
+    probe rather than guess.  All routes pinned by tests/test_plans.py.
     """
     if salted is None:
         sz = size_hint_bytes
@@ -134,7 +150,22 @@ def topk_per_group(
                 )
             except Exception:
                 sz = None
-        salted = sz is None or sz >= SALTED_TOPK_MIN_BYTES
+        if sz is not None and sz < SALTED_TOPK_MIN_BYTES:
+            salted = False
+        else:
+            est = max_group_hint
+            if est is None:
+                f = SALTED_TOPK_PROBE_FRACTION
+                top = (
+                    df.select(*keys)
+                    .sample(fraction=f, seed=7)
+                    .groupBy(*keys)
+                    .count()
+                    .agg(F.max("count"))
+                    .first()[0]
+                )
+                est = int((top or 0) / f)
+            salted = est >= SALTED_TOPK_HOT_KEY_ROWS
     if salted:
         return salted_topk(
             df, keys, order_cols, k, rank_col=rank_col, salt=salt

@@ -523,12 +523,13 @@ def test_plans_md_is_fresh():
 
 def test_topk_route_pinned_at_both_gate_ends(spark):
     """The auto-routed top-k (operators.skew.topk_per_group) must pick
-    the plain single-window plan below SALTED_TOPK_MIN_BYTES and the
-    two-phase salted plan above it — the 100×-scale plan choice lives
-    in the engine (r7 verdict ask #8).  Pinned by plan shape: the
-    salted route partitions its FIRST window by (key, salt), so its
-    plan carries the salt column and two window nodes; the plain route
-    has exactly one window partitioned by the key alone."""
+    the plain single-window plan below SALTED_TOPK_MIN_BYTES, probe for
+    skew above it, and take the two-phase salted plan only when a hot
+    key would funnel a task-sized row count — the 100×-scale plan
+    choice lives in the engine (r7 verdict ask #8).  Pinned by plan
+    shape: the salted route partitions its FIRST window by (key, salt),
+    so its plan carries the salt column and two window nodes; the plain
+    route has exactly one window partitioned by the key alone."""
     from adfs_spark.catalog import load_table
     from adfs_spark.operators.skew import topk_per_group
 
@@ -537,26 +538,33 @@ def test_topk_route_pinned_at_both_gate_ends(spark):
     )
     args = (["l_orderkey"], [F.desc("l_quantity"), "l_linenumber"], 2)
 
+    # below the size gate: plain, no probe, one window node
     plain = topk_per_group(li, *args, size_hint_bytes=1 << 20)
     p = plain._jdf.queryExecution().executedPlan().toString()
     assert "_skew_salt" not in p
     assert p.count("Window [") == 1  # one window node (WindowGroupLimit aside)
 
-    salted = topk_per_group(li, *args, size_hint_bytes=100 << 30)
+    # above the size gate WITH a task-sized hot key: salted two-phase
+    salted = topk_per_group(
+        li, *args, size_hint_bytes=100 << 30, max_group_hint=50_000_000
+    )
     s = salted._jdf.queryExecution().executedPlan().toString()
     assert "_skew_salt" in s
     assert s.count("Window [") == 2  # local (key, salt) + final (key)
 
-    # unknown size routes to the scale-safe (salted) side
-    unknown = topk_per_group(
-        spark.createDataFrame([(1, 1, 1.0)], "l_orderkey: long, l_linenumber: long, l_quantity: double"),
-        *args,
+    # above the size gate but skew-free: plain (salting is pure
+    # overhead without a hot key — measured 2.5x slower at sf10)
+    big_uniform = topk_per_group(
+        li, *args, size_hint_bytes=100 << 30, max_group_hint=7
     )
-    # Catalyst stats for a tiny local relation are well below the gate:
-    # the probe resolves and picks plain — assert the probe ran by
-    # checking the result is still correct either way
-    rows = {tuple(r) for r in unknown.collect()}
-    assert rows == {(1, 1, 1)} or rows == {(1, 1, 1.0)} or len(rows) == 1
+    u = big_uniform._jdf.queryExecution().executedPlan().toString()
+    assert "_skew_salt" not in u
+
+    # above the size gate with NO hint: the sample probe runs and
+    # resolves the route from data (this corpus is skew-free -> plain)
+    probed = topk_per_group(li, *args, size_hint_bytes=100 << 30)
+    pr = probed._jdf.queryExecution().executedPlan().toString()
+    assert "_skew_salt" not in pr
 
     # identical results across routes on real data
     a = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "rank").collect()}
