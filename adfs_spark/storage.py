@@ -448,12 +448,12 @@ class VersionedTable:
         cond = (absv > ct) & (absv <= vt)
         for lo, hi in meta.get("aborted", []):
             cond = cond & ~absv.between(int(lo), int(hi))
-        return (
-            self.changelog()
-            .filter(F.col(VBUCKET_COL) >= ct // VBUCKET_SIZE)
-            .filter(cond)
-            .select(*self.spec.column_names())
-        )
+        # direct-path read of just the tail's version-bucket dirs — the
+        # partition-filter form re-lists the WHOLE history per read
+        tail = self._changelog_range(ct // VBUCKET_SIZE, vt // VBUCKET_SIZE)
+        if tail is None:
+            return None
+        return tail.filter(cond).select(*self.spec.column_names())
 
     def _mark_compacted(self) -> None:
         """After a fold (merge write / compact): ct := vt := the max
@@ -674,28 +674,64 @@ class VersionedTable:
         vals = [
             (kv if isinstance(kv, tuple) else (kv,)) for kv in key_values
         ]
-        pk_schema = T.StructType(
-            [self.spec.struct_type()[c] for c in pk]
-        )
-        keys = self.spark.createDataFrame(vals, pk_schema)
+
+        def _keys_df():
+            pk_schema = T.StructType(
+                [self.spec.struct_type()[c] for c in pk]
+            )
+            return self.spark.createDataFrame(vals, pk_schema)
+
+        # small single-column key sets match by an EXACT literal isin —
+        # no keys DataFrame, no broadcast exchange, no driver-RDD setup
+        # per call (the high-churn group-commit read path)
+        literal_keys = len(pk) == 1 and len(vals) <= 10_000
+
+        def _match(df):
+            if literal_keys:
+                return df.filter(F.col(pk[0]).isin([v[0] for v in vals]))
+            return df.join(F.broadcast(_keys_df()), pk, "left_semi")
+
         if not self.num_buckets:
-            return self.live().join(F.broadcast(keys), pk, "left_semi")
+            return _match(self.live())
         py_buckets = {xxh.kbucket_of(v, self.num_buckets) for v in vals}
         if None in py_buckets:  # non-replicable cast: one keys-sized job
             py_buckets = {
                 r["_b"]
-                for r in keys.select(self._kbucket().alias("_b")).collect()
+                for r in _keys_df().select(self._kbucket().alias("_b")).collect()
             }
         buckets = sorted(py_buckets)
-        raw = self._read_current_raw().filter(F.col(KBUCKET_COL).isin(buckets))
-        hit = raw.drop(KBUCKET_COL).join(F.broadcast(keys), pk, "left_semi")
+        # Read the pruned bucket DIRECTORIES BY PATH instead of
+        # partition-filtering a full-table listing: the filter form
+        # still lists and plans over every bucket directory, a fixed
+        # per-read cost that dominates point reads on big tables
+        # (measured at 15M rows / 128 buckets: 0.67 s listing-filter vs
+        # 0.25 s direct paths for the same 20-key read).  basePath
+        # keeps the _kb partition column; a missing directory is a
+        # bucket with no rows (nothing to find there).
+        dirs = [
+            os.path.join(self.current_path, f"{KBUCKET_COL}={b}")
+            for b in buckets
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            raw = self._read_current_raw().filter(F.lit(False))
+        else:
+            raw = (
+                self.spark.read.option("basePath", self.current_path)
+                .schema(self._full_schema())
+                .parquet(*dirs)
+            )
+        # the key match: an exact literal isin (reaches the scan as a
+        # PushedFilter → row-group stats pruning where the layout
+        # allows) for small single-column sets, a broadcast semi-join
+        # otherwise
+        hit = _match(raw.drop(KBUCKET_COL))
         pend = self._pending_overlay()
         if pend is not None:
             # append-path writes live only in the changelog until the
             # next fold: point reads must LWW-merge the (keys-bounded)
             # overlay slice over the pruned bucket scan
-            rel = pend.join(F.broadcast(keys), pk, "left_semi")
-            hit = _latest_by_abs_version(hit.unionByName(rel), pk)
+            hit = _latest_by_abs_version(hit.unionByName(_match(pend)), pk)
         return hit.filter(F.col(VERSION_COL) >= 0)
 
     def max_version(self) -> int:
@@ -864,18 +900,45 @@ class VersionedTable:
 
         if self.txn is not None and self.txn.active:
             self.txn.touch(self)
+        stamped = self._stamp_rows_driver(rows, base, negate)
+        self._write_stamped_driver(stamped, op)
+        return len(rows)
+
+    def _stamp_rows_driver(
+        self, rows: list, base: int, negate: bool = False
+    ) -> list:
+        """Dense pk-ordered version stamps for a driver-side batch —
+        the stamping half of :meth:`_driver_append_rows`, split out so
+        group commits can stamp k batches independently (per-op version
+        boundaries) yet write them as ONE file per version bucket."""
+        pk = list(self.spec.primary_key)
+        rows = sorted(rows, key=lambda r: tuple((r[k] is None, r[k]) for k in pk))
+        out = []
+        for i, r in enumerate(rows):
+            v = base + i + 1
+            if negate:
+                v = -v
+            out.append((r, v))
+        return out
+
+    def _write_stamped_driver(self, stamped: list, op: str) -> None:
+        """Write pre-stamped (row, version) pairs into the changelog,
+        one parquet file per touched version bucket.  File layout is
+        independent of how many ops produced the rows — version values
+        carry ALL ordering semantics — so a k-op group commit leaves
+        ONE file per vbucket instead of k (every subsequent overlay
+        read lists the pending tail; k tiny files per group made
+        sustained group traffic O(groups²) in listing cost)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         pa_types = {
             "boolean": pa.bool_(), "byte": pa.int8(), "short": pa.int16(),
             "int": pa.int32(), "long": pa.int64(), "float": pa.float32(),
             "double": pa.float64(), "string": pa.string(), "binary": pa.binary(),
         }
-        pk = list(self.spec.primary_key)
-        rows = sorted(rows, key=lambda r: tuple((r[k] is None, r[k]) for k in pk))
         by_vb: dict[int, list] = {}
-        for i, r in enumerate(rows):
-            v = base + i + 1
-            if negate:
-                v = -v
+        for r, v in stamped:
             by_vb.setdefault(abs(v) // VBUCKET_SIZE, []).append((r, v))
         for vb, rs in by_vb.items():
             d = os.path.join(self.changelog_path, f"{VBUCKET_COL}={vb}")
@@ -892,7 +955,6 @@ class VersionedTable:
                 os.path.join(d, f"part-{uuid.uuid4().hex}.snappy.parquet"),
                 compression="snappy",
             )
-        return len(rows)
 
     def _try_driver_append(
         self, hit: DataFrame, op: str, base: int, negate: bool = False
@@ -1087,12 +1149,18 @@ class VersionedTable:
                         f"({self.append_threshold}); use upsert(mode='merge')"
                     )
             t0 = time.time()
+            if self.txn is not None and self.txn.active:
+                self.txn.touch(self)
+            # per-batch stamping preserves op boundaries in version
+            # space (same-key conflicts resolve in submission order
+            # under LWW); one changelog file per vbucket for the WHOLE
+            # group — see group_point_update
+            stamped: list = []
             n = 0
             for rows in collected:
-                # per-batch stamping preserves op boundaries in
-                # version space (same-key conflicts resolve in
-                # submission order under LWW)
-                n += self._driver_append_rows(rows, op, base + n)
+                stamped.extend(self._stamp_rows_driver(rows, base + n))
+                n += len(rows)
+            self._write_stamped_driver(stamped, op)
             t1 = time.time()
             self._mark_visible(base + n)
             self.last_write_phases = {
@@ -1176,11 +1244,20 @@ class VersionedTable:
                     )
                 staged.append(batch)
             t0 = time.time()
+            if self.txn is not None and self.txn.active:
+                self.txn.touch(self)
+            # per-op stamping preserves op boundaries in version space
+            # (same-key conflicts resolve in submission order); the
+            # WRITE is one file per vbucket for the whole group —
+            # version values carry the ordering, file count stays O(1)
+            # per group so sustained group traffic's overlay reads
+            # don't degrade with per-op file litter
+            stamped: list = []
             n = 0
             for batch in staged:
-                # per-op stamping preserves op boundaries in version
-                # space (same-key conflicts resolve in submission order)
-                n += self._driver_append_rows(batch, op, base + n)
+                stamped.extend(self._stamp_rows_driver(batch, base + n))
+                n += len(batch)
+            self._write_stamped_driver(stamped, op)
             t1 = time.time()
             self._mark_visible(base + n)
             self.last_write_phases = {
@@ -1341,6 +1418,34 @@ class VersionedTable:
 
     def changelog(self) -> DataFrame:
         return self.spark.read.parquet(self.changelog_path)
+
+    def _changelog_range(self, lo_vb: int, hi_vb: int) -> DataFrame | None:
+        """Changelog rows from version-bucket dirs [lo_vb, hi_vb],
+        read by DIRECT PATH: the filter form still lists every history
+        directory (a 15M-row table's init history alone is thousands
+        of part files), a fixed per-read cost that dominated the
+        overlay half of a point read (measured 1.07 s vs 0.5 s at
+        sf100).  None when no directory in the range exists."""
+        dirs = [
+            os.path.join(self.changelog_path, f"{VBUCKET_COL}={b}")
+            for b in range(int(lo_vb), int(hi_vb) + 1)
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return None
+        names = [c.name for c in self.spec.columns]
+        schema = T.StructType(
+            [self.spec.struct_type()[c] for c in names]
+            + [
+                T.StructField(VERSION_COL, T.LongType()),
+                T.StructField(OP_COL, T.StringType()),
+            ]
+        )
+        return (
+            self.spark.read.option("basePath", self.changelog_path)
+            .schema(schema)
+            .parquet(*dirs)
+        )
 
     def delta(self, from_version: int, to_version: int) -> DataFrame:
         """D2: version-range delta extraction (getDataIncrement

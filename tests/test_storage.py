@@ -359,9 +359,15 @@ def test_failed_write_releases_reservation(spark, tmp_path):
 
 def test_point_lookup_bucketed_prunes_partitions(spark, tmp_path):
     """point_lookup must (a) return exactly the requested live keys and
-    (b) carry a _kb partition filter into the scan — the physical
+    (b) scan ONLY the touched bucket directories — the physical
     bucket-pruning contract that makes a point read O(|keys|/buckets)
-    of the table instead of a full scan."""
+    of the table instead of a full scan.  Since r8 the pruning happens
+    at PATH level (the scan's file index is built from the touched
+    bucket dirs, skipping the full-table listing a partition filter
+    still pays), so the plan shows an |touched-buckets|-path file index
+    plus the pushed pk In-filter."""
+    from adfs_spark.functions import xxh
+
     t = VersionedTable(spark, SPEC, str(tmp_path / "kvb"), num_buckets=8)
     rows = spark.createDataFrame(
         [(i, f"v{i}") for i in range(100)], "k: long, v: string"
@@ -374,8 +380,13 @@ def test_point_lookup_bucketed_prunes_partitions(spark, tmp_path):
     assert got == {3: "v3", 42: "v42"}  # 7 tombstoned, 999 absent
 
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "_kb" in plan.split("PartitionFilters")[1][:200], (
-        "point_lookup scan lost its _kb partition filter:\n" + plan
+    n_buckets = len({xxh.kbucket_of((k,), 8) for k in (3, 7, 42, 999)})
+    assert f"InMemoryFileIndex({n_buckets} paths)" in plan, (
+        "point_lookup scan is not path-pruned to the touched buckets:\n"
+        + plan
+    )
+    assert "In(k, [" in plan, (
+        "point_lookup lost the pushed pk In-filter:\n" + plan
     )
 
 
