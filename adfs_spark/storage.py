@@ -1455,9 +1455,12 @@ class VersionedTable:
         past the visibility watermark are excluded, so a replica can
         never sync a crashed writer's half-batch."""
         lo_b, hi_b = from_version // VBUCKET_SIZE, to_version // VBUCKET_SIZE
-        log = self.changelog().filter(
-            (F.col(VBUCKET_COL) >= lo_b) & (F.col(VBUCKET_COL) <= hi_b)
-        )
+        # direct-path read of just the range's version-bucket dirs —
+        # the filter form re-lists the WHOLE history per extraction
+        # (see _changelog_range)
+        log = self._changelog_range(lo_b, hi_b)
+        if log is None:
+            return self.changelog().filter(F.lit(False)).drop(VBUCKET_COL)
         vis = self._visible_cond()
         if vis is not None:
             log = log.filter(vis)
