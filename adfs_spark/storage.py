@@ -1426,11 +1426,21 @@ class VersionedTable:
         of part files), a fixed per-read cost that dominated the
         overlay half of a point read (measured 1.07 s vs 0.5 s at
         sf100).  None when no directory in the range exists."""
-        dirs = [
-            os.path.join(self.changelog_path, f"{VBUCKET_COL}={b}")
-            for b in range(int(lo_vb), int(hi_vb) + 1)
-        ]
-        dirs = [d for d in dirs if os.path.isdir(d)]
+        # enumerate existing vbucket dirs and intersect with the range
+        # (never iterate the numeric range itself — a caller passing a
+        # far-future version must not walk 2^40 candidate paths)
+        try:
+            existing = os.listdir(self.changelog_path)
+        except OSError:
+            return None
+        lo_vb, hi_vb = int(lo_vb), int(hi_vb)
+        dirs = sorted(
+            os.path.join(self.changelog_path, n)
+            for n in existing
+            if n.startswith(f"{VBUCKET_COL}=")
+            and n.split("=", 1)[1].isdigit()
+            and lo_vb <= int(n.split("=", 1)[1]) <= hi_vb
+        )
         if not dirs:
             return None
         names = [c.name for c in self.spec.columns]
@@ -1477,7 +1487,11 @@ class VersionedTable:
         compose with a ``version >= 0`` filter for the live view
         (:meth:`live_as_of`)."""
         hi_b = version // VBUCKET_SIZE
-        log = self.changelog().filter(F.col(VBUCKET_COL) <= hi_b)
+        # direct-path read of vbucket dirs [0, hi_b] — an old snapshot
+        # neither lists nor plans over the history above the target
+        log = self._changelog_range(0, hi_b)
+        if log is None:
+            log = self.changelog().filter(F.lit(False))
         vis = self._visible_cond()
         if vis is not None:
             log = log.filter(vis)
