@@ -683,8 +683,12 @@ class VersionedTable:
 
         # small single-column key sets match by an EXACT literal isin —
         # no keys DataFrame, no broadcast exchange, no driver-RDD setup
-        # per call (the high-churn group-commit read path)
-        literal_keys = len(pk) == 1 and len(vals) <= 10_000
+        # per call (the high-churn group-commit read path).  Large
+        # batches route to the broadcast semi-join instead: a
+        # multi-thousand-literal In costs more to plan and push than
+        # the one broadcast exchange it avoids (r8 regression: the
+        # 2,000-id open/close batch ran 3× slower on the literal form).
+        literal_keys = len(pk) == 1 and len(vals) <= 256
 
         def _match(df):
             if literal_keys:
@@ -705,22 +709,34 @@ class VersionedTable:
         # still lists and plans over every bucket directory, a fixed
         # per-read cost that dominates point reads on big tables
         # (measured at 15M rows / 128 buckets: 0.67 s listing-filter vs
-        # 0.25 s direct paths for the same 20-key read).  basePath
-        # keeps the _kb partition column; a missing directory is a
-        # bucket with no rows (nothing to find there).
-        dirs = [
-            os.path.join(self.current_path, f"{KBUCKET_COL}={b}")
-            for b in buckets
-        ]
-        dirs = [d for d in dirs if os.path.isdir(d)]
-        if not dirs:
-            raw = self._read_current_raw().filter(F.lit(False))
-        else:
-            raw = (
-                self.spark.read.option("basePath", self.current_path)
-                .schema(self._full_schema())
-                .parquet(*dirs)
+        # 0.25 s direct paths for the same 20-key read) — but ONLY
+        # while the key set actually prunes.  A big batch whose keys
+        # cover most buckets reads the same bytes either way and would
+        # pay fresh per-call dir probes + per-dir planning for nothing,
+        # so it falls back to the partition-filtered full-table scan
+        # (the r7 shape; its listing amortizes across the batch).
+        # Small batches (the ≤k-key group-commit read) always take the
+        # direct path: at the top rung the full-table listing alone
+        # dwarfs reading k bucket dirs, whatever the coverage ratio.
+        direct_path = len(vals) <= 64 or len(buckets) * 2 <= self.num_buckets
+        if not direct_path:
+            raw = self._read_current_raw().filter(
+                F.col(KBUCKET_COL).isin(buckets)
             )
+        else:
+            dirs = [
+                os.path.join(self.current_path, f"{KBUCKET_COL}={b}")
+                for b in buckets
+            ]
+            dirs = [d for d in dirs if os.path.isdir(d)]
+            if not dirs:
+                raw = self._read_current_raw().filter(F.lit(False))
+            else:
+                raw = (
+                    self.spark.read.option("basePath", self.current_path)
+                    .schema(self._full_schema())
+                    .parquet(*dirs)
+                )
         # the key match: an exact literal isin (reaches the scan as a
         # PushedFilter → row-group stats pruning where the layout
         # allows) for small single-column sets, a broadcast semi-join

@@ -390,6 +390,50 @@ def test_point_lookup_bucketed_prunes_partitions(spark, tmp_path):
     )
 
 
+def test_point_lookup_routes_by_batch_size(spark, tmp_path):
+    """r8 regression pin: the literal-In + direct-path fast path is for
+    SMALL key sets (the group-commit read); a big batch whose keys
+    cover every bucket must route back to the broadcast semi-join over
+    the partition-filtered full-table scan — per-call dir probes plus
+    a 2,000-literal In ran the open/close bench 3× slower than the
+    join it replaced.  Both routes must return identical rows."""
+    t = VersionedTable(spark, SPEC, str(tmp_path / "kvroute"), num_buckets=8)
+    n = 4000
+    t.init(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "k: long, v: string"
+        )
+    )
+
+    # small batch (20 keys, ≤64): literal In + direct-path bucket dirs
+    small_keys = list(range(0, 200, 10))
+    small = t.point_lookup(small_keys)
+    plan_s = small._jdf.queryExecution().executedPlan().toString()
+    assert "In(k, [" in plan_s, (
+        "small-batch point read lost the literal pushed In:\n" + plan_s
+    )
+    assert "BroadcastHashJoin" not in plan_s, (
+        "small-batch point read should not pay a broadcast exchange:\n"
+        + plan_s
+    )
+    assert {r["k"] for r in small.collect()} == set(small_keys)
+
+    # big batch (2000 keys, full bucket coverage): broadcast semi-join
+    # over ONE full-table listing, no per-bucket path fan-out
+    big_keys = list(range(0, n, 2))
+    big = t.point_lookup(big_keys)
+    plan_b = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b and "LeftSemi" in plan_b, (
+        "big-batch point read must route to the broadcast semi-join:\n"
+        + plan_b
+    )
+    assert "In(k, [" not in plan_b, (
+        "big-batch point read must not build a 2000-literal In:\n"
+        + plan_b
+    )
+    assert big.count() == len(big_keys)
+
+
 def test_point_lookup_unbucketed_and_composite(spark, tmp_path):
     spec2 = TableSpec(
         name="kv2",
