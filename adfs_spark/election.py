@@ -158,6 +158,41 @@ class ElectionGroup:
 
     # -- membership (register/unregister, DistributedManager.java:232) --
 
+    def _gc_seq_slots(self) -> None:
+        """Compact orphaned creation-order slots — the ``seq/`` analog
+        of :meth:`_gc_epoch_slots` (r8 verdict nit 3a).  ``_alloc_seq``
+        lists the whole prefix on every first registration, and every
+        unregister→re-register churn strands the departed member's old
+        slot (re-registration carries seq forward, but a fresh
+        registration after an unregister allocates anew) — unbounded
+        key growth under member-name churn.
+
+        A slot is garbage once (a) its claimant name no longer has a
+        member record, or that record carries a DIFFERENT seq, and
+        (b) the slot is older than ``member_ttl`` — the TTL guards the
+        window between ``_alloc_seq``'s reservation and ``register``'s
+        member-record write.  Deleting such a slot cannot disturb
+        creation order: no live member references it, and because every
+        slot of every current member survives the sweep,
+        ``_alloc_seq``'s max stays ≥ every live seq — a re-used number
+        is always above all coexisting members', which is the only
+        ordering the czxid analog promises (relative order among
+        members that are alive together)."""
+        now = self._now()
+        for s in self.backend.list(self._seq_prefix):
+            if not s.isdigit():
+                continue
+            key = posixpath.join(self._seq_prefix, s)
+            mt = self.backend.mtime(key)
+            if mt is None or (now - mt) <= self.member_ttl:
+                continue
+            raw = self.backend.read(key)
+            if raw is None:
+                continue
+            holder = self._read_member(raw.decode(errors="replace"))
+            if holder is None or holder.seq != int(s):
+                self.backend.delete(key)
+
     def _alloc_seq(self, name: str) -> int:
         """Reserve the next creation-order slot — the czxid analog.
         ``put_if_absent`` makes the slot unique even when two members
@@ -189,6 +224,7 @@ class ElectionGroup:
         them forward so creation order is stable."""
         existing = self._read_member(name)
         if existing is None:
+            self._gc_seq_slots()  # first registrations pay the sweep
             seq = self._alloc_seq(name)
             created = self._now()
         else:
