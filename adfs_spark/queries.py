@@ -549,6 +549,37 @@ def a7_max_version(spark, sf_dir):
 
 
 @q(
+    "a8_observe_counters",
+    f"""SELECT count(*) AS n_rows,
+              sum(CASE WHEN version >= 0 THEN 1 ELSE 0 END) AS n_live,
+              sum(CASE WHEN version < 0 THEN 1 ELSE 0 END) AS n_tombstone
+       FROM (SELECT {_VERSION_SQL} AS version FROM orders)""",
+)
+def a8_observe_counters(spark, sf_dir):
+    """A8: per-operation counters via ``Dataset.observe``
+    (metrics.observed) — the Spark-native analog of the reference's
+    AtomicLong op counters (DatabaseExecutor.getCounter/count
+    :139-155), driver-verified against the oracle's direct counts.
+
+    The counters piggyback on the scan's own action (zero extra
+    passes); the query then RETURNS them as a one-row frame so the
+    driver's hash compare pins the observed values — not a re-count —
+    against DuckDB."""
+    from adfs_spark.metrics import collect_metrics, observed
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "version", _version_col()
+    )
+    odf, obs = observed(o, name="a8_counters", version_col="version")
+    odf.write.format("noop").mode("overwrite").save()
+    m = collect_metrics(obs)
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_live"]), int(m["n_tombstone"]))],
+        "n_rows: long, n_live: long, n_tombstone: long",
+    )
+
+
+@q(
     "w1_argmax_window",
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
        FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
@@ -5111,11 +5142,13 @@ _suite(
         ("a5_global_stats", ["sum_qty", "n_rows", "n_parts", "avg_price"]),
         ("a7_max_version", ["max_version"]),
         ("p7_validity_probe", ["found_500", "found_missing"]),
+        ("a8_observe_counters", ["n_rows", "n_live", "n_tombstone"]),
     ],
     [
         ("cnt", _L), ("sum_qty", _D), ("n_rows", _L), ("n_parts", _L),
         ("avg_price", _D), ("max_version", _L),
         ("found_500", _L), ("found_missing", _L),
+        ("n_live", _L), ("n_tombstone", _L),
     ],
 )
 
