@@ -609,18 +609,37 @@ def w2_topk_per_group(spark, sf_dir):
 
     Routed through operators.skew.topk_per_group: the plain window
     below SALTED_TOPK_MIN_BYTES, the funnel-free salted two-phase form
-    above it — identical output either way (w_topk_salted pins the
-    salted form against the plain-window oracle SQL), so scale chooses
-    the physical plan, not the caller."""
+    on probed-hot inputs, and past SMALLK_TOPK_MIN_BYTES the
+    partial-aggregating small-k form (r8 ask #3) — here with the order
+    packed into one comparable long (quantity is a 2-decimal value
+    ≤ 10k, linenumber < 2^20, both non-null), so the top rung
+    aggregates 8-byte codes instead of window-sorting every input row
+    (43 s vs 116 s at 600M rows).  Identical output on every route
+    (w_topk_salted pins salted; test_skew pins the small-k forms), so
+    scale chooses the physical plan, not the caller."""
     from adfs_spark.operators.skew import topk_per_group
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    enc = F.shiftleft(F.lit(1 << 20) - q100, 32) + F.col(
+        "l_linenumber"
+    ).cast("long")
     return topk_per_group(
         li,
         ["l_orderkey"],
         [F.desc("l_quantity"), "l_linenumber"],
         k=2,
         size_hint_bytes=_table_disk_bytes(sf_dir, "lineitem"),
+        order_spec=[("l_quantity", "desc"), ("l_linenumber", "asc")],
+        packed_enc=enc,
+        packed_decode=[
+            (
+                F.pmod(F.col("_packed"), F.lit(1 << 32)).cast("int"),
+                "l_linenumber",
+            )
+        ],
     ).select("l_orderkey", "l_linenumber", "rank")
 
 

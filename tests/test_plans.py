@@ -566,7 +566,42 @@ def test_topk_route_pinned_at_both_gate_ends(spark):
     pr = probed._jdf.queryExecution().executedPlan().toString()
     assert "_skew_salt" not in pr
 
-    # identical results across routes on real data
+    # above the SMALL-K gate, skew-free, with a declarative order spec:
+    # the partial-aggregating struct form — no Window node at all
+    smallk = topk_per_group(
+        li, *args, size_hint_bytes=100 << 30, max_group_hint=7,
+        order_spec=[("l_quantity", "desc"), ("l_linenumber", "asc")],
+    )
+    sk = smallk._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in sk and "ObjectHashAggregate" in sk
+
+    # same, with packing hints: the packed form wins the tie and the
+    # aggregate runs on bare longs (no struct in the collect_list)
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    enc = F.shiftleft(F.lit(1 << 20) - q100, 32) + F.col("l_linenumber").cast("long")
+    dec = [(F.pmod(F.col("_packed"), F.lit(1 << 32)).cast("int"), "l_linenumber")]
+    packed = topk_per_group(
+        li, *args, size_hint_bytes=100 << 30, max_group_hint=7,
+        order_spec=[("l_quantity", "desc"), ("l_linenumber", "asc")],
+        packed_enc=enc, packed_decode=dec,
+    )
+    pk = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in pk and "ObjectHashAggregate" in pk
+    assert "named_struct" not in pk.split("ObjectHashAggregate")[1][:400]
+
+    # a task-sized hot key routes to salted even when the small-k
+    # hints are present (a collect_list buffer must never hold a
+    # task-sized group)
+    hot = topk_per_group(
+        li, *args, size_hint_bytes=100 << 30, max_group_hint=50_000_000,
+        order_spec=[("l_quantity", "desc"), ("l_linenumber", "asc")],
+        packed_enc=enc, packed_decode=dec,
+    )
+    h = hot._jdf.queryExecution().executedPlan().toString()
+    assert "_skew_salt" in h
+
+    # identical results across ALL routes on real data
     a = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "rank").collect()}
-    b = {tuple(r) for r in salted.select("l_orderkey", "l_linenumber", "rank").collect()}
-    assert a == b
+    for alt in (salted, smallk, packed, hot):
+        b = {tuple(r) for r in alt.select("l_orderkey", "l_linenumber", "rank").collect()}
+        assert a == b

@@ -146,3 +146,56 @@ def test_salted_topk_no_single_partition_exchange(skewed):
     got = skew.salted_topk(skewed, ["key"], [F.desc("val"), "seq"], k=2, salt=8)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_skew_salt" in plan
+
+
+@pytest.mark.parametrize("k", [1, 2, 10])
+def test_smallk_topk_equals_plain_window(skewed, k):
+    got = skew.smallk_topk(
+        skewed, ["key"], [("val", "desc"), ("seq", "asc")], k=k
+    )
+    exp = _plain_topk(skewed, k).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_smallk_topk_null_ordering_matches_window(spark):
+    """desc = NULLS LAST, asc = NULLS FIRST — the window defaults the
+    struct-sort rewrite must reproduce exactly."""
+    rows = [
+        (1, None, 5), (1, 10.0, 1), (1, 10.0, 2), (1, 3.0, 3),
+        (2, None, 1), (2, None, 2), (3, 7.0, 9),
+    ]
+    df = spark.createDataFrame(rows, "key: int, val: double, seq: int")
+    for spec, order in [
+        ([("val", "desc"), ("seq", "asc")], [F.desc("val"), "seq"]),
+        ([("val", "asc"), ("seq", "asc")], ["val", "seq"]),
+    ]:
+        w = Window.partitionBy("key").orderBy(*order)
+        exp = (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+        )
+        got = skew.smallk_topk(df, ["key"], spec, k=2)
+        assert sorted(
+            (r["key"], r["seq"], r["rank"]) for r in got.collect()
+        ) == sorted((r["key"], r["seq"], r["rank"]) for r in exp.collect())
+
+
+def test_smallk_topk_rejects_bad_specs(skewed, spark):
+    with pytest.raises(ValueError, match="k <="):
+        skew.smallk_topk(skewed, ["key"], [("val", "desc")], k=1000)
+    with pytest.raises(ValueError, match="asc|desc"):
+        skew.smallk_topk(skewed, ["key"], [("val", "down")], k=2)
+    sdf = spark.createDataFrame([(1, "a")], "key: int, name: string")
+    with pytest.raises(ValueError, match="numeric"):
+        skew.smallk_topk(sdf, ["key"], [("name", "desc")], k=2)
+
+
+def test_smallk_topk_plan_has_no_window(skewed):
+    """The small-k form must be a pure hash aggregation: no Window, no
+    partition-wide sort of the input."""
+    got = skew.smallk_topk(
+        skewed, ["key"], [("val", "desc"), ("seq", "asc")], k=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan, plan
+    assert "Window" not in plan, plan
