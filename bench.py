@@ -1506,6 +1506,16 @@ def main() -> int:
             k: (v.get("per_sec") if isinstance(v, dict) else v)
             for k, v in ns_ops.items()
         },
+        # the serial-writer floor decomposition rides the compact line
+        # (r8 verdict finding #2: the adjudication must live in the
+        # driver's own artifact) — numbers only; the prose context and
+        # published-row comparison stay in the side file's floor object
+        "sync2_floor": {
+            k: v
+            for k, v in ((ns_ops.get("sync2") or {}).get("floor") or {}).items()
+            if k != "context"
+        }
+        or None,
         "extra_queries": extras,
         "cold_total_sec": full["cold_total_sec"],
         "sf": float(sf),
