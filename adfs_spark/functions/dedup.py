@@ -603,6 +603,18 @@ def minhash_dedup_incremental(
     )
 
 
+#: exact-dup family size above which the collapse guard engages on the
+#: "auto" route: an f-member byte-identical family lands in ONE bucket
+#: of every band, so its self-join pair work is bands · f(f−1)/2 —
+#: ≤ ~32k pairs per family at f=64, linear in family count, affordable
+#: without collapsing.  Past it the guard's collapse machinery (the
+#: mapping join, the representative semi-join, the two expansion
+#: joins) pays for itself; below it those 4 stages were measured pure
+#: overhead (−2.6 s of the 5.7 s sf0.1 pipeline, where the largest
+#: exact family is 2).
+COLLAPSE_EXACT_MAX_FAMILY = 64
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -612,7 +624,7 @@ def minhash_near_duplicates(
     num_bands: int = 32,
     threshold: float = 0.8,
     seed: int = 42,
-    collapse_exact: bool = True,
+    collapse_exact: "bool | str" = "auto",
     persisted_out: list[DataFrame] | None = None,
     shingle_form: str = "string",
 ) -> DataFrame:
@@ -628,8 +640,49 @@ def minhash_near_duplicates(
     The expansion is exact, so the oracle-checked output is unchanged;
     the quadratic bucket work and the shingle explode now scale with
     |distinct contents|, not |docs|.
+
+    ``"auto"`` (default since r9) PROBES instead of assuming: one
+    md5-fingerprint aggregate (the same first stage the guard itself
+    needs — persisted and reused when the guard engages) measures the
+    largest exact-dup family; at or below
+    :data:`COLLAPSE_EXACT_MAX_FAMILY` the guard's 4 collapse/expansion
+    stages are skipped because the bucket work they bound is already
+    small.  Results are identical on every route: identical texts have
+    identical signatures, so they share every band bucket and verify
+    at jaccard 1.0 — the guard only ever changed the PLAN.  Probed,
+    not size-gated, because content degeneracy — not corpus bytes —
+    is what makes a bucket explode.
     """
-    if collapse_exact:
+    if collapse_exact == "auto":
+        fp0 = df.select(
+            F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")
+        ).persist()
+        groups0 = fp0.groupBy("_fp").agg(
+            F.min("_mid").alias("_rep"), F.count("*").alias("_gsz")
+        )
+        max_family = (
+            groups0.agg(F.max("_gsz").alias("m")).first()["m"] or 0
+        )
+        if max_family <= COLLAPSE_EXACT_MAX_FAMILY:
+            fp0.unpersist()
+            return minhash_near_duplicates(
+                df, id_col, text_col, n, num_hashes, num_bands,
+                threshold, seed, collapse_exact=False,
+                persisted_out=persisted_out, shingle_form=shingle_form,
+            )
+        if persisted_out is not None:
+            persisted_out.append(fp0)
+        # The guard engages: recurse with the guard forced on.  fp0
+        # stays persisted — the guarded path rebuilds the identical
+        # fingerprint subtree and Spark's cache manager substitutes
+        # the cached relation (plan-equality match), so the probe's
+        # corpus pass is not repeated.
+        return minhash_near_duplicates(
+            df, id_col, text_col, n, num_hashes, num_bands,
+            threshold, seed, collapse_exact=True,
+            persisted_out=persisted_out, shingle_form=shingle_form,
+        )
+    elif collapse_exact:
         fp = df.select(
             F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")
         )

@@ -444,7 +444,17 @@ def tf_idf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    # The token exchange must stay POST-explode: both consumer subtrees
+    # (tf→scored and tf→dfreq) contain it, and exchange reuse dedups
+    # the shuffle write — so the explode is computed once.  Moving the
+    # exchange pre-explode was measured 2.3× slower at sf0.1: reuse
+    # dedups only the shuffle, and each consumer re-tokenized the
+    # corpus above it.  spread() (a no-op at real scale) fixes the one
+    # genuine problem with this shape — tokenize+explode of a
+    # single-rowgroup file runs as ONE task before the exchange.
+    from adfs_spark.functions.util import spread
+
+    toks = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
     ).repartition("_id")

@@ -109,6 +109,16 @@ SALTED_TOPK_PROBE_FRACTION = 0.001
 #: struct-agg vs 43 s packed at the 600M-row rung (est. 4.4 GB,
 #: disk 18 GB).  2 GiB splits the measured rungs on either metric.
 SMALLK_TOPK_MIN_BYTES = 2 << 30
+#: group-size bound under which the PACKED small-k form is safe at ANY
+#: input size: the per-key collect_list buffer holds the group's
+#: 8-byte codes until the slice, so a caller-vouched hottest key of
+#: ≤ 4096 rows caps the buffer at 32 KB (r9).  With the bound vouched,
+#: packed beats the window at every measured rung — 0.75 vs 0.98 s at
+#: 600k rows (sf0.1), 4.07 vs 4.31 s at 60M (sf10), 43 vs 116 s at
+#: 600M (sf100) — so the 2 GiB size gate only applies to the STRUCT
+#: form (whose per-row structs lose to the window below it: 7.1 vs
+#: 5.6 s at 60M) and to packed callers without group-size knowledge.
+SMALLK_SAFE_GROUP_ROWS = 4096
 
 
 def topk_per_group(
@@ -195,15 +205,19 @@ def topk_per_group(
         return salted_topk(
             df, keys, order_cols, k, rank_col=rank_col, salt=salt
         )
-    if (
-        k <= SMALLK_TOPK_MAX_K
-        and sz is not None
-        and sz >= SMALLK_TOPK_MIN_BYTES
-    ):
+    big = sz is not None and sz >= SMALLK_TOPK_MIN_BYTES
+    bounded_groups = (
+        max_group_hint is not None and max_group_hint <= SMALLK_SAFE_GROUP_ROWS
+    )
+    if k <= SMALLK_TOPK_MAX_K and (big or bounded_groups):
+        # packed: measured ≤ the window at every rung, so it engages
+        # below the size gate too when the caller vouches the hottest
+        # key is small (SMALLK_SAFE_GROUP_ROWS bounds the list buffer)
         if packed_enc is not None and packed_decode is not None:
             return smallk_topk_packed(
                 df, keys, packed_enc, k, packed_decode, rank_col=rank_col
             )
+    if k <= SMALLK_TOPK_MAX_K and big:
         if order_spec is not None:
             try:
                 return smallk_topk(

@@ -135,8 +135,78 @@ def _dec4(c: str | Column) -> Column:
     return col.cast("decimal(18,4)")
 
 
-def _dsum(c: str | Column, alias: str) -> Column:
+#: size gate for the scaled-long money-sum route (r9, guide §2.3
+#: "narrower types"): SUM(CAST(x AS DECIMAL(18,s)))::DOUBLE is the
+#: oracle form, but the per-row double→BigDecimal cast plus the
+#: decimal sum buffer cost ~2 µs/row under ANSI — 3.9× the whole q1
+#: aggregation (measured at sf0.1: 0.855 s decimal vs 0.222 s long;
+#: at sf100 q1 is ~100% aggregation-bound at 41.9 s warm).  The long
+#: route sums round(x·10^s) as a primitive 8-byte long and converts
+#: ONCE per group via an exact decimal division.  Overflow bound: the
+#: worst single group is a global aggregate over the whole table —
+#: rows × max(x·10^4) < 2^63 needs rows ≲ 8.4e9 (max revenue item
+#: ≈ 1.1e9 at scale 10^4), i.e. lineitem ≲ sf1400.  The gate trips to
+#: the decimal form at 64 GiB on-disk (≈ sf600, 2.3× margin); above
+#: it ANSI long-sum overflow would RAISE, never wrap, so the route is
+#: loud even if the gate is mis-sized.  Both forms are pinned equal by
+#: tests/test_longsum.py and every converted query stays green against
+#: its DuckDB oracle (selfcheck at sf0.001/0.01/0.1).
+MONEY_LONGSUM_MAX_BYTES = 64 << 30
+
+
+def _fits_longsum(sf_dir: str, table: str = "lineitem") -> bool:
+    sz = _table_disk_bytes(sf_dir, table)
+    return sz is not None and sz < MONEY_LONGSUM_MAX_BYTES
+
+
+def _lraw(c: str | Column, scale: int = 100) -> Column:
+    """The per-row scaled-long term of :func:`_lsum` (callers that
+    filter on the raw scaled sum before converting use it directly)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (col * scale + F.lit(0.5)).cast("long")
+
+
+def _lfin(c: str | Column, alias: str, scale: int = 100) -> Column:
+    """Final conversion of a scaled-long sum back to the oracle's
+    double: exact decimal division, then the same correctly-rounded
+    double cast the decimal route produces."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (col.cast("decimal(38,0)") / scale).cast("double").alias(alias)
+
+
+def _lsum(c: str | Column, alias: str, scale: int = 100) -> Column:
+    """Exact scaled-long form of ``SUM(CAST(x AS DECIMAL))::DOUBLE``.
+
+    Per row: ``(x·scale + 0.5)::LONG`` — for NON-NEGATIVE x whose
+    true value is an exact ``1/scale``-decimal (both verified on the
+    fixtures: max |x·scale − round(x·scale)| ≤ 1e-9, min ≥ 0, and for
+    the dec4 product sums the product of two 2-decimal rationals is an
+    exact 4-decimal rational), truncation after +0.5 recovers exactly
+    the integer HALF_UP would, so the long sum is the decimal sum
+    ×scale.  The final ``/scale`` runs in decimal (exact for any
+    long), and the cast to double is then the same correctly-rounded
+    value the decimal route produces.  NULLs skip the sum and an empty
+    group yields NULL — identical to the decimal form."""
+    return _lfin(F.sum(_lraw(c, scale)), alias, scale)
+
+
+def _dsum(c: str | Column, alias: str, longsum: bool = False) -> Column:
+    """``SUM(CAST(x AS DECIMAL(18,2)))::DOUBLE`` — routed: the decimal
+    form (always correct) or, when the caller passed
+    ``longsum=_fits_longsum(sf_dir)`` under the size gate, the exact
+    scaled-long form (see :func:`_lsum`/:data:`MONEY_LONGSUM_MAX_BYTES`)."""
+    if longsum:
+        return _lsum(c, alias, scale=100)
     return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+def _dsum4(c: str | Column, alias: str, longsum: bool = False) -> Column:
+    """``SUM(CAST(expr AS DECIMAL(18,4)))::DOUBLE`` with the same
+    routing as :func:`_dsum` at scale 10^4 (the revenue-product form)."""
+    if longsum:
+        return _lsum(c, alias, scale=10000)
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(_dec4(col)).cast("double").alias(alias)
 
 
 def _day(c: str) -> Column:
@@ -479,7 +549,8 @@ def a3_sum_per_parent(spark, sf_dir):
     (BlockEntry.getTotalLength :158-164)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        _dsum("l_extendedprice", "sum_price"), F.count("*").alias("n_items")
+        _dsum("l_extendedprice", "sum_price", longsum=_fits_longsum(sf_dir)),
+        F.count("*").alias("n_items"),
     )
 
 
@@ -496,7 +567,7 @@ def a4_status_summary(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        _dsum("o_totalprice", "sum_price"),
+        _dsum("o_totalprice", "sum_price", longsum=_fits_longsum(sf_dir, "orders")),
         F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
     )
 
@@ -512,13 +583,22 @@ def a5_global_stats(spark, sf_dir):
     """A5: cluster statistics SUM/COUNT battery
     (updateClusterStatistics :478-512)."""
     li = load_table(spark, sf_dir, "lineitem")
+    lf = _fits_longsum(sf_dir)
+    sum_price = (
+        _lsum("l_extendedprice", "_sp")
+        if lf
+        else F.sum(_dec("l_extendedprice")).cast("double").alias("_sp")
+    )
     return li.agg(
-        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_quantity", "sum_qty", longsum=lf),
         F.count("*").alias("n_rows"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.round(
-            F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 2
-        ).alias("avg_price"),
+        sum_price,
+    ).select(
+        "sum_qty",
+        "n_rows",
+        "n_parts",
+        F.round(F.col("_sp") / F.col("n_rows"), 2).alias("avg_price"),
     )
 
 
@@ -622,7 +702,10 @@ def w2_topk_per_group(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    # floor-form scaled long (see _lraw): l_quantity ≥ 0 and exact
+    # 2-decimal, so +0.5/truncate ≡ round() without the per-row
+    # BigDecimal the round() expression pays
+    q100 = _lraw("l_quantity")
     enc = F.shiftleft(F.lit(1 << 20) - q100, 32) + F.col(
         "l_linenumber"
     ).cast("long")
@@ -632,6 +715,9 @@ def w2_topk_per_group(spark, sf_dir):
         [F.desc("l_quantity"), "l_linenumber"],
         k=2,
         size_hint_bytes=_table_disk_bytes(sf_dir, "lineitem"),
+        # TPC-H lineitem: ≤ 7 lines per order at every SF — the packed
+        # form's buffer bound holds, so it routes at ANY size (r9)
+        max_group_hint=7,
         order_spec=[("l_quantity", "desc"), ("l_linenumber", "asc")],
         packed_enc=enc,
         packed_decode=[
@@ -1608,7 +1694,10 @@ def events_hourly_window(spark, sf_dir):
     return e.groupBy(
         F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
-    ).agg(F.count("*").alias("n"), _dsum("value", "sum_value"))
+    ).agg(
+        F.count("*").alias("n"),
+        _dsum("value", "sum_value", longsum=_fits_longsum(sf_dir, "events")),
+    )
 
 
 @q(
@@ -1645,17 +1734,23 @@ def events_latest_per_user(spark, sf_dir):
        GROUP BY l_returnflag, l_linestatus""",
 )
 def q1_pricing_summary(spark, sf_dir):
-    """Flagship: TPC-H Q1-shaped pricing summary."""
+    """Flagship: TPC-H Q1-shaped pricing summary.  Money sums run on
+    the scaled-long route under the size gate (r9, −74% on the
+    aggregation: the decimal casts were ~100% of the single-rowgroup
+    stage at sf0.1 and of the 41.9 s warm sf100 row)."""
     li = load_table(spark, sf_dir, "lineitem")
+    lf = _fits_longsum(sf_dir)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("double")
-            .alias("sum_disc_price"),
+            _dsum("l_quantity", "sum_qty", longsum=lf),
+            _dsum("l_extendedprice", "sum_base_price", longsum=lf),
+            _dsum4(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+                longsum=lf,
+            ),
             F.count("*").alias("count_order"),
         )
     )
@@ -1689,9 +1784,11 @@ def q3_unshipped_revenue(spark, sf_dir):
     out = (
         j.groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("double")
-            .alias("revenue")
+            _dsum4(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                longsum=_fits_longsum(sf_dir),
+            )
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -1784,9 +1881,11 @@ def q5_nation_revenue(spark, sf_dir, early: bool | None = None):
             .join(r, n["n_regionkey"] == r["r_regionkey"])
         )
     return j.groupBy("n_name").agg(
-        F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-        .cast("double")
-        .alias("revenue")
+        _dsum4(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "revenue",
+            longsum=_fits_longsum(sf_dir),
+        )
     )
 
 
@@ -1811,9 +1910,11 @@ def q6_filtered_revenue(spark, sf_dir):
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.sum(_dec4(F.col("l_extendedprice") * F.col("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            _dsum4(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "revenue",
+                longsum=_fits_longsum(sf_dir),
+            ),
             F.count("*").alias("n"),
         )
     )
@@ -1845,10 +1946,12 @@ def q14_promo_revenue(spark, sf_dir):
         )
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(_dec4(F.when(F.col("p_type") == "PROMO", disc).otherwise(0)))
-            .cast("double")
-            .alias("promo_revenue"),
-            F.sum(_dec4(disc)).cast("double").alias("total_revenue"),
+            _dsum4(
+                F.when(F.col("p_type") == "PROMO", disc).otherwise(0),
+                "promo_revenue",
+                longsum=_fits_longsum(sf_dir),
+            ),
+            _dsum4(disc, "total_revenue", longsum=_fits_longsum(sf_dir)),
         )
     )
 
@@ -2072,6 +2175,12 @@ def window_running_total(spark, sf_dir):
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if _fits_longsum(sf_dir, "orders"):
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            _lfin(F.sum(_lraw("o_totalprice")).over(w), "running_spend"),
+        )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -2155,7 +2264,11 @@ def window_spend_quartiles(spark, sf_dir):
     from adfs_spark.operators.windows import global_row_number, ntile_of
 
     spend = o.groupBy("o_custkey").agg(
-        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend")
+        _dsum(
+            "o_totalprice",
+            "total_spend",
+            longsum=_fits_longsum(sf_dir, "orders"),
+        )
     )
     keyed = spend.withColumn("_negspend", -F.col("total_spend"))
     ranked, n = global_row_number(keyed, "_negspend", ["o_custkey"], out_col="_rn")
@@ -2412,7 +2525,8 @@ def agg_rollup_status_priority(spark, sf_dir):
     One shuffle; Spark expands grouping sets map-side."""
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"), _dsum("o_totalprice", "sum_price")
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice", "sum_price", longsum=_fits_longsum(sf_dir, "orders")),
     )
 
 
@@ -2426,7 +2540,8 @@ def agg_cube_flag_status(spark, sf_dir):
     """All 2^k marginal totals in one pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), _dsum("l_quantity", "sum_qty")
+        F.count("*").alias("n"),
+        _dsum("l_quantity", "sum_qty", longsum=_fits_longsum(sf_dir)),
     )
 
 
@@ -2487,8 +2602,12 @@ def sq_not_exists_inactive(spark, sf_dir):
     inactive = c.filter(F.col("c_acctbal") > 0).join(
         big, c["c_custkey"] == big["o_custkey"], "left_anti"
     )
+    # c_acctbal can be negative in general (the +0.5/truncate rounding
+    # needs x ≥ 0), but the aggregated set is filtered to c_acctbal > 0
+    # above, so the long route's precondition holds by construction.
     return inactive.groupBy("c_nationkey").agg(
-        F.count("*").alias("n_customers"), _dsum("c_acctbal", "sum_acctbal")
+        F.count("*").alias("n_customers"),
+        _dsum("c_acctbal", "sum_acctbal", longsum=_fits_longsum(sf_dir, "customer")),
     )
 
 
@@ -2510,14 +2629,22 @@ def sq_scalar_small_quantity(spark, sf_dir):
     in both engines (exact decimal sum, then double multiply/divide) so
     boundary comparisons agree bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
-    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") * 0.5 / F.count("*")).alias("t")
+    lf = _fits_longsum(sf_dir)
+    sq = (
+        _lsum("l_quantity", "_sq")
+        if lf
+        else F.sum(_dec("l_quantity")).cast("double").alias("_sq")
+    )
+    thr = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(sq, F.count("*").alias("_n"))
+        .select("pk", (F.col("_sq") * 0.5 / F.col("_n")).alias("t"))
     )
     return (
         li.join(thr, li["l_partkey"] == thr["pk"])
         .filter(F.col("l_quantity") < F.col("t"))
         .agg(
-            _dsum("l_extendedprice", "sum_price"),
+            _dsum("l_extendedprice", "sum_price", longsum=lf),
             F.count("*").alias("n"),
         )
     )
@@ -3149,7 +3276,7 @@ def agg_unpivot_metrics(spark, sf_dir):
         valueColumnName="value",
     ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
     return melted.groupBy("l_returnflag", "metric").agg(
-        F.sum(_dec("value")).cast("double").alias("total")
+        _dsum("value", "total", longsum=_fits_longsum(sf_dir))
     )
 
 
@@ -3589,12 +3716,17 @@ def q10_returned_items(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(
+            _dsum4(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                longsum=_fits_longsum(sf_dir),
+            )
+        )
         .orderBy(F.desc("revenue"), F.col("c_custkey"))
         .limit(20)
     )
@@ -4957,12 +5089,22 @@ def sq_having_big_orders(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
-        .filter(F.col("_sq") > 250)
-        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
-    )
+    if _fits_longsum(sf_dir):
+        # HAVING on the raw scaled sum: _sq100 = 100× the exact decimal
+        # sum, so `> 25000` is the same cut as `> 250` on the decimal.
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(_lraw("l_quantity")).alias("_sq100"))
+            .filter(F.col("_sq100") > 25000)
+            .select("l_orderkey", _lfin("_sq100", "sum_qty"))
+        )
+    else:
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+            .filter(F.col("_sq") > 250)
+            .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+        )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])

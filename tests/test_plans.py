@@ -600,8 +600,29 @@ def test_topk_route_pinned_at_both_gate_ends(spark):
     h = hot._jdf.queryExecution().executedPlan().toString()
     assert "_skew_salt" in h
 
+    # BELOW the size gate with packed hints AND a caller-vouched small
+    # hottest key: packed engages at any size (r9 — measured ≤ the
+    # window at every rung once the buffer bound is vouched)
+    packed_small = topk_per_group(
+        li, *args, size_hint_bytes=1 << 20, max_group_hint=7,
+        order_spec=[("l_quantity", "desc"), ("l_linenumber", "asc")],
+        packed_enc=enc, packed_decode=dec,
+    )
+    ps = packed_small._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in ps and "ObjectHashAggregate" in ps
+
+    # ...but withOUT the group-size bound, small stays on the window
+    # (an unvouched collect_list below the probe threshold is unsafe)
+    win_small = topk_per_group(
+        li, *args, size_hint_bytes=1 << 20,
+        order_spec=[("l_quantity", "desc"), ("l_linenumber", "asc")],
+        packed_enc=enc, packed_decode=dec,
+    )
+    ws = win_small._jdf.queryExecution().executedPlan().toString()
+    assert ws.count("Window [") == 1 and "_skew_salt" not in ws
+
     # identical results across ALL routes on real data
     a = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "rank").collect()}
-    for alt in (salted, smallk, packed, hot):
+    for alt in (salted, smallk, packed, hot, packed_small, win_small):
         b = {tuple(r) for r in alt.select("l_orderkey", "l_linenumber", "rank").collect()}
         assert a == b

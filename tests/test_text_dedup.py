@@ -732,3 +732,51 @@ def test_canonical_survivors_unscored_members(spark):
         for r in canonical_survivors(edges, scores).collect()
     }
     assert got == {1: (2, 3, 2), 10: (10, 2, 1)}
+
+
+def test_minhash_collapse_auto_probe_routes_and_matches(spark):
+    """r9: collapse_exact="auto" probes the largest exact-dup family.
+    A family past COLLAPSE_EXACT_MAX_FAMILY engages the guard; a clean
+    corpus skips its 4 collapse/expansion stages.  Results are
+    identical on every route (identical texts share every bucket)."""
+    from adfs_spark.functions.dedup import (
+        COLLAPSE_EXACT_MAX_FAMILY,
+        minhash_near_duplicates,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    far = " ".join(f"q{i}" for i in range(40))
+
+    # big identical family: auto must produce exactly the guarded
+    # result (pairs within the family at 1.0, cross pairs inherited)
+    fam = COLLAPSE_EXACT_MAX_FAMILY + 3
+    rows = [(i, base) for i in range(fam)] + [(900, near), (901, far)]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    kw = dict(num_hashes=32, num_bands=8, threshold=0.5)
+    auto = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_near_duplicates(
+            df, "id", "text", collapse_exact="auto", **kw
+        ).collect()
+    }
+    forced = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_near_duplicates(
+            df, "id", "text", collapse_exact=True, **kw
+        ).collect()
+    }
+    assert auto == forced
+    assert auto[(0, 1)] == 1.0 and (0, 900) in auto
+
+    # clean corpus (largest family = 1): auto ≡ no-collapse, and the
+    # plan carries no expansion join of the id→rep mapping
+    clean = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id: long, text: string"
+    )
+    a2 = minhash_near_duplicates(clean, "id", "text", collapse_exact="auto", **kw)
+    plain = minhash_near_duplicates(clean, "id", "text", collapse_exact=False, **kw)
+    ra = {(r["id_a"], r["id_b"]) for r in a2.collect()}
+    rp = {(r["id_a"], r["id_b"]) for r in plain.collect()}
+    assert ra == rp == {(1, 2)}
+    assert "_ra" not in a2._jdf.queryExecution().optimizedPlan().toString()
