@@ -88,10 +88,28 @@ class WriteConflictError(RuntimeError):
     than the retry budget."""
 
 
-def _latest_by_abs_version(df: DataFrame, pk: Sequence[str]) -> DataFrame:
+def _latest_by_abs_version(
+    df: DataFrame, pk: Sequence[str], cluster: tuple[str, int] | None = None
+) -> DataFrame:
     """Last-writer-wins by abs(version) per primary key (U4 semantics,
-    insert/update/deleteDirectly :420-470)."""
-    w = Window.partitionBy(*pk).orderBy(F.abs(F.col(VERSION_COL)).desc())
+    insert/update/deleteDirectly :420-470).
+
+    ``cluster=(col, n)`` (r9): hash-partition the input by ``col`` — a
+    pure function of the pk, e.g. the bucket column — into ``n``
+    partitions FIRST and key the window by (col, *pk).  The result is
+    identical (same-pk rows share the same ``col`` value), but the
+    window's clustering requirement is satisfied by the explicit
+    exchange (hash partitioning on a subset of the window keys already
+    co-locates every (col, pk) group), so the plan carries ONE exchange
+    that both merges versions and clusters the output for the bucketed
+    write (guide §2.4: operations keyed the same way share one
+    exchange)."""
+    keys: list[str] = list(pk)
+    if cluster is not None:
+        ccol, n = cluster
+        df = df.repartition(n, F.col(ccol))
+        keys = [ccol, *keys]
+    w = Window.partitionBy(*keys).orderBy(F.abs(F.col(VERSION_COL)).desc())
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -288,7 +306,13 @@ class VersionedTable:
             else:
                 df = _stamp_versions(rows, list(self.spec.primary_key), start_version - 1)
             if self.num_buckets:
-                self._write_partitions(df.withColumn(KBUCKET_COL, self._kbucket()))
+                # seed rows are external by contract (the table does
+                # not exist yet), so the anti-overwrite-while-reading
+                # tmp-swap is skipped — one write instead of two
+                self._write_partitions(
+                    df.withColumn(KBUCKET_COL, self._kbucket()),
+                    source_external=True,
+                )
             else:
                 self._write_current(df)
             ops = df.withColumn(OP_COL, F.lit("INSERT"))
@@ -1708,8 +1732,12 @@ class VersionedTable:
         with_kb = delta_rows.withColumn(KBUCKET_COL, self._kbucket())
         touched = [r[0] for r in with_kb.select(KBUCKET_COL).distinct().collect()]
         cur = self._read_current_raw().filter(F.col(KBUCKET_COL).isin(touched))
-        merged = _latest_by_abs_version(cur.unionByName(with_kb), pk)
-        self._write_partitions(merged)
+        merged = _latest_by_abs_version(
+            cur.unionByName(with_kb),
+            pk,
+            cluster=(KBUCKET_COL, self.num_buckets),
+        )
+        self._write_partitions(merged, pre_clustered=True)
         self._mark_compacted()
         # machine-recorded write-amplification evidence: the fraction
         # of pk-hash buckets this merge read + rewrote (1.0 = a spread
@@ -1721,17 +1749,89 @@ class VersionedTable:
         }
 
     def _write_partitions(
-        self, df_with_kb: DataFrame, sort_cols: Sequence[str] | None = None
+        self,
+        df_with_kb: DataFrame,
+        sort_cols: Sequence[str] | None = None,
+        source_external: bool = False,
+        pre_clustered: bool = False,
     ) -> None:
         """Write (a subset of) bucket partitions; dynamic overwrite
-        replaces only the partitions present in ``df_with_kb``."""
+        replaces only the partitions present in ``df_with_kb``.
+
+        File-count invariant (r9): the write is clustered so each
+        touched bucket lands wholly in one task — one file per touched
+        bucket at any scale or task count.  Without it every merge
+        multiplied current/ files by the write-task count (measured
+        64 → 243 files after init + 3 ops at sf0.1; thousands at
+        sf100), and every later scan paid the listing + per-file open
+        tax (guide §6).  ``pre_clustered=True`` means the CALLER
+        already hash-partitioned the frame by the bucket column — the
+        merge path does it BELOW the LWW window so the window reuses
+        that same exchange (guide §2.4) and clustering costs nothing
+        extra; otherwise one explicit exchange is added here, with
+        ``num_buckets`` pinned as the partition count because an
+        AQE-coalesced keyed repartition can collapse a small frame
+        into one task and serialize all the per-bucket file writes.
+
+        The in-task sort leads with the bucket column: the dynamic
+        partition writer requires input sorted by the partition
+        columns and inserts its own SortExec when the plan cannot
+        prove it — leading with ``_kb`` satisfies that requirement as
+        a prefix, so the writer sort is elided; on the merge path the
+        LWW window already sorted by (bucket, pk, |version|), so this
+        explicit sort is itself elided and the pk order inside each
+        bucket file survives for free (min/max stats, guide §6).
+
+        The tmp-materialize + read-back exists because merge inputs
+        derive from a read of ``current_path`` (overwriting a path
+        while reading it is undefined).  ``source_external=True`` (r9)
+        skips it when the CALLER proves the frame reads nothing under
+        ``current_path`` — init's seed rows — halving the write cost
+        of bulk loads.  The tmp dir is itself bucket-partitioned, so
+        the read-back sees whole single-bucket files and the final
+        write keeps the one-file-per-bucket invariant without a second
+        exchange."""
+        sort_keys = list(sort_cols or self.spec.primary_key)
+
+        def _clustered(df: DataFrame) -> DataFrame:
+            if not pre_clustered:
+                df = df.repartition(self.num_buckets, F.col(KBUCKET_COL))
+            return df.sortWithinPartitions(KBUCKET_COL, *sort_keys)
+
+        if source_external:
+            (
+                _clustered(df_with_kb).write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(KBUCKET_COL)
+                .parquet(self.current_path)
+            )
+            return
         tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
-        df_with_kb.sortWithinPartitions(
-            *(sort_cols or self.spec.primary_key)
-        ).write.mode("overwrite").parquet(tmp)
-        staged = self.spark.read.schema(self._full_schema()).parquet(tmp)
         (
-            staged.write.mode("overwrite")
+            _clustered(df_with_kb)
+            .write.mode("overwrite")
+            .partitionBy(KBUCKET_COL)
+            .parquet(tmp)
+        )
+        # explicit schema (incl. helper sort columns like compact's
+        # _zvalue, which the persisted schema drops) keeps the
+        # empty-frame case readable — a partitioned empty write leaves
+        # no parquet footer to infer from
+        staged = (
+            self.spark.read.schema(df_with_kb.schema)
+            .option("basePath", tmp)
+            .parquet(tmp)
+        )
+        # scan tasks pack whole single-bucket files, so re-sorting by
+        # (bucket, helpers) is a cheap in-task pass that restores the
+        # in-bucket order deterministically; the projection then drops
+        # the helpers without landing them in current/ (Project
+        # preserves ordering, so the writer sort stays elided)
+        out = staged.sortWithinPartitions(KBUCKET_COL, *sort_keys).select(
+            *[F.col(f.name).cast(f.dataType) for f in self._full_schema().fields]
+        )
+        (
+            out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(KBUCKET_COL)
             .parquet(self.current_path)
