@@ -614,6 +614,17 @@ def minhash_dedup_incremental(
 #: exact family is 2).
 COLLAPSE_EXACT_MAX_FAMILY = 64
 
+#: corpus-size (optimizer ``sizeInBytes`` estimate) below which the
+#: "auto" route probes with the md5 fingerprint pass and above which
+#: it probes with the signature-bucket aggregate.  Both probes are
+#: EXACT — the choice only picks the cheaper one: the md5 pass costs
+#: a full text scan + hash (linear in corpus bytes — measured +0.4 s
+#: at sf0.1 but +2.0 s at sf10), the bucket probe costs one extra
+#: aggregate job over signatures the pipeline builds anyway (~fixed
+#: +1.2 s at sf0.1, but amortized to a net −1.0 s at sf10 because the
+#: persisted signature table is reused by the candidate stage).
+PROBE_SMALL_CORPUS_MAX_BYTES = 1 << 30
+
 
 def minhash_near_duplicates(
     df: DataFrame,
@@ -641,46 +652,129 @@ def minhash_near_duplicates(
     the quadratic bucket work and the shingle explode now scale with
     |distinct contents|, not |docs|.
 
-    ``"auto"`` (default since r9) PROBES instead of assuming: one
-    md5-fingerprint aggregate (the same first stage the guard itself
-    needs — persisted and reused when the guard engages) measures the
-    largest exact-dup family; at or below
-    :data:`COLLAPSE_EXACT_MAX_FAMILY` the guard's 4 collapse/expansion
-    stages are skipped because the bucket work they bound is already
-    small.  Results are identical on every route: identical texts have
+    ``"auto"`` (default since r9) PROBES instead of assuming.  The
+    probe itself is chosen by corpus size (optimizer ``sizeInBytes``,
+    free — no job), because two exact probes exist with opposite cost
+    profiles (:data:`PROBE_SMALL_CORPUS_MAX_BYTES`):
+
+    * small corpus — one md5-fingerprint aggregate measures the
+      largest exact-dup family directly (a narrow scan, cheap here;
+      persisted and reused when the guard engages);
+    * large corpus — probe the ACTUAL hazard: the largest LSH band
+      bucket, read off the signature table the unguarded pipeline
+      builds anyway (a dedicated full-corpus md5 pass was measured
+      at ~6% of the whole sf10 pipeline, pure overhead on a clean
+      corpus).  An exact-dup family of f members shares every band
+      bucket, so max-bucket ≥ f: a max-bucket at or below
+      :data:`COLLAPSE_EXACT_MAX_FAMILY` PROVES the per-bucket
+      self-join work is bounded and the guard's 4 collapse/expansion
+      stages have nothing to bound.  Only a mega-bucket escalates to
+      the fingerprint probe, which decides whether byte-identical
+      content — the one thing collapse can fix — is the cause (a
+      merely *near*-duplicate pile-up also makes big buckets, and
+      collapse cannot help it).
+
+    Results are identical on every route: identical texts have
     identical signatures, so they share every band bucket and verify
-    at jaccard 1.0 — the guard only ever changed the PLAN.  Probed,
-    not size-gated, because content degeneracy — not corpus bytes —
-    is what makes a bucket explode.
+    at jaccard 1.0 — the guard only ever changed the PLAN.  The
+    engage/skip decision is probed, not size-gated, because content
+    degeneracy — not corpus bytes — is what makes a bucket explode;
+    size only selects which exact probe is cheaper.
     """
     if collapse_exact == "auto":
-        fp0 = df.select(
-            F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")
-        ).persist()
-        groups0 = fp0.groupBy("_fp").agg(
-            F.min("_mid").alias("_rep"), F.count("*").alias("_gsz")
+        from pyspark import StorageLevel
+
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        max_family = (
-            groups0.agg(F.max("_gsz").alias("m")).first()["m"] or 0
-        )
-        if max_family <= COLLAPSE_EXACT_MAX_FAMILY:
+        if est_bytes <= PROBE_SMALL_CORPUS_MAX_BYTES:
+            # Small corpus: the md5 fingerprint pass IS the cheaper
+            # exact probe here (one narrow scan; the bucket probe's
+            # extra aggregate job does not amortize at this size).
+            fp0 = df.select(
+                F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")
+            ).persist()
+            max_family = (
+                fp0.groupBy("_fp")
+                .agg(F.count("*").alias("_gsz"))
+                .agg(F.max("_gsz").alias("m"))
+                .first()["m"]
+                or 0
+            )
+            if max_family > COLLAPSE_EXACT_MAX_FAMILY:
+                # fp0 stays persisted — the guarded path rebuilds the
+                # identical fingerprint subtree and the cache manager
+                # substitutes it (plan-equality match).
+                if persisted_out is not None:
+                    persisted_out.append(fp0)
+                return minhash_near_duplicates(
+                    df, id_col, text_col, n, num_hashes, num_bands,
+                    threshold, seed, collapse_exact=True,
+                    persisted_out=persisted_out, shingle_form=shingle_form,
+                )
             fp0.unpersist()
             return minhash_near_duplicates(
                 df, id_col, text_col, n, num_hashes, num_bands,
                 threshold, seed, collapse_exact=False,
                 persisted_out=persisted_out, shingle_form=shingle_form,
             )
+        rows_per_band = num_hashes // num_bands
+        sh = (
+            _hashed_shingles(df, id_col, text_col, n, shingle_form)
+            .repartition(F.col("_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sigs = minhash_signatures(
+            df, id_col, text_col, n, num_hashes, seed, shingle_df=sh
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        max_bucket = (
+            _banded(sigs, num_bands, rows_per_band)
+            .groupBy("band", "bucket")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+            or 0
+        )
+        if max_bucket > COLLAPSE_EXACT_MAX_FAMILY:
+            fp0 = df.select(
+                F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")
+            ).persist()
+            max_family = (
+                fp0.groupBy("_fp")
+                .agg(F.count("*").alias("_gsz"))
+                .agg(F.max("_gsz").alias("m"))
+                .first()["m"]
+                or 0
+            )
+            if max_family > COLLAPSE_EXACT_MAX_FAMILY:
+                # The guard engages: drop the unguarded pipeline's
+                # cached full-corpus stages and recurse with the
+                # guard forced on.  fp0 stays persisted — the
+                # guarded path rebuilds the identical fingerprint
+                # subtree and Spark's cache manager substitutes the
+                # cached relation (plan-equality match), so the
+                # probe's corpus pass is not repeated.
+                sh.unpersist()
+                sigs.unpersist()
+                if persisted_out is not None:
+                    persisted_out.append(fp0)
+                return minhash_near_duplicates(
+                    df, id_col, text_col, n, num_hashes, num_bands,
+                    threshold, seed, collapse_exact=True,
+                    persisted_out=persisted_out, shingle_form=shingle_form,
+                )
+            # Mega-bucket without a mega exact-dup family: collapse
+            # cannot shrink it; stay unguarded (AQE skew splitting
+            # caps the bucket self-join) and keep what we built.
+            fp0.unpersist()
         if persisted_out is not None:
-            persisted_out.append(fp0)
-        # The guard engages: recurse with the guard forced on.  fp0
-        # stays persisted — the guarded path rebuilds the identical
-        # fingerprint subtree and Spark's cache manager substitutes
-        # the cached relation (plan-equality match), so the probe's
-        # corpus pass is not repeated.
-        return minhash_near_duplicates(
-            df, id_col, text_col, n, num_hashes, num_bands,
-            threshold, seed, collapse_exact=True,
-            persisted_out=persisted_out, shingle_form=shingle_form,
+            persisted_out.append(sh)
+            persisted_out.append(sigs)
+        cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band).persist()
+        if persisted_out is not None:
+            persisted_out.append(cands)
+        return jaccard_pairs(
+            df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
         )
     elif collapse_exact:
         fp = df.select(

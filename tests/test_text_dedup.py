@@ -780,3 +780,52 @@ def test_minhash_collapse_auto_probe_routes_and_matches(spark):
     rp = {(r["id_a"], r["id_b"]) for r in plain.collect()}
     assert ra == rp == {(1, 2)}
     assert "_ra" not in a2._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_minhash_collapse_auto_bucket_probe_large_corpus(spark, monkeypatch):
+    """r9.2: past PROBE_SMALL_CORPUS_MAX_BYTES the auto route probes the
+    largest LSH band bucket from the pipeline's own signature table
+    instead of paying a dedicated md5 pass; a mega-bucket escalates to
+    the fingerprint probe, which engages the guard only for exact-dup
+    families.  Forced here by zeroing the size threshold — results must
+    match the small-corpus routes exactly on every branch."""
+    from adfs_spark.functions import dedup as D
+
+    monkeypatch.setattr(D, "PROBE_SMALL_CORPUS_MAX_BYTES", 0)
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    far = " ".join(f"q{i}" for i in range(40))
+    kw = dict(num_hashes=32, num_bands=8, threshold=0.5)
+
+    # clean corpus: bucket probe finds no mega-bucket → unguarded plan,
+    # no md5 fingerprint pass, no expansion join
+    clean = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id: long, text: string"
+    )
+    a = D.minhash_near_duplicates(clean, "id", "text", collapse_exact="auto", **kw)
+    got = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    assert got == {(1, 2)}
+    plan = a._jdf.queryExecution().optimizedPlan().toString()
+    assert "_ra" not in plan and "md5" not in plan
+
+    # mega exact-dup family: bucket probe sees the mega-bucket,
+    # escalates to the fingerprint probe, guard engages — identical
+    # pairs to the forced-guarded run
+    fam = D.COLLAPSE_EXACT_MAX_FAMILY + 3
+    rows = [(i, base) for i in range(fam)] + [(900, near), (901, far)]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    auto = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.minhash_near_duplicates(
+            df, "id", "text", collapse_exact="auto", **kw
+        ).collect()
+    }
+    forced = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.minhash_near_duplicates(
+            df, "id", "text", collapse_exact=True, **kw
+        ).collect()
+    }
+    assert auto == forced
+    assert auto[(0, 1)] == 1.0 and (0, 900) in auto
