@@ -54,6 +54,15 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
 # and the measured win.
 Q5_EARLY_RESTRICT_MIN_BYTES = 64 << 20
 
+# q5 supplier-first gate: force-broadcast the region-filtered supplier
+# slice onto lineitem BEFORE the l_orderkey exchange only while the
+# whole supplier table is provably broadcast-sized.  128 MB of parquet
+# is ~10M suppliers; the two-column slice builds a <300 MB hash
+# relation — far under the 8 GB broadcast cap, but past this the plan
+# must fall back to letting AQE place supplier after the fact join
+# (a forced broadcast of an unbounded table OOMs executors).
+Q5_SUPPLIER_BROADCAST_MAX_BYTES = 128 << 20
+
 
 def _table_disk_bytes(sf_dir: str, name: str) -> int | None:
     """On-disk footprint of a fixture table — the table statistic a
@@ -1819,7 +1828,11 @@ def q5_nation_revenue(spark, sf_dir, early: bool | None = None):
       constant-size, so the ~10 valid nation keys broadcast onto
       customer/supplier as map-side joins and every downstream shuffle
       moves only the qualifying ~40% of rows.  −44% at sf10, the only
-      sane plan at 100 TB.
+      sane plan at 100 TB.  While supplier itself is broadcast-sized
+      (``Q5_SUPPLIER_BROADCAST_MAX_BYTES``), the filtered supplier
+      slice additionally broadcasts onto lineitem BEFORE the
+      l_orderkey exchange, so the one unavoidable fact shuffle carries
+      only the qualifying ~40% of lineitem rows.
     - ``early=False`` — plain join chain with the region filter at the
       end.  The two extra broadcast stages of the early form cost a
       fixed ~0.3 s, which DOMINATES when the whole fact-fact shuffle
@@ -1853,21 +1866,39 @@ def q5_nation_revenue(spark, sf_dir, early: bool | None = None):
         # Restrict ORDERS through the qualified customers BEFORE the
         # fact-fact join (r9): o⋈c2 shuffles 150M orders against the
         # ~40% customer slice, so only qualifying orders (and their
-        # nation tags) meet lineitem — the li shuffle is unavoidable
-        # (join key l_orderkey), but everything DOWNSTREAM of it moves
-        # 40% of the rows instead of 100%.  Measured at the 600M-row
+        # nation tags) meet lineitem.  Measured at the 600M-row
         # rung: 99.4 s → 65.3 s (−34%); a wash at sf10 where nothing
         # spills.  customer/supplier grow with SF (sf100 customer
-        # ≈ 15M rows), so no forced broadcasts — AQE decides from
-        # runtime sizes for the filtered c2/s2 sides.
+        # ≈ 15M rows), so no forced broadcasts of those — AQE decides
+        # from runtime sizes for the filtered c2/s2 sides.
         o2 = o.join(c2, o["o_custkey"] == c2["c_custkey"]).select(
             "o_orderkey", "c_nationkey", "n_name"
         )
-        j = li.join(o2, li["l_orderkey"] == o2["o_orderkey"]).join(
-            s2,
-            (li["l_suppkey"] == s2["s_suppkey"])
-            & (s2["s_nationkey"] == F.col("c_nationkey")),
-        )
+        # Restrict LINEITEM through the qualified suppliers BEFORE the
+        # l_orderkey exchange (r9, guide §3.2): s_suppkey is unique, so
+        # the inner join multiplies no rows and only drops the ~60% of
+        # lineitem whose supplier sits outside the region — the one
+        # unavoidable fact shuffle then carries 40% of the rows at the
+        # same row width (s_nationkey replaces l_suppkey).  Forced
+        # broadcast only while supplier is provably small (gate above);
+        # past the gate a planner-chosen SMJ here would shuffle
+        # lineitem an extra time on l_suppkey, so the plain shape wins.
+        sup_sz = _table_disk_bytes(sf_dir, "supplier")
+        if sup_sz is not None and sup_sz <= Q5_SUPPLIER_BROADCAST_MAX_BYTES:
+            li2 = li.join(F.broadcast(s2), li["l_suppkey"] == s2["s_suppkey"]).select(
+                "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey"
+            )
+            j = li2.join(
+                o2,
+                (li2["l_orderkey"] == o2["o_orderkey"])
+                & (li2["s_nationkey"] == o2["c_nationkey"]),
+            )
+        else:
+            j = li.join(o2, li["l_orderkey"] == o2["o_orderkey"]).join(
+                s2,
+                (li["l_suppkey"] == s2["s_suppkey"])
+                & (s2["s_nationkey"] == F.col("c_nationkey")),
+            )
     else:
         j = (
             li.join(o, li["l_orderkey"] == o["o_orderkey"])

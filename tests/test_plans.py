@@ -100,11 +100,14 @@ def test_q5_fact_join_not_broadcast_on_big_side(spark):
     # downstream shuffles move only qualifying rows).  customer /
     # supplier themselves grow with SF and must be left to AQE (a
     # forced broadcast OOMs executors at sf100)
-    # 4 occurrences: nr's internal region hint prints under BOTH reuses
-    # of the nr subtree (customer's and supplier's), plus the two nr
-    # hints themselves
+    # 5 occurrences: nr's internal region hint prints under BOTH reuses
+    # of the nr subtree (customer's and supplier's), the two nr hints
+    # themselves, plus the size-gated supplier-slice hint onto lineitem
+    # (supplier at test SF is far under Q5_SUPPLIER_BROADCAST_MAX_BYTES,
+    # so the gate fires and the fact shuffle carries only qualifying
+    # lineitem rows)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 4
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 5
 
     # toy-scale form: plain join chain, NO forced hints anywhere (the
     # fixed broadcast-stage cost dominates when the shuffle is tiny)
@@ -122,6 +125,21 @@ def test_q5_fact_join_not_broadcast_on_big_side(spark):
     assert [r[0] for r in a] == [r[0] for r in b]
     for x, y in zip(a, b):
         assert abs(x[1] - y[1]) < 1e-6
+
+    # third route: early form with the supplier-broadcast gate OFF
+    # (the unbounded-supplier fallback) — same answer, no s2 hint
+    old = Q.Q5_SUPPLIER_BROADCAST_MAX_BYTES
+    Q.Q5_SUPPLIER_BROADCAST_MAX_BYTES = 0
+    try:
+        mid = q5_nation_revenue(spark, SF, early=True)
+        analyzed_mid = mid._jdf.queryExecution().analyzed().toString()
+        assert analyzed_mid.count("ResolvedHint (strategy=broadcast)") == 4
+        m = sorted(map(tuple, mid.collect()))
+        assert [r[0] for r in a] == [r[0] for r in m]
+        for x, y in zip(a, m):
+            assert abs(x[1] - y[1]) < 1e-6
+    finally:
+        Q.Q5_SUPPLIER_BROADCAST_MAX_BYTES = old
 
 
 def test_q3_q14_no_forced_broadcast_of_scaled_tables(spark):
