@@ -76,6 +76,7 @@ def main() -> int:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.time() - t0, 3)
             print(f"cold {name}: {cold[name]}", flush=True)
+            spark.catalog.clearCache()
     for _pass in range(2):
         for name in TOUCHED:
             fn, _ = QUERIES[name]
