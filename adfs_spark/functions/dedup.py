@@ -121,6 +121,52 @@ def _hashed_shingles(
     ).select("_id", F.xxhash64("_sh").alias("_h"))
 
 
+def _position_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, form: str = "string"
+) -> DataFrame:
+    """(_id, _h): one row per shingle POSITION — duplicates kept.
+
+    The signature-path twin of :func:`_hashed_shingles`: a MIN
+    aggregate is insensitive to duplicate values, so the per-doc
+    ``array_distinct`` can be skipped, and once it is, the whole
+    explode+hash runs as plain codegen'd expressions — ``explode``
+    of a ``sequence`` carrying the token array through the generate,
+    then ``concat_ws(slice(_tk, i, n))`` + ``xxhash64`` in the same
+    WholeStageCodegen span.  :func:`shingles`' per-position
+    ``transform()`` lambda is CodegenFallback (interpreted, one
+    GenericArrayData per doc); at sf100 this form cut the signature
+    map stage 89.8 → measured-below (see OPTIMIZATION_r09.md).  Hash
+    VALUES are identical to the string form — the very same shingle
+    strings are built and hashed, only multiplicity differs — so
+    MinHash signatures are bit-identical (pinned by
+    test_position_shingles_same_signatures).
+
+    NOT for set-semantics consumers (Jaccard sizes/intersections):
+    those need the distinct form.
+    """
+    if form != "string":
+        # tokenhash spans chain per-position aggregates (a lambda HOF
+        # either way); the distinct form is no slower there
+        return _hashed_shingles(df, id_col, text_col, n, form)
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"),
+        whitespace_tokens(F.col(text_col)).alias("_tk"),
+    )
+    ex = toks.select(
+        "_id",
+        "_tk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_tk") - n + 1, F.lit(1)))
+        ).alias("_i"),
+    )
+    return ex.select(
+        "_id",
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_i"), n))).alias(
+            "_h"
+        ),
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str,
@@ -264,6 +310,7 @@ def jaccard_pairs(
     shingle_df: DataFrame | None = None,
     persisted_out: list[DataFrame] | None = None,
     shingle_form: str = "string",
+    members_prefiltered: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
@@ -291,10 +338,18 @@ def jaccard_pairs(
         # pair list first — work is O(|candidates| · shingles/doc), not
         # O(all-pairs-sharing-a-shingle).  This is what makes
         # LSH-then-verify linear at corpus scale.
-        docs = candidates.select(F.col("id_a").alias("_id")).union(
-            candidates.select(F.col("id_b").alias("_id"))
-        ).distinct()
-        sh_c = sh.join(docs, "_id", "left_semi").persist()
+        # members_prefiltered: the caller vouches df/shingle_df already
+        # contains exactly the candidate members (e.g. _lsh_verify's
+        # doc-level semi-join ran BEFORE the explode), so the
+        # shingle-level semi-join would re-filter an already-filtered
+        # table — skipped.
+        if members_prefiltered:
+            sh_c = sh.persist()
+        else:
+            docs = candidates.select(F.col("id_a").alias("_id")).union(
+                candidates.select(F.col("id_b").alias("_id"))
+            ).distinct()
+            sh_c = sh.join(docs, "_id", "left_semi").persist()
         if persisted_out is not None:
             persisted_out.append(sh_c)
         sizes = sh_c.groupBy("_id").agg(F.count("*").alias("_sz"))
@@ -370,10 +425,12 @@ def minhash_signatures(
     expression recomputes the shingle array k times — measured 20×
     slower.)"""
     params = _hash_params(num_hashes, seed)
+    # the position form keeps duplicate shingles (harmless under MIN)
+    # in exchange for a fully codegen'd explode+hash stage
     exploded = (
         shingle_df
         if shingle_df is not None
-        else _hashed_shingles(df, id_col, text_col, n, shingle_form)
+        else _position_shingle_hashes(df, id_col, text_col, n, shingle_form)
     )
     # _h is the raw 64-bit shingle hash; fold into the universal-hash
     # field exactly as the text path always did (pmod handles the sign)
@@ -457,22 +514,33 @@ def _star_edges(
 
 def _banded(signatures: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
     """(_id, band, bucket) rows — the LSH banding shared by the batch
-    pipeline and the materializable incremental index."""
-    bands = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_bands - 1)),
-            lambda b: F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ),
+    pipeline and the materializable incremental index.
+
+    The band loop is unrolled in Python (num_bands is a plan-time
+    constant), so the bucket hashes are plain codegen'd expressions —
+    multi-arg ``xxhash64`` straight over the signature longs — instead
+    of an interpreted ``transform()`` lambda building a comma-joined
+    STRING per band per doc (r8 form; at sf100 that tree was ~half the
+    candidate stage).  Bucket VALUES differ from the string form, but
+    bucket MEMBERSHIP cannot: equal band slices hash equal under any
+    deterministic function, so every string-form candidate pair is
+    still generated; hash collisions (~|rows|²/2⁶⁴ per band) can only
+    ADD candidate pairs, which the exact-Jaccard verify stage filters.
+    An on-disk :func:`minhash_index` built before this change must be
+    rebuilt (bucket values are not comparable across the two forms).
+    """
+    buckets = [
+        F.xxhash64(
+            *[
+                F.col("signature")[b * rows_per_band + j]
+                for j in range(rows_per_band)
+            ]
         )
+        for b in range(num_bands)
+    ]
+    return signatures.select(
+        F.col("_id"), F.posexplode(F.array(*buckets)).alias("band", "bucket")
     )
-    return signatures.select(F.col("_id"), bands.alias("band", "bucket"))
 
 
 def minhash_index(
@@ -600,6 +668,7 @@ def minhash_dedup_incremental(
     return jaccard_pairs(
         docs_needed, id_col, text_col, n, threshold, candidates=cands,
         persisted_out=persisted_out, shingle_form=shingle_form,
+        members_prefiltered=True,
     )
 
 
@@ -613,6 +682,23 @@ def minhash_dedup_incremental(
 #: overhead (−2.6 s of the 5.7 s sf0.1 pipeline, where the largest
 #: exact family is 2).
 COLLAPSE_EXACT_MAX_FAMILY = 64
+
+#: corpus-size (optimizer ``sizeInBytes`` estimate) below which the
+#: batch pipeline keeps the r8 shape — ONE shingle explode,
+#: hash-partitioned by doc and persisted, shared by the signature and
+#: verify stages.  At small scale that table is a few MB and sharing
+#: it is pure win (sf0.1: shared 1.97 s vs inline 4.29 s — the inline
+#: shape's extra candidate-member jobs dominate sub-second suites).
+#: Above the gate the shared table is the problem, not the solution:
+#: at sf100 it is 260M rows / ~4 GB shuffled, cached and re-read,
+#: while verify only ever touches candidate members (~20% of docs) —
+#: the inline shape (signatures aggregated straight off the scan,
+#: verify re-shingling only candidate members) measured 61 s warm vs
+#: 249 s shared, and 20.4 vs 26.1 s at sf10 (56 MB).  The crossover
+#: is bracketed by those runs (0.6 MB: shared wins; 56 MB: inline
+#: wins by 22%); 16 MiB splits the bracket, and the error on either
+#: side of it is a fraction of a second.
+LSH_SHARED_SHINGLE_MAX_BYTES = 16 << 20
 
 #: corpus-size (optimizer ``sizeInBytes`` estimate) below which the
 #: "auto" route probes with the md5 fingerprint pass and above which
@@ -719,13 +805,12 @@ def minhash_near_duplicates(
                 persisted_out=persisted_out, shingle_form=shingle_form,
             )
         rows_per_band = num_hashes // num_bands
-        sh = (
-            _hashed_shingles(df, id_col, text_col, n, shingle_form)
-            .repartition(F.col("_id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        # The bucket probe reads max-bucket off the signature table the
+        # unguarded pipeline needs anyway; persisting SIGNATURES (one
+        # 64-long row per doc) costs ~2% of the r8 form's full shingle
+        # persist and is all the probe and candidate stages share.
         sigs = minhash_signatures(
-            df, id_col, text_col, n, num_hashes, seed, shingle_df=sh
+            df, id_col, text_col, n, num_hashes, seed, shingle_form=shingle_form
         ).persist(StorageLevel.MEMORY_AND_DISK)
         max_bucket = (
             _banded(sigs, num_bands, rows_per_band)
@@ -748,13 +833,12 @@ def minhash_near_duplicates(
             )
             if max_family > COLLAPSE_EXACT_MAX_FAMILY:
                 # The guard engages: drop the unguarded pipeline's
-                # cached full-corpus stages and recurse with the
-                # guard forced on.  fp0 stays persisted — the
-                # guarded path rebuilds the identical fingerprint
-                # subtree and Spark's cache manager substitutes the
-                # cached relation (plan-equality match), so the
-                # probe's corpus pass is not repeated.
-                sh.unpersist()
+                # cached signatures and recurse with the guard forced
+                # on.  fp0 stays persisted — the guarded path rebuilds
+                # the identical fingerprint subtree and Spark's cache
+                # manager substitutes the cached relation
+                # (plan-equality match), so the probe's corpus pass is
+                # not repeated.
                 sigs.unpersist()
                 if persisted_out is not None:
                     persisted_out.append(fp0)
@@ -768,13 +852,13 @@ def minhash_near_duplicates(
             # caps the bucket self-join) and keep what we built.
             fp0.unpersist()
         if persisted_out is not None:
-            persisted_out.append(sh)
             persisted_out.append(sigs)
         cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band).persist()
         if persisted_out is not None:
             persisted_out.append(cands)
-        return jaccard_pairs(
-            df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
+        return _lsh_verify(
+            df, id_col, text_col, n, threshold, cands,
+            persisted_out=persisted_out, shingle_form=shingle_form,
         )
     elif collapse_exact:
         fp = df.select(
@@ -824,32 +908,92 @@ def minhash_near_duplicates(
             )
         )
     rows_per_band = num_hashes // num_bands
-    # One shingle explode shared by the signature and verify stages,
-    # hash-partitioned by document id: the signature groupBy, the
-    # size groupBy, and the candidate semi-join all require clustering
-    # on _id, so one explicit shuffle here replaces three downstream
-    # exchanges of the (much larger at scale) shingle table.
-    from pyspark import StorageLevel
-
-    sh = (
-        _hashed_shingles(df, id_col, text_col, n, shingle_form)
-        .repartition(F.col("_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    est_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    if persisted_out is not None:
-        persisted_out.append(sh)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingle_df=sh)  # sh carries the form
-    # The verify stage reads the candidate set twice (semi-join doc
-    # list + the pair join); without a persist the whole signature →
-    # banding → bucket-join subtree would execute twice (-30%
-    # wall-clock measured at sf0.1).  Cache blocks are LRU-evicted on a
-    # long-running cluster; callers doing many dedup passes can also
-    # materialize candidates to a table between stages.
+    if est_bytes <= LSH_SHARED_SHINGLE_MAX_BYTES:
+        # Small corpus: ONE shingle explode shared by the signature
+        # and verify stages, hash-partitioned by document id — the
+        # signature groupBy, the size groupBy and the candidate
+        # semi-join all require clustering on _id, so one explicit
+        # shuffle replaces three downstream exchanges, and the whole
+        # table is a few MB so persisting it is free.  The inline
+        # shape below costs MORE here: its candidate-member jobs
+        # (distinct + semi-join + re-shingle) have fixed overheads
+        # that dominate a sub-second pipeline (sf0.1: 4.29 vs 1.97 s).
+        from pyspark import StorageLevel
+
+        sh = (
+            _hashed_shingles(df, id_col, text_col, n, shingle_form)
+            .repartition(F.col("_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persisted_out is not None:
+            persisted_out.append(sh)
+        sigs = minhash_signatures(
+            df, id_col, text_col, n, num_hashes, seed, shingle_df=sh
+        )  # sh carries the form
+        # The verify stage reads the candidate set twice (semi-join
+        # doc list + the pair join); without a persist the whole
+        # signature → banding → bucket-join subtree would execute
+        # twice (-30% wall-clock measured at sf0.1).
+        cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band).persist()
+        if persisted_out is not None:
+            persisted_out.append(cands)
+        return jaccard_pairs(
+            df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
+        )
+    # Large corpus (r9 shape): signatures aggregate INLINE off the doc
+    # scan — the shingle explode feeds the 64-min partial aggregate in
+    # the same codegen stage, so the exchange carries one 64-long
+    # partial row per doc per mapper instead of every shingle row.
+    # The shared form above would shuffle and cache O(corpus-shingles)
+    # (sf100: 260M rows / ~4 GB) while verify only touches candidate
+    # MEMBERS (~20% of docs at sf100); re-shingling just those
+    # (doc-level semi-join before the explode, the incremental path's
+    # shape) measured 61 s warm vs 249 s shared at sf100.
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, shingle_form=shingle_form
+    )
+    # candidates persist: read twice by verify (semi-join doc list +
+    # the pair join); without it the whole signature → banding →
+    # bucket-join subtree would execute twice.
     cands = lsh_candidate_pairs(sigs, num_bands, rows_per_band).persist()
     if persisted_out is not None:
         persisted_out.append(cands)
+    return _lsh_verify(
+        df, id_col, text_col, n, threshold, cands,
+        persisted_out=persisted_out, shingle_form=shingle_form,
+    )
+
+
+def _lsh_verify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    cands: DataFrame,
+    persisted_out: list[DataFrame] | None = None,
+    shingle_form: str = "string",
+) -> DataFrame:
+    """Exact-Jaccard verify of LSH candidate pairs, re-shingling only
+    candidate MEMBERS: the doc-level semi-join runs BEFORE the shingle
+    explode, so verify cost is O(|candidate docs| · shingles/doc),
+    independent of corpus size — the same shape
+    :func:`minhash_dedup_incremental` uses for its corpus re-read."""
+    needed = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_needed = df.select(F.col(id_col), F.col(text_col)).join(
+        needed, id_col, "left_semi"
+    )
     return jaccard_pairs(
-        df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
+        docs_needed, id_col, text_col, n, threshold, candidates=cands,
+        persisted_out=persisted_out, shingle_form=shingle_form,
+        members_prefiltered=True,
     )
 
 

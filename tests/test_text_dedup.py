@@ -829,3 +829,67 @@ def test_minhash_collapse_auto_bucket_probe_large_corpus(spark, monkeypatch):
     }
     assert auto == forced
     assert auto[(0, 1)] == 1.0 and (0, 900) in auto
+
+
+def test_position_shingles_same_signatures(spark):
+    """r9.3: the signature path explodes raw shingle POSITIONS (codegen,
+    duplicates kept — harmless under MIN) instead of the distinct-set
+    form; signatures must be bit-identical to aggregating over the
+    distinct shingle table, for every degenerate shape."""
+    from adfs_spark.functions.dedup import (
+        _hashed_shingles,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b a b a b a b"),  # heavy duplicate shingles
+        (3, "x"),                # shorter than n
+        (4, ""),                 # empty text -> the "" sentinel shingle
+        (5, None),               # NULL text -> the "" sentinel, like empty
+        (6, "  padded   whitespace  tokens "),
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    fast = {
+        r["_id"]: r["signature"]
+        for r in minhash_signatures(df, "id", "text", 3, 16, 42).collect()
+    }
+    slow = {
+        r["_id"]: r["signature"]
+        for r in minhash_signatures(
+            df, "id", "text", 3, 16, 42,
+            shingle_df=_hashed_shingles(df, "id", "text", 3),
+        ).collect()
+    }
+    assert fast == slow
+    # NULL and empty text both reduce to the "" sentinel shingle
+    # (concat_ws skips NULLs; greatest(NULL, 1) = 1), in both forms
+    assert fast[4] == fast[5]
+
+
+def test_minhash_inline_shape_equals_shared(spark, monkeypatch):
+    """r9.3: past LSH_SHARED_SHINGLE_MAX_BYTES the batch pipeline
+    aggregates signatures inline and re-shingles only candidate
+    members; forced here by zeroing the gate — pairs and jaccard
+    values must match the shared-shingle shape exactly."""
+    from adfs_spark.functions import dedup as D
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)]
+    docs += [(100, docs[0][1]), (101, docs[1][1][:-4] + " zz")]
+    df = spark.createDataFrame(docs, "id: long, text: string")
+    kw = dict(num_hashes=32, num_bands=8, threshold=0.5)
+
+    shared = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.minhash_near_duplicates(
+            df, "id", "text", collapse_exact=False, **kw
+        ).collect()
+    }
+    monkeypatch.setattr(D, "LSH_SHARED_SHINGLE_MAX_BYTES", 0)
+    inline = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.minhash_near_duplicates(
+            df, "id", "text", collapse_exact=False, **kw
+        ).collect()
+    }
+    assert inline == shared and (0, 100) in shared
