@@ -283,37 +283,84 @@ def ancestor_closure(
     max_depth: int = 64,
 ) -> DataFrame:
     """(node, anc) pairs for every proper ancestor of every node — the
-    transitive closure of the parent edges, built by a depth-bounded
-    iterative join (each round hops one more level toward the root).
-    Closure size is |nodes| × depth; depth is tree height, so at
-    namespace scale this is the same budget as the path column (H2).
+    transitive closure of the parent edges.  Closure size is |nodes| ×
+    depth; depth is tree height, so at namespace scale this is the
+    same budget as the path column (H2).
+
+    Built the same way as :func:`path_strings` (r9 — the old form
+    paid a big-table join + eager localCheckpoint + take() probe PER
+    LEVEL, ~2x the whole rollup's cost at sf0.1): ancestors beyond
+    the direct parent are always INTERNAL nodes, so the hop side is
+    the (tiny) referenced-parent map, tree depth is probed on that
+    map alone, and the big table is touched by exactly ONE fused plan
+    — depth broadcast map-joins accumulating per-level (emitted, anc)
+    slots, then ``inline`` to rows.  Pair-for-pair identical to the
+    iterative join, including the edge semantics: a dangling parent
+    pointer ends the chain (inner-join drop ≡ unmatched left join),
+    and a matched hop row whose own parent is NULL still emits its
+    (node, NULL) pair but walks no further (NULL fails the
+    ``anc != root`` continuation filter either way).
     """
-    edges = ns.select(
-        F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
-    ).filter(F.col(parent_col).isNotNull())
-    hop = ns.select(
-        F.col(id_col).alias("_h_id"), F.col(parent_col).alias("_h_parent")
-    )
-    out = edges
-    cur = edges
-    for _ in range(max_depth):
-        cur = (
-            cur.filter(F.col("anc") != root_id)
-            .join(hop, cur["anc"] == hop["_h_id"])
-            .select("node", F.col("_h_parent").alias("anc"))
+    referenced = ns.select(F.col(parent_col).alias("_rid")).distinct()
+    parents = (
+        ns.join(referenced, ns[id_col] == referenced["_rid"], "left_semi")
+        .select(
+            F.col(id_col).alias("_pid"), F.col(parent_col).alias("_ppid")
         )
-        # localCheckpoint (not persist): truncates the join-chain
-        # lineage that otherwise grows one level per round, and its
-        # blocks are released by the ContextCleaner once the returned
-        # closure is consumed and GC'd — persist() would pin every
-        # round's frame in the cache for the life of the session.
-        # (unpersist-as-we-go is NOT safe here: ``out`` accumulates
-        # unions that still reference each round's blocks.)
-        cur = cur.localCheckpoint(eager=True)
-        if not cur.take(1):
+        .localCheckpoint(eager=True)
+    )
+    # depth probe over the internal-node map only (path_strings shape):
+    # rounds until every dir's walk reaches the root — the deepest
+    # node chain needs exactly that many hop levels past its parent.
+    depth = 1
+    walk = parents.select(F.col("_ppid").alias("_w"))
+    for _ in range(max_depth):
+        rem = walk.filter(F.col("_w") != root_id)
+        if not rem.take(1):
             break
-        out = out.unionByName(cur)
-    return out
+        walk = rem.join(
+            parents, rem["_w"] == parents["_pid"], "inner"
+        ).select(F.col("_ppid").alias("_w"))
+        depth += 1
+    # one fused pass over the big table: level 0 is the row's own
+    # parent pointer; level i left-joins the parents map on the
+    # previous ancestor (guarded so a dead chain emits nothing even
+    # if its last value happens to match a map key).
+    acc = ns.select(
+        F.col(id_col).alias("node"),
+        F.col(parent_col).alias("_a"),
+        F.col(parent_col).isNotNull().alias("_e"),
+    )
+    levels = min(depth + 1, max_depth)
+    for i in range(levels):
+        alive = (
+            F.col("_e")
+            & F.col("_a").isNotNull()
+            & (F.col("_a") != F.lit(root_id))
+        )
+        acc = acc.join(parents, acc["_a"] == parents["_pid"], "left").select(
+            "node",
+            *[F.col(f"_s{j}") for j in range(i)],
+            F.struct(F.col("_e").alias("e"), F.col("_a").alias("a")).alias(
+                f"_s{i}"
+            ),
+            F.when(alive, F.col("_ppid")).alias("_a"),
+            (alive & F.col("_pid").isNotNull()).alias("_e"),
+        )
+        if (i + 1) % 8 == 0:  # truncate lineage on deep trees only
+            acc = acc.localCheckpoint(eager=True)
+    final = acc.select(
+        "node",
+        F.array(
+            *[F.col(f"_s{j}") for j in range(levels)],
+            F.struct(F.col("_e").alias("e"), F.col("_a").alias("a")),
+        ).alias("_lv"),
+    )
+    return (
+        final.select("node", F.inline("_lv"))
+        .filter(F.col("e"))
+        .select("node", F.col("a").alias("anc"))
+    )
 
 
 def rollup_sizes(

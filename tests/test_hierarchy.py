@@ -96,3 +96,58 @@ def test_rollup_sizes_all_directories(spark):
         (r["node"], r["anc"]) for r in ancestor_closure(ns).collect() if r["node"] == 3
     }
     assert anc == {(3, 1), (3, 0)}
+
+
+def _closure_reference(ns, id_col="id", parent_col="parentId", root_id=0, max_depth=64):
+    """The pre-r9 iterative-join transitive closure, kept as the
+    semantics oracle for the fused form (one big-table pass)."""
+    from pyspark.sql import functions as F
+
+    edges = ns.select(
+        F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
+    ).filter(F.col(parent_col).isNotNull())
+    hop = ns.select(
+        F.col(id_col).alias("_h_id"), F.col(parent_col).alias("_h_parent")
+    )
+    out = edges
+    cur = edges
+    for _ in range(max_depth):
+        cur = (
+            cur.filter(F.col("anc") != root_id)
+            .join(hop, cur["anc"] == hop["_h_id"])
+            .select("node", F.col("_h_parent").alias("anc"))
+        ).localCheckpoint(eager=True)
+        if not cur.take(1):
+            break
+        out = out.unionByName(cur)
+    return out
+
+
+def test_ancestor_closure_fused_equals_iterative(spark):
+    """The fused closure (r9: depth probed on the internal-node map,
+    one big-table pass) is pair-for-pair identical to the iterative
+    join — including the edge semantics: dangling parent pointers end
+    the chain, a NULL-parent dir that IS referenced emits its
+    (node, NULL) pair then walks no further, and chains deeper than
+    the 8-level lineage-truncation stride still close."""
+    from adfs_spark.operators.hierarchy import ancestor_closure
+
+    deep = [(i, i - 1, f"d{i}") for i in range(1, 12)]  # chain depth 11 > 8
+    trees = [
+        # dangling parent (6->99), NULL parent leaf (7), NULL-parent
+        # dir 8 referenced by 9
+        [(1, 0, "a"), (2, 1, "b"), (3, 2, "c"), (6, 99, "x"),
+         (7, None, "y"), (8, None, "z"), (9, 8, "w")],
+        deep,
+        [],  # empty namespace
+    ]
+    for rows in trees:
+        ns = spark.createDataFrame(rows, "id: long, parentId: long, name: string")
+        key = lambda t: (t[0], -1 if t[1] is None else t[1])
+        want = sorted(
+            [(r["node"], r["anc"]) for r in _closure_reference(ns).collect()], key=key
+        )
+        got = sorted(
+            [(r["node"], r["anc"]) for r in ancestor_closure(ns).collect()], key=key
+        )
+        assert got == want, f"closure mismatch on {rows[:3]}..."

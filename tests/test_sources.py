@@ -218,3 +218,25 @@ def test_jsonl_roundtrip_preserves_types(spark, tmp_path):
     assert good.schema["doc_id"].dataType.typeName() == "long"
     assert {tuple(r) for r in good.collect()} == {
         (1, "en", "a b c"), (2, "zh", "x y")}
+
+
+def test_load_table_schema_cache_identical_reads(spark, tmp_path):
+    """r9: load_table caches each fixture's inferred schema per path
+    (metadata only — every action still scans the parquet).  The
+    schema'd read must be value- and schema-identical to a fresh
+    inference read, and the cache must be keyed per path."""
+    import os
+
+    from adfs_spark.catalog import _SCHEMA_CACHE, load_table
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", -1.0)], "r_regionkey: int, r_name: string, w: double"
+    ).write.parquet(os.path.join(sf, "region.parquet"))
+    path = os.path.join(sf, "region.parquet")
+    fresh = spark.read.parquet(path)
+    first = load_table(spark, sf, "region")
+    assert path in _SCHEMA_CACHE
+    again = load_table(spark, sf, "region")  # served from the cache
+    assert first.schema == fresh.schema == again.schema
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, fresh.collect()))
