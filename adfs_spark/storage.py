@@ -58,6 +58,13 @@ VBUCKET_COL = "_vbucket"
 VBUCKET_SIZE = 1_000_000
 KBUCKET_COL = "_kb"  # pk-hash bucket (partition column of current/)
 VSTAMP_BUCKETS = 64  # parallelism of version stamping (see _stamp_versions)
+# Max estimated batch size the distributed write tail will persist for
+# the duration of one op (the batch is read ~3x: stamp counts,
+# changelog append, merge).  Batches past the gate — bulk loads,
+# restores — recompute instead of spooling themselves to local disk.
+WRITE_BATCH_PERSIST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_WRITE_PERSIST_MAX", str(4 << 30))
+)
 
 COMMITS_DIR = "_commits"
 LOCK_TTL_SEC = 600.0  # a .lock older than this is a crashed writer's lease
@@ -1079,16 +1086,40 @@ class VersionedTable:
             if vt is not None:
                 return vt, vt - base
             mode = "append" if mode == "append" else "auto"
-        stamped, n = _stamp_versions_n(hit, pk, base, negate)
-        stamped = self._cast_spec(stamped)
-        if mode == "auto":
-            # merge-on-read routing: a batch that keeps the pending
-            # tail inside the read-amplification bound stays
-            # changelog-resident (O(batch) write); past it, fold
-            mode = "append" if self._mor_append_ok(n) else "merge"
-            self.last_write_phases["route"] = f"auto->{mode}"
-        self._publish(stamped.withColumn(OP_COL, F.lit(op)), op, base + n, mode)
-        return base + n, n
+        # The distributed tail evaluates ``hit`` up to three times:
+        # the stamping counts job, the changelog append, and the merge
+        # write.  Persist the batch for the op's duration (released in
+        # the finally) so the source subtree — often a predicate scan
+        # of a big table — computes once; MEMORY_AND_DISK keeps lost
+        # blocks recomputable (stamping is deterministic), and the
+        # size gate skips the double-write for bulk-load-sized batches
+        # where recomputing a scan beats spooling it to disk.
+        cached = None
+        try:
+            est = int(
+                hit._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 1 << 62
+        if est <= WRITE_BATCH_PERSIST_MAX_BYTES:
+            from pyspark import StorageLevel
+
+            cached = hit.persist(StorageLevel.MEMORY_AND_DISK)
+            hit = cached
+        try:
+            stamped, n = _stamp_versions_n(hit, pk, base, negate)
+            stamped = self._cast_spec(stamped)
+            if mode == "auto":
+                # merge-on-read routing: a batch that keeps the pending
+                # tail inside the read-amplification bound stays
+                # changelog-resident (O(batch) write); past it, fold
+                mode = "append" if self._mor_append_ok(n) else "merge"
+                self.last_write_phases["route"] = f"auto->{mode}"
+            self._publish(stamped.withColumn(OP_COL, F.lit(op)), op, base + n, mode)
+            return base + n, n
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     def _overlay_tail_bound(self, ct: int) -> int:
         """Max pending overlay versions before auto-routed writes fold:
@@ -1806,36 +1837,40 @@ class VersionedTable:
                 .parquet(self.current_path)
             )
             return
+        # Stage to a tmp dir, then swap the touched bucket DIRECTORIES
+        # into current/ with filesystem renames (r9).  The tmp
+        # materialization is unavoidable (``df_with_kb`` derives from a
+        # read of current_path; overwrite-while-reading is undefined),
+        # but the old read-back + second dynamic-overwrite write paid a
+        # whole extra Spark write cycle per merge (~1 s of the ~3 s
+        # sf0.1 upsert) to move bytes the staging write already placed:
+        # tmp is partitioned by bucket with one sorted file per touched
+        # bucket — ALREADY the exact final layout.  The rename swap is
+        # byte-for-byte what Spark's dynamic partition committer does
+        # at job commit (delete replaced partition dirs, rename staged
+        # dirs into place), minus a full read+write of the data; crash
+        # recovery is unchanged — the changelog still holds every delta
+        # row until ``_mark_compacted`` runs after the swap, so a
+        # partial swap is healed by the overlay LWW-merge exactly like
+        # a partial committer rename.  Helper sort columns (compact's
+        # _zvalue) are projected out BEFORE the staging write (Project
+        # preserves ordering, so the in-task sort and the writer-sort
+        # elision survive), where the old path dropped them on the
+        # read-back.
         tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
-        (
-            _clustered(df_with_kb)
-            .write.mode("overwrite")
-            .partitionBy(KBUCKET_COL)
-            .parquet(tmp)
-        )
-        # explicit schema (incl. helper sort columns like compact's
-        # _zvalue, which the persisted schema drops) keeps the
-        # empty-frame case readable — a partitioned empty write leaves
-        # no parquet footer to infer from
-        staged = (
-            self.spark.read.schema(df_with_kb.schema)
-            .option("basePath", tmp)
-            .parquet(tmp)
-        )
-        # scan tasks pack whole single-bucket files, so re-sorting by
-        # (bucket, helpers) is a cheap in-task pass that restores the
-        # in-bucket order deterministically; the projection then drops
-        # the helpers without landing them in current/ (Project
-        # preserves ordering, so the writer sort stays elided)
-        out = staged.sortWithinPartitions(KBUCKET_COL, *sort_keys).select(
+        out = _clustered(df_with_kb).select(
             *[F.col(f.name).cast(f.dataType) for f in self._full_schema().fields]
         )
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(KBUCKET_COL)
-            .parquet(self.current_path)
-        )
+        out.write.mode("overwrite").partitionBy(KBUCKET_COL).parquet(tmp)
+        os.makedirs(self.current_path, exist_ok=True)
+        prefix = f"{KBUCKET_COL}="
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith(prefix):
+                continue
+            dst = os.path.join(self.current_path, d)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(os.path.join(tmp, d), dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def _write_current(
@@ -1847,6 +1882,30 @@ class VersionedTable:
         # table format; plain parquet + tmp-swap keeps the semantics.
         tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
         out = df.sortWithinPartitions(*(sort_cols or self.spec.primary_key))
+        if not self.bucket_by:
+            # r9: stage the FINAL layout (spec projection drops helper
+            # sort columns; Project preserves the in-task order) and
+            # swap the whole directory in with one rename — the old
+            # read-back + second overwrite paid a full extra Spark
+            # write cycle to reproduce byte-identical files.  Crash
+            # window (current/ absent between rm and rename) is
+            # strictly smaller than overwrite-mode's own
+            # delete-then-write span, and recovery is unchanged: the
+            # changelog holds every row until _mark_compacted.
+            staged = out.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in self.spec.struct_type().fields
+                ]
+            )
+            writer = staged.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(tmp)
+            if os.path.isdir(self.current_path):
+                shutil.rmtree(self.current_path)
+            os.rename(tmp, self.current_path)
+            return
         writer = out.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

@@ -454,3 +454,42 @@ def test_point_lookup_unbucketed_and_composite(spark, tmp_path):
     )
     out = t.point_lookup([(1, "y"), (2, "x"), (9, "z")])
     assert {(r["a"], r["b"]) for r in out.collect()} == {(1, "y"), (2, "x")}
+
+
+def test_merge_swap_touched_buckets_only(spark, tmp_path):
+    """r9: the merge commit stages final files then swaps touched
+    bucket DIRECTORIES in by rename — untouched buckets' files must be
+    physically untouched (same file names), touched buckets must hold
+    exactly one fresh file, and helper/extra columns must never land
+    in current/."""
+    import glob
+    import os
+
+    t = VersionedTable(spark, SPEC, str(tmp_path / "kvb"), num_buckets=8)
+    t.init(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(64)], "k: long, v: string"
+        )
+    )
+    before = {
+        d: sorted(os.listdir(os.path.join(t.current_path, d)))
+        for d in os.listdir(t.current_path)
+        if d.startswith("_kb=")
+    }
+    # one-key point upsert → exactly one touched bucket
+    t.upsert(spark.createDataFrame([(5, "V5")], "k: long, v: string"), mode="merge")
+    after = {
+        d: sorted(os.listdir(os.path.join(t.current_path, d)))
+        for d in os.listdir(t.current_path)
+        if d.startswith("_kb=")
+    }
+    assert set(before) == set(after)
+    changed = [d for d in before if before[d] != after[d]]
+    assert len(changed) == 1, f"expected 1 swapped bucket dir, got {changed}"
+    files = glob.glob(os.path.join(t.current_path, changed[0], "*.parquet"))
+    assert len(files) == 1  # one file per touched bucket, any task count
+    # schema of the swapped files is exactly the full table schema
+    got = spark.read.parquet(files[0])
+    assert set(got.columns) == {"k", "v", "version"}
+    live = {r["k"]: r["v"] for r in t.live().collect()}
+    assert live[5] == "V5" and len(live) == 64
