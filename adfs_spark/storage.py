@@ -312,19 +312,38 @@ class VersionedTable:
                 df = self.spark.createDataFrame([], schema)
             else:
                 df = _stamp_versions(rows, list(self.spec.primary_key), start_version - 1)
-            if self.num_buckets:
-                # seed rows are external by contract (the table does
-                # not exist yet), so the anti-overwrite-while-reading
-                # tmp-swap is skipped — one write instead of two
-                self._write_partitions(
-                    df.withColumn(KBUCKET_COL, self._kbucket()),
-                    source_external=True,
+            # the stamped seed is read twice (current write + changelog
+            # history); persist it for the op under the same size gate
+            # as _write_op so the source scan + stamping compute once
+            cached = None
+            try:
+                est = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
                 )
-            else:
-                self._write_current(df)
-            ops = df.withColumn(OP_COL, F.lit("INSERT"))
-            self._append_changelog(ops)
-            self._mark_compacted()
+            except Exception:
+                est = 1 << 62
+            if rows is not None and est <= WRITE_BATCH_PERSIST_MAX_BYTES:
+                from pyspark import StorageLevel
+
+                cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+                df = cached
+            try:
+                if self.num_buckets:
+                    # seed rows are external by contract (the table does
+                    # not exist yet), so the anti-overwrite-while-reading
+                    # tmp-swap is skipped — one write instead of two
+                    self._write_partitions(
+                        df.withColumn(KBUCKET_COL, self._kbucket()),
+                        source_external=True,
+                    )
+                else:
+                    self._write_current(df)
+                ops = df.withColumn(OP_COL, F.lit("INSERT"))
+                self._append_changelog(ops)
+                self._mark_compacted()
+            finally:
+                if cached is not None:
+                    cached.unpersist()
 
         self._transact(body, "INIT")
 
