@@ -1507,7 +1507,20 @@ class VersionedTable:
     # -- CDC / delta (D1-D3) ----------------------------------------------
 
     def changelog(self) -> DataFrame:
-        return self.spark.read.parquet(self.changelog_path)
+        # explicit schema in the inferred layout's exact column order
+        # and types (data cols, version, _op, then the _vbucket
+        # partition column, int as partition-value inference yields) —
+        # skips the per-call parquet schema inference, identical frame
+        names = [c.name for c in self.spec.columns]
+        schema = T.StructType(
+            [self.spec.struct_type()[c] for c in names]
+            + [
+                T.StructField(VERSION_COL, T.LongType()),
+                T.StructField(OP_COL, T.StringType()),
+                T.StructField(VBUCKET_COL, T.IntegerType()),
+            ]
+        )
+        return self.spark.read.schema(schema).parquet(self.changelog_path)
 
     def _changelog_range(self, lo_vb: int, hi_vb: int) -> DataFrame | None:
         """Changelog rows from version-bucket dirs [lo_vb, hi_vb],
