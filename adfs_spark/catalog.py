@@ -72,16 +72,23 @@ def clear_bucketed_layout(spark: SparkSession) -> None:
 # inferred StructType per path and passing it explicitly is the same
 # class of metadata caching Spark itself applies to file listings
 # (guide §6): no row or result is memoized, every action still scans
-# the parquet inputs.  Keyed by resolved path; fixture tables are
-# immutable for the life of a process.
-_SCHEMA_CACHE: dict[str, object] = {}
+# the parquet inputs.  Keyed by (path, mtime_ns, size) so a fixture
+# rewritten at the same path in-process re-infers instead of being
+# silently read with the stale schema (r9 advice); the stat is one
+# syscall against the ~110 ms inference it replaces.
+_SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _read_fixture_parquet(spark: SparkSession, path: str) -> DataFrame:
-    sch = _SCHEMA_CACHE.get(path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         sch = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = sch
+        _SCHEMA_CACHE[key] = sch
     return spark.read.schema(sch).parquet(path)
 
 

@@ -941,7 +941,8 @@ def minhash_near_duplicates(
         if persisted_out is not None:
             persisted_out.append(cands)
         return jaccard_pairs(
-            df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh
+            df, id_col, text_col, n, threshold, candidates=cands, shingle_df=sh,
+            persisted_out=persisted_out,
         )
     # Large corpus (r9 shape): signatures aggregate INLINE off the doc
     # scan — the shingle explode feeds the 64-min partial aggregate in

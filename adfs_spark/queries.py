@@ -1287,7 +1287,9 @@ def dedup_minhash_incremental(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     new = d.filter(F.col("doc_id") % 3 == 0)
     idx = minhash_index(corpus, "doc_id", "text")
-    pairs = minhash_dedup_incremental(new, corpus, idx, "doc_id", "text")
+    pairs = minhash_dedup_incremental(
+        new, corpus, idx, "doc_id", "text", persisted_out=_PERSISTED
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 
 
@@ -1300,8 +1302,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     under the fixed hash seed, and verified equal to the exact answer
     on the sf0.001/sf0.01 fixtures."""
     d = load_table(spark, sf_dir, "documents")
+    # persisted_out=_PERSISTED: every frame the pipeline persists on
+    # our behalf is registered for release_cached() — without it, a
+    # repeated invocation (bench best-of-N) gets plan-identical
+    # subtrees substituted from the PREVIOUS invocation's cache and
+    # min-of-N partly measures a warm cache, not the plan (r9 verdict).
     got = minhash_near_duplicates(
-        d, "doc_id", "text", num_hashes=64, num_bands=16, threshold=0.8
+        d, "doc_id", "text", num_hashes=64, num_bands=16, threshold=0.8,
+        persisted_out=_PERSISTED,
     )
     return got.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 

@@ -1510,17 +1510,19 @@ class VersionedTable:
         # explicit schema in the inferred layout's exact column order
         # and types (data cols, version, _op, then the _vbucket
         # partition column, int as partition-value inference yields) —
-        # skips the per-call parquet schema inference, identical frame
+        # skips the per-call parquet schema inference, identical frame.
+        # VERSION_COL is appended only when the spec doesn't already
+        # declare it among its own columns (schema.py supports that;
+        # a duplicate field would fail the read where inference worked).
         names = [c.name for c in self.spec.columns]
-        schema = T.StructType(
-            [self.spec.struct_type()[c] for c in names]
-            + [
-                T.StructField(VERSION_COL, T.LongType()),
-                T.StructField(OP_COL, T.StringType()),
-                T.StructField(VBUCKET_COL, T.IntegerType()),
-            ]
+        fields = [self.spec.struct_type()[c] for c in names]
+        if VERSION_COL not in names:
+            fields.append(T.StructField(VERSION_COL, T.LongType()))
+        fields.append(T.StructField(OP_COL, T.StringType()))
+        fields.append(T.StructField(VBUCKET_COL, T.IntegerType()))
+        return self.spark.read.schema(T.StructType(fields)).parquet(
+            self.changelog_path
         )
-        return self.spark.read.schema(schema).parquet(self.changelog_path)
 
     def _changelog_range(self, lo_vb: int, hi_vb: int) -> DataFrame | None:
         """Changelog rows from version-bucket dirs [lo_vb, hi_vb],
@@ -1547,16 +1549,13 @@ class VersionedTable:
         if not dirs:
             return None
         names = [c.name for c in self.spec.columns]
-        schema = T.StructType(
-            [self.spec.struct_type()[c] for c in names]
-            + [
-                T.StructField(VERSION_COL, T.LongType()),
-                T.StructField(OP_COL, T.StringType()),
-            ]
-        )
+        fields = [self.spec.struct_type()[c] for c in names]
+        if VERSION_COL not in names:
+            fields.append(T.StructField(VERSION_COL, T.LongType()))
+        fields.append(T.StructField(OP_COL, T.StringType()))
         return (
             self.spark.read.option("basePath", self.changelog_path)
-            .schema(schema)
+            .schema(T.StructType(fields))
             .parquet(*dirs)
         )
 
@@ -1880,11 +1879,13 @@ class VersionedTable:
         # bucket — ALREADY the exact final layout.  The rename swap is
         # byte-for-byte what Spark's dynamic partition committer does
         # at job commit (delete replaced partition dirs, rename staged
-        # dirs into place), minus a full read+write of the data; crash
-        # recovery is unchanged — the changelog still holds every delta
-        # row until ``_mark_compacted`` runs after the swap, so a
-        # partial swap is healed by the overlay LWW-merge exactly like
-        # a partial committer rename.  Helper sort columns (compact's
+        # dirs into place), minus a full read+write of the data.  Crash
+        # story: the changelog holds this op's delta rows until
+        # ``_mark_compacted`` runs after the swap (the overlay heals
+        # those), and replaced bucket dirs are renamed aside — not
+        # deleted — until the swap completes, so earlier-compacted rows
+        # (which the overlay tail cannot replay) survive a mid-swap
+        # crash too.  Helper sort columns (compact's
         # _zvalue) are projected out BEFORE the staging write (Project
         # preserves ordering, so the in-task sort and the writer-sort
         # elision survive), where the old path dropped them on the
@@ -1895,15 +1896,33 @@ class VersionedTable:
         )
         out.write.mode("overwrite").partitionBy(KBUCKET_COL).parquet(tmp)
         os.makedirs(self.current_path, exist_ok=True)
+        # Replaced bucket dirs are renamed ASIDE (outside current/, so
+        # readers never see them) rather than rmtree'd before the swap:
+        # a crash mid-swap then loses no folded rows — every replaced
+        # bucket still exists in the aside dir, where the old
+        # rmtree-then-rename deleted rows whose changelog entries were
+        # already compacted away (abs(version) <= compacted_through),
+        # which the overlay tail could NOT replay (r9 advice).  The
+        # aside copies are deleted only after every touched bucket is
+        # swapped in.  Recovery from a mid-swap crash: restore the
+        # _aside_* dirs (or replay the FULL changelog); the overlay
+        # tail alone heals only the yet-uncompacted rows.
+        aside = os.path.join(self.root, f"_aside_{uuid.uuid4().hex}")
+        made_aside = False
         prefix = f"{KBUCKET_COL}="
         for d in sorted(os.listdir(tmp)):
             if not d.startswith(prefix):
                 continue
             dst = os.path.join(self.current_path, d)
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                if not made_aside:
+                    os.makedirs(aside)
+                    made_aside = True
+                os.rename(dst, os.path.join(aside, d))
             os.rename(os.path.join(tmp, d), dst)
         shutil.rmtree(tmp, ignore_errors=True)
+        if made_aside:
+            shutil.rmtree(aside, ignore_errors=True)
 
     def _write_current(
         self, df: DataFrame, sort_cols: Sequence[str] | None = None
@@ -1934,9 +1953,18 @@ class VersionedTable:
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(tmp)
-            if os.path.isdir(self.current_path):
-                shutil.rmtree(self.current_path)
+            # rename the old dir aside, swap the staged dir in, delete
+            # the aside copy last — current/ is absent only between the
+            # two renames (two metadata ops, not an rmtree's duration),
+            # and a crash anywhere leaves the old bytes recoverable in
+            # _aside_* (r9 advice; see _write_partitions)
+            aside = os.path.join(self.root, f"_aside_{uuid.uuid4().hex}")
+            had_old = os.path.isdir(self.current_path)
+            if had_old:
+                os.rename(self.current_path, aside)
             os.rename(tmp, self.current_path)
+            if had_old:
+                shutil.rmtree(aside, ignore_errors=True)
             return
         writer = out.write.mode("overwrite")
         if self.partition_by:

@@ -1366,6 +1366,8 @@ def main() -> int:
     # effects) but the headline is the steady-state suite below, which
     # measures the distributed plan — what the engine controls.
     spark.range(1000).count()
+    from adfs_spark.queries import release_cached
+
     cold: dict[str, float] = {}
     if RUN_COLD:
         for name in BENCH_QUERIES:
@@ -1373,11 +1375,24 @@ def main() -> int:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.time() - t0, 3)
+            # drop query-registered persists so the headline passes
+            # below never inherit this pass's cached subtrees
+            release_cached()
+        spark.catalog.clearCache()
 
     # Best-of-5 timed passes: single-shot timings at sub-second scale
     # swing 2-4x on JVM GC pauses and host co-tenancy noise (observed
     # ±35% on identical runs minutes apart); the min over 5 passes is
     # the reproducible cost of the plan itself.
+    #
+    # Persist hygiene (r10, fixes the r9-verdict headline-bias finding):
+    # queries that persist internal frames (dedup_minhash_lsh's shared
+    # shingle/candidate tables) register them via persisted_out; they
+    # are released AFTER each timed query — outside the timed region —
+    # so pass N+1 rebuilds from the parquet inputs instead of having
+    # Spark's cache manager substitute pass N's plan-identical cached
+    # subtrees.  clearCache() between passes is the backstop for any
+    # future unregistered persist.  min-of-N now measures the plan.
     timings: dict[str, float] = {}
     for _pass in range(PASSES):
         for name in BENCH_QUERIES:
@@ -1387,6 +1402,8 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             t = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
+            release_cached()
+        spark.catalog.clearCache()
 
     # layout A/B runs RIGHT after the headline passes, while the
     # driver heap is still clean — at sf10 the same suite run last

@@ -236,7 +236,37 @@ def test_load_table_schema_cache_identical_reads(spark, tmp_path):
     path = os.path.join(sf, "region.parquet")
     fresh = spark.read.parquet(path)
     first = load_table(spark, sf, "region")
-    assert path in _SCHEMA_CACHE
+    assert any(k[0] == path for k in _SCHEMA_CACHE)
     again = load_table(spark, sf, "region")  # served from the cache
     assert first.schema == fresh.schema == again.schema
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_load_table_schema_cache_reinfer_on_rewrite(spark, tmp_path):
+    """r10 (r9 advice): the schema cache is keyed by (path, mtime, size)
+    so a fixture REWRITTEN at the same path in-process re-infers its
+    schema instead of being silently read with the stale one (a new
+    column would otherwise come back as nulls)."""
+    import os
+    import shutil
+    import time
+
+    from adfs_spark.catalog import load_table
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "region.parquet")
+    spark.createDataFrame(
+        [(1, "x")], "r_regionkey: int, r_name: string"
+    ).write.parquet(path)
+    first = load_table(spark, sf, "region")
+    assert [f.name for f in first.schema.fields] == ["r_regionkey", "r_name"]
+    first.collect()
+    # rewrite the fixture at the same path with an extra column
+    shutil.rmtree(path)
+    time.sleep(0.01)  # ensure a distinct mtime even on coarse clocks
+    spark.createDataFrame(
+        [(2, "y", 7.5)], "r_regionkey: int, r_name: string, w: double"
+    ).write.parquet(path)
+    again = load_table(spark, sf, "region")
+    assert [f.name for f in again.schema.fields] == ["r_regionkey", "r_name", "w"]
+    assert [tuple(r) for r in again.collect()] == [(2, "y", 7.5)]

@@ -493,3 +493,30 @@ def test_merge_swap_touched_buckets_only(spark, tmp_path):
     assert set(got.columns) == {"k", "v", "version"}
     live = {r["k"]: r["v"] for r in t.live().collect()}
     assert live[5] == "V5" and len(live) == 64
+
+
+def test_changelog_spec_with_declared_version_column(spark, tmp_path):
+    """r10 (r9 advice): a spec may declare 'version' among its OWN
+    columns (schema.py supports it); the changelog's explicit read
+    schema must not then append a duplicate version field — the read
+    worked under inference and must keep working."""
+    spec = TableSpec(
+        name="kv_declared_version",
+        columns=(
+            ColumnSpec("k", "long"),
+            ColumnSpec("v", "string"),
+            ColumnSpec("version", "long"),
+        ),
+        primary_key=("k",),
+        versioned=True,
+    )
+    t = VersionedTable(spark, spec, str(tmp_path / "kvv"))
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k: long, v: string"))
+    t.upsert(spark.createDataFrame([(2, "B")], "k: long, v: string"))
+    cl = t.changelog()
+    assert [f.name for f in cl.schema.fields] == ["k", "v", "version", "_op", "_vbucket"]
+    assert sorted(map(tuple, cl.select("k", "v", "version").collect())) == [
+        (1, "a", 1), (2, "B", 3), (2, "b", 2)]
+    # the pruned-range reader shares the membership check
+    d = t.delta(2, 3)
+    assert sorted(r["k"] for r in d.collect()) == [2, 2]
