@@ -160,12 +160,25 @@ def _dec4(c: str | Column) -> Column:
 #: loud even if the gate is mis-sized.  Both forms are pinned equal by
 #: tests/test_longsum.py and every converted query stays green against
 #: its DuckDB oracle (selfcheck at sf0.001/0.01/0.1).
-MONEY_LONGSUM_MAX_BYTES = 64 << 30
+MONEY_LONGSUM_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LONGSUM_MAX_BYTES", str(64 << 30))
+)
 
 
-def _fits_longsum(sf_dir: str, table: str = "lineitem") -> bool:
+def _fits_longsum(sf_dir: str, table: str = "lineitem") -> "bool | str":
+    """Route the money-sum form by table size: ``True`` (plain
+    scaled-long sum) under :data:`MONEY_LONGSUM_MAX_BYTES`, ``"wide"``
+    (r10: the same exact per-row scaled long, accumulated in decimal —
+    see :func:`_lsum_wide`) above it, ``False`` (the oracle decimal
+    form) when the size is unknown.  Both truthy routes require the
+    caller-vouched preconditions of :func:`_lsum` (non-negative exact
+    2/4-decimal inputs); sites that branch on the result must
+    distinguish ``True`` from ``"wide"`` — only the plain-long form
+    has the per-group overflow exposure the gate bounds."""
     sz = _table_disk_bytes(sf_dir, table)
-    return sz is not None and sz < MONEY_LONGSUM_MAX_BYTES
+    if sz is None:
+        return False
+    return True if sz < MONEY_LONGSUM_MAX_BYTES else "wide"
 
 
 def _lraw(c: str | Column, scale: int = 100) -> Column:
@@ -181,6 +194,23 @@ def _lfin(c: str | Column, alias: str, scale: int = 100) -> Column:
     double cast the decimal route produces."""
     col = F.col(c) if isinstance(c, str) else c
     return (col.cast("decimal(38,0)") / scale).cast("double").alias(alias)
+
+
+def _lsum_wide(c: str | Column, alias: str, scale: int = 100) -> Column:
+    """Above-the-gate money sum (r10, lifts the 64 GiB longsum gate):
+    the per-row term is the SAME exact scaled long as :func:`_lsum`
+    (cheap double→long, no per-row BigDecimal rounding), but it is
+    accumulated as DECIMAL(20,0) — the sum buffer is DECIMAL(30,0),
+    whose headroom (1e30 of scaled cents ≈ 9e20 rows at the max 4-dp
+    cent value) outlasts any realizable table, and ANSI decimal
+    overflow RAISES rather than wraps even past that.  Each decimal
+    term is integral and created from a long, so Spark keeps it in the
+    compact-long representation; the expensive part of the decimal
+    route — HALF_UP rounding of a double into a BigDecimal per row —
+    never happens.  Final conversion is the same exact decimal divide
+    as :func:`_lfin`, so the value is bit-identical to both other
+    routes (pinned by tests/test_longsum.py)."""
+    return _lfin(F.sum(_lraw(c, scale).cast("decimal(20,0)")), alias, scale)
 
 
 def _lsum(c: str | Column, alias: str, scale: int = 100) -> Column:
@@ -199,21 +229,27 @@ def _lsum(c: str | Column, alias: str, scale: int = 100) -> Column:
     return _lfin(F.sum(_lraw(c, scale)), alias, scale)
 
 
-def _dsum(c: str | Column, alias: str, longsum: bool = False) -> Column:
+def _dsum(c: str | Column, alias: str, longsum: "bool | str" = False) -> Column:
     """``SUM(CAST(x AS DECIMAL(18,2)))::DOUBLE`` — routed: the decimal
-    form (always correct) or, when the caller passed
-    ``longsum=_fits_longsum(sf_dir)`` under the size gate, the exact
-    scaled-long form (see :func:`_lsum`/:data:`MONEY_LONGSUM_MAX_BYTES`)."""
-    if longsum:
+    form (always correct), the exact scaled-long form under the size
+    gate (``longsum=True``; see :func:`_lsum`), or the scaled-long
+    terms with decimal accumulation above it (``longsum="wide"``;
+    see :func:`_lsum_wide`).  Callers pass
+    ``longsum=_fits_longsum(sf_dir)``."""
+    if longsum is True:
         return _lsum(c, alias, scale=100)
+    if longsum == "wide":
+        return _lsum_wide(c, alias, scale=100)
     return F.sum(_dec(c)).cast("double").alias(alias)
 
 
-def _dsum4(c: str | Column, alias: str, longsum: bool = False) -> Column:
+def _dsum4(c: str | Column, alias: str, longsum: "bool | str" = False) -> Column:
     """``SUM(CAST(expr AS DECIMAL(18,4)))::DOUBLE`` with the same
     routing as :func:`_dsum` at scale 10^4 (the revenue-product form)."""
-    if longsum:
+    if longsum is True:
         return _lsum(c, alias, scale=10000)
+    if longsum == "wide":
+        return _lsum_wide(c, alias, scale=10000)
     col = F.col(c) if isinstance(c, str) else c
     return F.sum(_dec4(col)).cast("double").alias(alias)
 
@@ -593,11 +629,7 @@ def a5_global_stats(spark, sf_dir):
     (updateClusterStatistics :478-512)."""
     li = load_table(spark, sf_dir, "lineitem")
     lf = _fits_longsum(sf_dir)
-    sum_price = (
-        _lsum("l_extendedprice", "_sp")
-        if lf
-        else F.sum(_dec("l_extendedprice")).cast("double").alias("_sp")
-    )
+    sum_price = _dsum("l_extendedprice", "_sp", longsum=lf)
     return li.agg(
         _dsum("l_quantity", "sum_qty", longsum=lf),
         F.count("*").alias("n_rows"),
@@ -1286,7 +1318,19 @@ def dedup_minhash_incremental(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     new = d.filter(F.col("doc_id") % 3 == 0)
-    idx = minhash_index(corpus, "doc_id", "text")
+    # Materialize the index to a parquet table between the two phases —
+    # the deployment shape minhash_index documents ("write it once"),
+    # and what flattens the probe plan: with a live index the batch
+    # probe's tree contains the WHOLE corpus signature pipeline (417
+    # exchanges at the sf0.001 dump), and the optimizer re-plans it per
+    # consumer.  The write happens inside this invocation (it is timed;
+    # nothing survives the call — fresh tmp dir per invocation), and
+    # the index rows are identical, so the declared result is unchanged.
+    import os as _os
+
+    idx_dir = _os.path.join(_tmp_root("adfs_mhidx_"), "idx")
+    minhash_index(corpus, "doc_id", "text").write.parquet(idx_dir)
+    idx = spark.read.parquet(idx_dir)
     pairs = minhash_dedup_incremental(
         new, corpus, idx, "doc_id", "text", persisted_out=_PERSISTED
     )
@@ -2214,11 +2258,23 @@ def window_running_total(spark, sf_dir):
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if _fits_longsum(sf_dir, "orders"):
+    lf = _fits_longsum(sf_dir, "orders")
+    if lf is True:
         return o.select(
             "o_custkey",
             "o_orderkey",
             _lfin(F.sum(_lraw("o_totalprice")).over(w), "running_spend"),
+        )
+    if lf == "wide":
+        # scaled-long terms, decimal accumulation (see _lsum_wide) —
+        # the same exact value with unbounded running-sum headroom
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            _lfin(
+                F.sum(_lraw("o_totalprice").cast("decimal(20,0)")).over(w),
+                "running_spend",
+            ),
         )
     return o.select(
         "o_custkey",
@@ -2669,11 +2725,7 @@ def sq_scalar_small_quantity(spark, sf_dir):
     boundary comparisons agree bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
     lf = _fits_longsum(sf_dir)
-    sq = (
-        _lsum("l_quantity", "_sq")
-        if lf
-        else F.sum(_dec("l_quantity")).cast("double").alias("_sq")
-    )
+    sq = _dsum("l_quantity", "_sq", longsum=lf)
     thr = (
         li.groupBy(F.col("l_partkey").alias("pk"))
         .agg(sq, F.count("*").alias("_n"))
@@ -5128,12 +5180,18 @@ def sq_having_big_orders(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    if _fits_longsum(sf_dir):
+    lf = _fits_longsum(sf_dir)
+    if lf:
         # HAVING on the raw scaled sum: _sq100 = 100× the exact decimal
         # sum, so `> 25000` is the same cut as `> 250` on the decimal.
+        # Above the gate ("wide") the terms accumulate in decimal —
+        # same value, unbounded headroom (see _lsum_wide).
+        raw = _lraw("l_quantity")
+        if lf == "wide":
+            raw = raw.cast("decimal(20,0)")
         big = (
             li.groupBy("l_orderkey")
-            .agg(F.sum(_lraw("l_quantity")).alias("_sq100"))
+            .agg(F.sum(raw).alias("_sq100"))
             .filter(F.col("_sq100") > 25000)
             .select("l_orderkey", _lfin("_sq100", "sum_qty"))
         )

@@ -278,6 +278,9 @@ class VersionedTable:
                 "bucket_by (Spark bucketed layout) is mutually exclusive "
                 "with num_buckets/partition_by (pk-hash directory layout)"
             )
+        # cached current/ DataFrame HANDLE (plan + file index), r10:
+        # see _read_current_raw.  Metadata only — no rows are memoized.
+        self._current_df = None
 
     def _cast_spec(self, df: DataFrame) -> DataFrame:
         """Project onto the spec's columns WITH the spec's exact types.
@@ -365,7 +368,46 @@ class VersionedTable:
             if not self.spark.catalog.tableExists(name):
                 self._register_bucket_table()
             return self.spark.table(name)
-        return self.spark.read.schema(self._full_schema()).parquet(self.current_path)
+        # r10: reuse the DataFrame handle across ops — a fresh
+        # read.schema(...).parquet(...) re-resolves the DataSource and
+        # re-lists current/ on EVERY op (~60-90 ms of the ~150 ms
+        # namespace-op floor; rename/openClose/getFileStatus pay it per
+        # call).  The handle caches the plan + file index only; every
+        # action still scans the parquet files.  Freshness: the handle
+        # is keyed on a stat token of current/ and its immediate
+        # children (any rewrite — swap, dynamic overwrite, vacuum —
+        # creates/removes entries there, bumping an mtime; ~64 stat
+        # syscalls ≈ 0.1 ms), so writers in OTHER processes are picked
+        # up too; in-process rewrites additionally invalidate
+        # explicitly.  (The bucket_by branch above already gets exactly
+        # this handle reuse from the session catalog.)
+        tok = self._current_token()
+        if self._current_df is None or self._current_df[0] != tok or tok is None:
+            df = self.spark.read.schema(self._full_schema()).parquet(
+                self.current_path
+            )
+            if tok is None:
+                return df
+            self._current_df = (tok, df)
+        return self._current_df[1]
+
+    def _current_token(self) -> "tuple | None":
+        try:
+            st = os.stat(self.current_path)
+            tok = [("", st.st_mtime_ns)]
+            with os.scandir(self.current_path) as it:
+                for e in it:
+                    tok.append((e.name, e.stat().st_mtime_ns))
+            tok.sort()
+            return tuple(tok)
+        except OSError:
+            return None
+
+    def _invalidate_current(self) -> None:
+        """Drop the cached current/ handle — call after ANY in-process
+        rewrite of current/ (its file index holds the old file list).
+        Cross-process rewrites are caught by the stat token above."""
+        self._current_df = None
 
     @property
     def _bucket_table_name(self) -> str:
@@ -1745,6 +1787,7 @@ class VersionedTable:
                         os.path.join(self.current_path, f"{KBUCKET_COL}={b}"),
                         ignore_errors=True,
                     )
+                self._invalidate_current()
             else:
                 self._write_current(kept)
         if prune_changelog:
@@ -1867,6 +1910,7 @@ class VersionedTable:
                 .partitionBy(KBUCKET_COL)
                 .parquet(self.current_path)
             )
+            self._invalidate_current()
             return
         # Stage to a tmp dir, then swap the touched bucket DIRECTORIES
         # into current/ with filesystem renames (r9).  The tmp
@@ -1923,6 +1967,7 @@ class VersionedTable:
         shutil.rmtree(tmp, ignore_errors=True)
         if made_aside:
             shutil.rmtree(aside, ignore_errors=True)
+        self._invalidate_current()
 
     def _write_current(
         self, df: DataFrame, sort_cols: Sequence[str] | None = None
@@ -1965,6 +2010,7 @@ class VersionedTable:
             os.rename(tmp, self.current_path)
             if had_old:
                 shutil.rmtree(aside, ignore_errors=True)
+            self._invalidate_current()
             return
         writer = out.write.mode("overwrite")
         if self.partition_by:
@@ -1992,6 +2038,7 @@ class VersionedTable:
             w2 = w2.partitionBy(*self.partition_by)
         w2.parquet(self.current_path)
         shutil.rmtree(tmp, ignore_errors=True)
+        self._invalidate_current()
 
     def _append_changelog(self, ops: DataFrame) -> None:
         if self.txn is not None and self.txn.active:

@@ -42,11 +42,27 @@ def test_dsum_long_equals_decimal(money):
     assert lng[2] == 0.01
 
 
+def test_dsum_wide_equals_decimal(money):
+    """r10: the above-the-gate route (scaled-long terms, decimal
+    accumulation) is value- and NULL-identical to both other routes."""
+    dec = _collect(money.groupBy("k").agg(_dsum("v", "s")))
+    wide = _collect(money.groupBy("k").agg(_dsum("v", "s", longsum="wide")))
+    assert dec == wide
+    assert wide[3] is None
+
+
 def test_dsum4_long_equals_decimal(money):
     prod = F.col("v") * (1 - F.lit(0.05))
     dec = _collect(money.groupBy("k").agg(_dsum4(prod, "s")))
     lng = _collect(money.groupBy("k").agg(_dsum4(prod, "s", longsum=True)))
     assert dec == lng
+
+
+def test_dsum4_wide_equals_decimal(money):
+    prod = F.col("v") * (1 - F.lit(0.05))
+    dec = _collect(money.groupBy("k").agg(_dsum4(prod, "s")))
+    wide = _collect(money.groupBy("k").agg(_dsum4(prod, "s", longsum="wide")))
+    assert dec == wide
 
 
 def test_dsum_long_equals_decimal_on_fixture(spark):
@@ -64,7 +80,8 @@ def test_dsum_long_equals_decimal_on_fixture(spark):
 
     a = {tuple(r[:2]): tuple(r[2:]) for r in both(False).collect()}
     b = {tuple(r[:2]): tuple(r[2:]) for r in both(True).collect()}
-    assert a == b
+    w = {tuple(r[:2]): tuple(r[2:]) for r in both("wide").collect()}
+    assert a == b == w
 
 
 def test_lraw_rounds_half_up_for_positives(spark):
@@ -82,9 +99,15 @@ def test_lraw_rounds_half_up_for_positives(spark):
     assert got == dec
 
 
-def test_fits_longsum_gate(tmp_path):
+def test_fits_longsum_gate(tmp_path, monkeypatch):
     d = tmp_path / "lineitem.parquet"
     d.write_bytes(b"x" * 128)
     assert _fits_longsum(str(tmp_path)) is True
     assert MONEY_LONGSUM_MAX_BYTES == 64 << 30
     assert _fits_longsum("/nonexistent-dir") is False  # unknown → decimal
+    # r10: above the gate the route is "wide" (decimal accumulation),
+    # not the oracle decimal fallback — the per-row win survives scale
+    import adfs_spark.queries as q
+
+    monkeypatch.setattr(q, "MONEY_LONGSUM_MAX_BYTES", 64)
+    assert q._fits_longsum(str(tmp_path)) == "wide"
